@@ -1,0 +1,95 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.vector._
+import graft.operators.TopKAgg.topk_ids
+
+/** ANN / vector-search operators over `embeddings` (SURVEY.md §2.B).
+  *
+  * Reference analogue: pgvector scans in
+  * /root/reference/basic_benchmark/common_function.py (ORDER BY
+  * vector <-> q LIMIT k) and the brute-force ground truth in
+  * basic_benchmark/compute_ground_truth.py.
+  *
+  * Scale design: the corpus side is only ever scanned (never shuffled);
+  * query vectors are broadcast; single-query top-k is a
+  * TakeOrderedAndProject (per-partition heap, k rows per partition) and
+  * multi-query top-k is the TopKByScore partial aggregate.
+  */
+object Ann {
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+
+  private def queryVec(spark: SparkSession, dir: String, qid: Long): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === qid)
+      .select(col("embedding").as("qvec"))
+
+  /** Exact cosine top-k for one query (vec_id 0), excluding the query
+    * row itself. */
+  def bruteForceCosineTopK(spark: SparkSession, dir: String, k: Int): DataFrame =
+    corpus(spark, dir)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(spark, dir, 0)))
+      .withColumn("sim", cosine_sim(col("embedding"), col("qvec")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .select("vec_id")
+
+  /** Exact L2 top-k for one query (pgvector `<->` ground truth). */
+  def bruteForceL2TopK(spark: SparkSession, dir: String, k: Int): DataFrame =
+    corpus(spark, dir)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(spark, dir, 0)))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+      .select("vec_id")
+
+  /** Batch exact top-k: `nq` query vectors × corpus, one partial-agg
+    * pass (compute_ground_truth.py computes this per user with FAISS;
+    * here it is a single distributed plan: corpus scanned once, queries
+    * broadcast, shuffle = nq × k ids).
+    */
+  def batchTopK(spark: SparkSession, dir: String, nq: Int, k: Int): DataFrame = {
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    corpus(spark, dir)
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(topk_ids(l2_dist(col("embedding"), col("qvec")), col("vec_id"), k).as("ids"))
+      .select(col("query_id"), explode(col("ids")).as("block_id"))
+      .orderBy("query_id", "block_id")
+  }
+
+  /** Range search: all vectors within L2 distance tau of the query.
+    * The distance predicate is evaluated inside the scan stage (codegen),
+    * no top-k state at all — fully parallel.
+    */
+  def rangeSearch(spark: SparkSession, dir: String, tau: Double): DataFrame =
+    corpus(spark, dir)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(spark, dir, 0)))
+      .filter(l2_dist(col("embedding"), col("qvec")) < tau)
+      .select("vec_id")
+      .orderBy("vec_id")
+
+  /** Per-vector norms / dot products — the scalar vector-op surface
+    * (pgvector's vector_norm / inner_product functions).
+    */
+  def vectorNorms(spark: SparkSession, dir: String, n: Int): DataFrame =
+    corpus(spark, dir)
+      .filter(col("vec_id") < n)
+      .crossJoin(broadcast(queryVec(spark, dir, 0)))
+      .select(
+        col("vec_id"),
+        round(vec_norm(col("embedding")), 4).as("norm"),
+        round(dot(col("embedding"), col("qvec")), 4).as("dot_q"))
+      .orderBy("vec_id")
+}

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.{GraftInternal => ExpressionUtils}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for vector math over `array<float>` columns.
+  *
+  * The reference computes pgvector's `<->` (L2), `<#>` (negative inner
+  * product) and `<=>` (cosine distance) inside the scan
+  * (see /root/reference/basic_benchmark/common_function.py:139, pgvector
+  * operators). Here they are whole-stage-codegen scalar expressions: a
+  * tight primitive loop over `ArrayData`, no boxing, no UDF serialization —
+  * this is the hot inner loop of every ANN scan, so it must stay inside
+  * WholeStageCodegen at 100 TB scale.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInputTypes {
+  // return type inferred — AbstractDataType is private[sql]
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  /** Scalar kernel over two equal-length float arrays. */
+  protected def kernel(x: ArrayData, y: ArrayData): Double
+
+  /** Java source for the loop body; `x`/`y` are ArrayData, result into `ev`. */
+  protected def genLoop(x: String, y: String, result: String): String
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => genLoop(x, y, ev.value.toString))
+}
+
+/** Euclidean distance — pgvector `<->`. */
+case class L2Distance(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "l2_distance"
+  protected def kernel(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements(); var i = 0; var s = 0.0
+    while (i < n) { val d = x.getFloat(i) - y.getFloat(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+  protected def genLoop(x: String, y: String, result: String): String =
+    s"""
+       |int n = $x.numElements();
+       |double s = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  double d = (double) $x.getFloat(i) - (double) $y.getFloat(i);
+       |  s += d * d;
+       |}
+       |$result = Math.sqrt(s);
+     """.stripMargin
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Squared Euclidean distance (cheaper when only ordering matters). */
+case class L2DistanceSq(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "l2_distance_sq"
+  protected def kernel(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements(); var i = 0; var s = 0.0
+    while (i < n) { val d = x.getFloat(i) - y.getFloat(i); s += d * d; i += 1 }
+    s
+  }
+  protected def genLoop(x: String, y: String, result: String): String =
+    s"""
+       |int n = $x.numElements();
+       |double s = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  double d = (double) $x.getFloat(i) - (double) $y.getFloat(i);
+       |  s += d * d;
+       |}
+       |$result = s;
+     """.stripMargin
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Inner product — pgvector `<#>` is its negation. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "dot_product"
+  protected def kernel(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements(); var i = 0; var s = 0.0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
+    s
+  }
+  protected def genLoop(x: String, y: String, result: String): String =
+    s"""
+       |int n = $x.numElements();
+       |double s = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  s += (double) $x.getFloat(i) * (double) $y.getFloat(i);
+       |}
+       |$result = s;
+     """.stripMargin
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity — pgvector `<=>` is `1 - this`. */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "cosine_similarity"
+  protected def kernel(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements(); var i = 0
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    while (i < n) {
+      val a = x.getFloat(i).toDouble; val b = y.getFloat(i).toDouble
+      dot += a * b; nx += a * a; ny += b * b; i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+  protected def genLoop(x: String, y: String, result: String): String =
+    s"""
+       |int n = $x.numElements();
+       |double dot = 0.0, nx = 0.0, ny = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  double a = (double) $x.getFloat(i);
+       |  double b = (double) $y.getFloat(i);
+       |  dot += a * b; nx += a * a; ny += b * b;
+       |}
+       |double denom = Math.sqrt(nx) * Math.sqrt(ny);
+       |$result = (denom == 0.0) ? 0.0 : dot / denom;
+     """.stripMargin
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** L2 norm of a single vector. */
+case class VectorNorm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "vector_norm"
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements(); var i = 0; var s = 0.0
+    while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""
+         |int n = $x.numElements();
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) { double v = (double) $x.getFloat(i); s += v * v; }
+         |${ev.value} = Math.sqrt(s);
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API facade, mirroring `org.apache.spark.sql.functions`. */
+object vector {
+  private def col(e: Expression): Column = ExpressionUtils.column(e)
+  private def ex(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def l2_dist(a: Column, b: Column): Column    = col(L2Distance(ex(a), ex(b)))
+  def l2_dist_sq(a: Column, b: Column): Column = col(L2DistanceSq(ex(a), ex(b)))
+  def dot(a: Column, b: Column): Column        = col(DotProduct(ex(a), ex(b)))
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
+  def vec_norm(a: Column): Column              = col(VectorNorm(ex(a)))
+}

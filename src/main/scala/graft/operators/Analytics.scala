@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Relational analytics over the TPC-H-ish testdata (SURVEY.md §2.E).
+  *
+  * These prove the engine's general query surface: multi-way joins with
+  * broadcast of dimensions, partial aggregation, window functions,
+  * sessionization. All double aggregates are rounded to 4 decimals to
+  * match the DuckDB oracle bit-for-bit after hashing.
+  */
+object Analytics {
+
+  /** TPC-H Q1 flavor: pricing summary over lineitem. One shuffle
+    * (groupBy), map-side partial aggregation, 6 columns scanned.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 flavor: top unshipped-revenue orders.
+    * customer is broadcast (small dim); lineitem never shuffled before agg.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 flavor: revenue by nation through a 5-way join; every
+    * dimension side broadcast, fact table joined once.
+    */
+  def q5LocalVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Supplier revenue ranked within nation — window function surface. */
+  def topSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey")
+    val li = Tables.lineitem(spark, dir).select("l_suppkey", "l_extendedprice", "l_discount")
+    val rev = li.groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+    val w = Window.partitionBy("s_nationkey").orderBy(col("revenue").desc, col("s_suppkey"))
+    rev.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rank_in_nation", rank().over(w).cast("bigint")) // match DuckDB rank() type
+      .filter(col("rank_in_nation") <= 3)
+      .select("s_nationkey", "s_suppkey", "s_name", "revenue", "rank_in_nation")
+      .orderBy("s_nationkey", "rank_in_nation", "s_suppkey")
+  }
+
+  /** TPC-H Q4 flavor: order-priority counts where an item shipped late —
+    * semi-join (EXISTS) surface.
+    */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val late = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    Tables.orders(spark, dir)
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Sessionize events per user with a 30-minute inactivity gap (lag +
+    * running sum of boundaries) and aggregate per session. The standard
+    * scalable batch sessionization: one shuffle by user_id.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          // cast-to-double = fractional epoch seconds (events have sub-
+          // second timestamps; unix_timestamp would truncate and disagree
+          // with the oracle's epoch()).
+          .or(col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0), 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Tumbling 1-hour window aggregates over events — the batch mirror of
+    * the streaming query (graft.streaming), oracle-checkable.
+    */
+  def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy("window_start", "event_type")
+}

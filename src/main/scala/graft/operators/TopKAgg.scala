@@ -1,0 +1,137 @@
+package graft.operators
+
+import java.nio.ByteBuffer
+import java.util.{Comparator, PriorityQueue}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.{GraftInternal => ExpressionUtils}
+import org.apache.spark.sql.types._
+
+/** Bounded top-k buffer: keeps the k smallest (score, id) pairs.
+  * Max-heap ordered so the WORST kept pair is at the head and can be
+  * evicted in O(log k). Ties broken by id ascending, matching
+  * `ORDER BY score, id LIMIT k`.
+  */
+final class TopKBuffer(val k: Int) {
+  // head = largest (score, id) among the kept k
+  val heap = new PriorityQueue[Array[Double]](math.max(k, 1),
+    new Comparator[Array[Double]] {
+      override def compare(a: Array[Double], b: Array[Double]): Int = {
+        val c = java.lang.Double.compare(b(0), a(0))
+        if (c != 0) c else java.lang.Long.compare(b(1).toLong, a(1).toLong)
+      }
+    })
+
+  def add(score: Double, id: Long): Unit = {
+    if (heap.size() < k) {
+      heap.offer(Array(score, id.toDouble))
+    } else {
+      val worst = heap.peek()
+      if (score < worst(0) || (score == worst(0) && id < worst(1).toLong)) {
+        heap.poll()
+        heap.offer(Array(score, id.toDouble))
+      }
+    }
+  }
+
+  def mergeFrom(other: TopKBuffer): Unit = {
+    val it = other.heap.iterator()
+    while (it.hasNext) { val e = it.next(); add(e(0), e(1).toLong) }
+  }
+
+  /** ids sorted by (score asc, id asc). */
+  def sortedIds: Array[Long] = {
+    val arr = heap.toArray(new Array[Array[Double]](heap.size()))
+    java.util.Arrays.sort(arr, new Comparator[Array[Double]] {
+      override def compare(a: Array[Double], b: Array[Double]): Int = {
+        val c = java.lang.Double.compare(a(0), b(0))
+        if (c != 0) c else java.lang.Long.compare(a(1).toLong, b(1).toLong)
+      }
+    })
+    arr.map(_(1).toLong)
+  }
+}
+
+/** `topk_ids(score, id, k)` — per-group `ORDER BY score, id LIMIT k`
+  * as a partial-aggregatable function returning `array<bigint>`.
+  *
+  * Why not `row_number() OVER (PARTITION BY g ORDER BY score)`? The
+  * window form shuffles EVERY row to its group's partition and sorts
+  * there — at 100 TB the shuffle is the whole job. This aggregate keeps
+  * a k-element heap per group per map task, so only `groups × k` rows
+  * cross the wire (reference analogue: per-partition `ORDER BY vector
+  * <-> q LIMIT k` then merge, dynamic_partition/search.py:114
+  * merge_results_with_filter).
+  */
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "topk_ids"
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = new GenericArrayData(buf.sortedIds)
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val n = buf.heap.size()
+    val bb = ByteBuffer.allocate(4 + n * 16)
+    bb.putInt(n)
+    val it = buf.heap.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putDouble(e(0)); bb.putLong(e(1).toLong)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKBuffer(k)
+    var i = 0
+    while (i < n) { buf.add(bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKByScore =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(score = cs(0), id = cs(1))
+}
+
+object TopKAgg {
+  /** Column facade: `groupBy(g).agg(topk_ids($"dist", $"block_id", 10))`. */
+  def topk_ids(score: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      TopKByScore(
+        ExpressionUtils.expression(score.cast("double")),
+        ExpressionUtils.expression(id.cast("bigint")),
+        k).toAggregateExpression())
+}

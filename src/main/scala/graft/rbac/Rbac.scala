@@ -1,0 +1,166 @@
+package graft.rbac
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.vector._
+
+/** Permission-aware vector search — the reference's core capability.
+  *
+  * Reference schema (/root/reference/controller/initialize_main_tables.py):
+  * Users, Roles, UserRoles(user_id, role_id), Documents,
+  * documentblocks(block_id, document_id, vector),
+  * PermissionAssignment(role_id, document_id).
+  *
+  * The testdata has no RBAC tables, so the entities are DERIVED
+  * deterministically from `customer` / `documents` / `embeddings` with
+  * arithmetic that the DuckDB oracle reproduces verbatim (SURVEY.md §3):
+  *   - user u holds roles  u % 10  and  (u*3+1) % 10
+  *   - role r grants doc d  iff  d % 10 == r  or  (d/10) % 10 == r
+  *   - block b belongs to document b (1 block per document)
+  *
+  * Architecture note (Spark-first, not a port): the reference prunes the
+  * ANN scan with per-role PARTITION TABLES + per-table indexes
+  * (controller/baseline/prefilter/initialize_partitions.py). On Spark the
+  * same pruning is a BROADCAST SEMI-JOIN of the (small) accessible-doc
+  * set into the (100 TB) block scan — no data movement on the big side,
+  * and the top-k is a TakeOrderedAndProject (per-partition bounded heap,
+  * k rows shipped per partition), not a global sort.
+  */
+object Rbac {
+  val NumRoles = 10
+
+  /** UserRoles(user_id, role_id) — every user holds exactly 1-2 roles. */
+  def userRoles(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").as("user_id"))
+    c.withColumn("role_id", col("user_id") % NumRoles)
+      .union(c.withColumn("role_id", (col("user_id") * 3 + 1) % NumRoles))
+      .distinct()
+  }
+
+  /** PermissionAssignment(role_id, document_id). */
+  def permissions(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id").as("document_id"))
+    d.withColumn("role_id", col("document_id") % NumRoles)
+      .union(d.withColumn("role_id", expr("document_id div 10") % NumRoles))
+      .distinct()
+      .select("role_id", "document_id")
+  }
+
+  /** documentblocks(block_id, document_id, embedding). */
+  def blocks(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id").as("block_id"),
+      col("vec_id").as("document_id"),
+      col("embedding"))
+
+  /** The fixed benchmark query vector (vec_id = 0), one row: qvec. */
+  def queryVector(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+
+  /** Docs accessible to `userId` — prefilter step 1
+    * (common_function.py:91: DISTINCT pa.document_id ⋈ UserRoles).
+    */
+  def accessibleDocs(spark: SparkSession, dir: String, userId: Long): DataFrame = {
+    val ur = userRoles(spark, dir).filter(col("user_id") === userId)
+    permissions(spark, dir)
+      .join(broadcast(ur), "role_id")
+      .select("document_id")
+      .distinct()
+  }
+
+  /** Pre-filtered exact L2 top-k (common_function.py:134).
+    * Plan at scale: parquet scan → broadcast semi-join on accessible docs
+    * → codegen'd L2 → TakeOrderedAndProject (k rows per partition).
+    */
+  def prefilterTopK(spark: SparkSession, dir: String, userId: Long, k: Int): DataFrame = {
+    val acc = accessibleDocs(spark, dir, userId)
+    blocks(spark, dir)
+      .join(broadcast(acc), Seq("document_id"), "left_semi")
+      .crossJoin(broadcast(queryVector(spark, dir)))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("block_id"))
+      .limit(k)
+      .select("block_id", "document_id")
+  }
+
+  /** Post-filter: global ANN top-(overfetch*k) FIRST, then permission
+    * filter, then k (the reference's postfilter baseline). May return
+    * fewer than k rows when the over-fetch misses — semantics preserved.
+    */
+  def postfilterTopK(spark: SparkSession, dir: String, userId: Long, k: Int,
+                     overfetch: Int = 10): DataFrame = {
+    val candidates = blocks(spark, dir)
+      .crossJoin(broadcast(queryVector(spark, dir)))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("block_id"))
+      .limit(k * overfetch)
+    candidates
+      .join(broadcast(accessibleDocs(spark, dir, userId)), Seq("document_id"), "left_semi")
+      .orderBy(col("dist"), col("block_id"))
+      .limit(k)
+      .select("block_id", "document_id")
+  }
+
+  /** Row-level-security flavor (row_level_security.py): the permission
+    * predicate is evaluated per row of the scan — an EXISTS over
+    * UserRoles⋈PermissionAssignment — rather than materializing the doc
+    * set first. Same results as prefilter; different (inline) plan.
+    */
+  def rlsTopK(spark: SparkSession, dir: String, userId: Long, k: Int): DataFrame = {
+    val grants = permissions(spark, dir)
+      .join(broadcast(userRoles(spark, dir).filter(col("user_id") === userId)), "role_id")
+      .select("document_id")
+    blocks(spark, dir)
+      .join(broadcast(grants), Seq("document_id"), "left_semi") // EXISTS(grant)
+      .crossJoin(broadcast(queryVector(spark, dir)))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("block_id"))
+      .limit(k)
+      .select("block_id", "document_id")
+  }
+
+  /** Per-user block selectivity (common_function.py's statistics):
+    * accessible blocks / total blocks, the metric the reference reports
+    * for every strategy.
+    */
+  def selectivityStats(spark: SparkSession, dir: String): DataFrame = {
+    val b = blocks(spark, dir).select("document_id")
+    // total as a broadcast 1-row frame keeps the whole plan lazy and
+    // cluster-side (no driver collect).
+    val total = b.agg(count(lit(1)).as("total_blocks"))
+    userRoles(spark, dir)
+      .join(permissions(spark, dir), "role_id")
+      .select("user_id", "document_id").distinct()
+      .join(b, "document_id")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("accessible_blocks"))
+      .crossJoin(broadcast(total))
+      .withColumn("selectivity",
+        round(col("accessible_blocks") / col("total_blocks").cast("double"), 4))
+      .drop("total_blocks")
+      .orderBy("user_id")
+  }
+
+  /** Role ↔ doc grant matrix rollup (services/rbac_generator analogue). */
+  def permissionMatrix(spark: SparkSession, dir: String): DataFrame =
+    permissions(spark, dir)
+      .groupBy("role_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("document_id").as("min_doc"),
+        max("document_id").as("max_doc"))
+      .orderBy("role_id")
+
+  /** Roles-per-user / users-per-role distribution
+    * (hnsw/AnonySys_dynamic_partition.py:init_user_role_combination_data).
+    */
+  def userRoleStats(spark: SparkSession, dir: String): DataFrame =
+    userRoles(spark, dir)
+      .groupBy("role_id")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("role_id")
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Ann
+import graft.functions.vector._
+import graft.operators.TopKAgg.topk_ids
+import graft.rbac.Rbac
+
+object SparkTest {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+}
+
+class CoreSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("vector expressions compute known values") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 2f), Array(1f, 0f, 0f))).toDF("a", "b")
+    val row = df.select(
+      l2_dist(col("a"), col("b")).as("l2"),
+      dot(col("a"), col("b")).as("dp"),
+      cosine_sim(col("a"), col("a")).as("cs"),
+      vec_norm(col("a")).as("nm")).head()
+    assert(math.abs(row.getDouble(0) - math.sqrt(8.0)) < 1e-12)
+    assert(row.getDouble(1) == 1.0)
+    assert(math.abs(row.getDouble(2) - 1.0) < 1e-12)
+    assert(row.getDouble(3) == 3.0)
+  }
+
+  test("topk_ids matches ORDER BY score, id LIMIT k per group") {
+    import spark.implicits._
+    val data = (1L to 1000L).map(i => (i % 7, (i * 37 % 101).toDouble, i))
+    val df = data.toDF("g", "score", "id").repartition(8)
+    val got = df.groupBy("g")
+      .agg(topk_ids(col("score"), col("id"), 5).as("ids"))
+      .select(col("g"), explode(col("ids")).as("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = data.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      rows.sortBy(r => (r._2, r._3)).take(5).map(r => (g, r._3))
+    }.toSet
+    assert(got == exp)
+  }
+
+  test("prefilter results are all permission-accessible") {
+    val acc = Rbac.accessibleDocs(spark, sf, 1)
+      .collect().map(_.getLong(0)).toSet
+    val res = Rbac.prefilterTopK(spark, sf, 1, 10).collect()
+    assert(res.length == 10)
+    assert(res.forall(r => acc.contains(r.getLong(1))))
+  }
+
+  test("rls and prefilter agree (same semantics, different plan)") {
+    val a = Rbac.prefilterTopK(spark, sf, 1, 10).collect().map(_.getLong(0)).toSeq
+    val b = Rbac.rlsTopK(spark, sf, 1, 10).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("postfilter is a subset of the unfiltered global topk's doc set") {
+    val post = Rbac.postfilterTopK(spark, sf, 1, 10).collect().map(_.getLong(0)).toSet
+    val acc = Rbac.accessibleDocs(spark, sf, 1).collect().map(_.getLong(0)).toSet
+    assert(post.subsetOf(acc))
+  }
+
+  test("brute force L2 topk: distances are nondecreasing and exclude query") {
+    val ids = Ann.bruteForceL2TopK(spark, sf, 10).collect().map(_.getLong(0))
+    assert(ids.length == 10 && !ids.contains(0L) && ids.distinct.length == 10)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  test("oracle keys are a subset of query keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
