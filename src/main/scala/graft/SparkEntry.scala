@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ann.Ann
+import graft.dedup.Dedup
 import graft.operators.Analytics
 import graft.rbac.Rbac
+import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -34,6 +36,18 @@ object SparkEntry {
     "ann_batch_topk" -> ((s, d) => Ann.batchTopK(s, d, nq = 8, k = 10)),
     "ann_range_search" -> ((s, d) => Ann.rangeSearch(s, d, tau = 1.3)),
     "vector_norms" -> ((s, d) => Ann.vectorNorms(s, d, n = 100)),
+    // --- C. Deduplication ---
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    // --- D. Text analysis ---
+    "text_lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    "text_quality" -> ((s, d) => TextOps.quality(s, d)),
+    "text_tokens" -> ((s, d) => TextOps.tokens(s, d)),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    "text_ngram_stats" -> ((s, d) => TextOps.ngramStats(s, d)),
     // --- E. Relational analytics ---
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Analytics.q3ShippingPriority(s, d)),
@@ -144,6 +158,79 @@ object SparkEntry {
          |       round(list_inner_product(e.embedding::DOUBLE[], q.v), 4) AS dot_q
          |FROM embeddings e, q WHERE e.vec_id < 100
          |ORDER BY e.vec_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS h,
+        |       count(*) OVER (PARTITION BY md5(text)) AS n_dups,
+        |       min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM w WHERE len(ws) >= 3
+        |)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |       round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 4) >= 0.8
+        |ORDER BY doc1, doc2""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 1, 2)),
+        |           i -> substr(text, i, 3))) AS gs
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |       round(len(list_intersect(a.gs, b.gs))::DOUBLE / len(list_distinct(a.gs || b.gs)), 4) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.gs, b.gs))::DOUBLE / len(list_distinct(a.gs || b.gs)), 4) >= 0.8
+        |ORDER BY doc1, doc2""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45
+        |ORDER BY vec1, vec2""".stripMargin,
+    "text_lang_id" ->
+      """SELECT lang,
+        |  CASE WHEN contains(' ' || text || ' ', ' the ') THEN 'en'
+        |       WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' die ') THEN 'de'
+        |       WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' les ') THEN 'fr'
+        |       WHEN contains(' ' || text || ' ', ' el ') OR contains(' ' || text || ' ', ' los ') THEN 'es'
+        |       ELSE 'und' END AS guess,
+        |  count(*) AS n
+        |FROM documents GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  length(text)::BIGINT AS n_chars_m,
+        |  len(string_split(text, ' '))::BIGINT AS n_words,
+        |  round(length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')), 4) AS avg_word_len,
+        |  round(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))::DOUBLE
+        |        / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |  round(ln(len(string_split(text, ' '))::DOUBLE + 1)
+        |        * (1 - round(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))::DOUBLE
+        |                     / len(string_split(text, ' ')), 4)), 4) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' '))::BIGINT AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+        |              (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_ngram_stats" ->
+      """WITH b AS (
+        |  SELECT unnest(list_distinct(list_transform(range(1, len(ws)),
+        |           i -> ws[i] || ' ' || ws[i+1]))) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents) WHERE len(ws) >= 2
+        |)
+        |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.hashes._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.D): language
+  * ID, quality scoring, token counting, fingerprinting, n-gram stats.
+  * All are single-scan, codegen-friendly column pipelines (no UDFs) —
+  * per-row cost is what matters at 100 TB, and every one of these stays
+  * inside WholeStageCodegen.
+  */
+object TextOps {
+
+  private def ws(c: Column): Column = split(c, " ")
+
+  /** D1: marker-word language heuristic, reported as a confusion matrix
+    * against the `lang` column (labeled_lang, guess, n).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = concat(lit(" "), col("text"), lit(" "))
+    val guess =
+      when(t.contains(" the "), "en")
+        .when(t.contains(" der ") || t.contains(" die "), "de")
+        .when(t.contains(" le ") || t.contains(" les "), "fr")
+        .when(t.contains(" el ") || t.contains(" los "), "es")
+        .otherwise("und")
+    Tables.documents(spark, dir)
+      .select(col("lang"), guess.as("guess"))
+      .groupBy("lang", "guess")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "guess")
+  }
+
+  /** D2: per-doc quality features + composite score. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val w = ws(col("text"))
+    val stop = filter(w, x => x.isin("the", "a"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars_m"),
+        size(w).cast("bigint").as("n_words"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(w), 4)
+          .as("avg_word_len"),
+        round(size(stop).cast("double") / size(w), 4).as("stopword_ratio"))
+      .withColumn("quality_score",
+        round(log(col("n_words").cast("double") + 1) * (lit(1.0) - col("stopword_ratio")), 4))
+      .orderBy("doc_id")
+  }
+
+  /** D3: token counts — whitespace words vs a BPE-ish `[a-z]+|[0-9]+`
+    * alpha/numeric segmentation.
+    */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(ws(col("text"))).cast("bigint").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("bigint").as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** D4: rolling-hash document fingerprint (custom codegen'd Catalyst
+    * expression `rolling_hash`; the oracle replays the identical
+    * recurrence with DuckDB list_reduce).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), rolling_hash(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** D5: corpus-level top word-bigrams (explode → one shuffle with
+    * map-side partial aggregation — the canonical n-gram count shape).
+    */
+  def ngramStats(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(explode(graft.dedup.Dedup.wordShingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topN)
+  }
+}

@@ -89,3 +89,35 @@ class CoreSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }
+
+class DedupTextSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.dedup.Dedup
+  import graft.text.TextOps
+
+  test("minhash LSH finds the known near-dup pairs with high jaccard") {
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+    assert(pairs.length >= 20) // 23 prefix dup groups seeded in the data
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("simhash near-dup pairs overlap minhash pairs") {
+    val mh = Dedup.minhashLsh(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashPairs(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.nonEmpty)
+    // simhash(hamming<=3) should be a high-precision subset-ish of real dups
+    assert(sh.intersect(mh).size.toDouble / sh.size >= 0.8)
+  }
+
+  test("rolling_hash fingerprint is deterministic and content-sensitive") {
+    val fp1 = TextOps.fingerprint(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp2 = TextOps.fingerprint(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp1 == fp2)
+    assert(fp1.values.toSet.size > 400) // near-unique over 500 docs
+  }
+
+  test("exact dedup marks every doc canonical in this corpus (no exact dups)") {
+    val d = Dedup.exact(spark, sf).collect()
+    assert(d.forall(r => r.getLong(2) == 1L && r.getLong(3) == r.getLong(0)))
+  }
+}
