@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ann.Ann
+import graft.ann.{Ann, IvfIndex, Lsh}
 import graft.dedup.Dedup
 import graft.operators.Analytics
-import graft.rbac.Rbac
+import graft.rbac.{Partitioned, Rbac}
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -27,6 +27,11 @@ object SparkEntry {
     "rbac_prefilter_topk" -> ((s, d) => Rbac.prefilterTopK(s, d, 1, 10)),
     "rbac_postfilter_topk" -> ((s, d) => Rbac.postfilterTopK(s, d, 1, 10)),
     "rbac_rls_topk" -> ((s, d) => Rbac.rlsTopK(s, d, 1, 10)),
+    "rbac_role_partition_topk" -> ((s, d) => Partitioned.rolePartitionTopK(s, d, 1, 10)),
+    "rbac_comb_partition_topk" -> ((s, d) => Partitioned.combPartitionTopK(s, d, 1, 10)),
+    "rbac_dynamic_partition_topk" -> ((s, d) => Partitioned.dynamicPartitionTopK(s, d, 1, 10)),
+    "rbac_batch_ground_truth" -> ((s, d) => Partitioned.batchGroundTruth(s, d, 8, 5)),
+    "rbac_space_report" -> ((s, d) => Partitioned.spaceReport(s, d)),
     "rbac_selectivity_stats" -> ((s, d) => Rbac.selectivityStats(s, d)),
     "rbac_permission_matrix" -> ((s, d) => Rbac.permissionMatrix(s, d)),
     "rbac_user_role_stats" -> ((s, d) => Rbac.userRoleStats(s, d)),
@@ -36,6 +41,11 @@ object SparkEntry {
     "ann_batch_topk" -> ((s, d) => Ann.batchTopK(s, d, nq = 8, k = 10)),
     "ann_range_search" -> ((s, d) => Ann.rangeSearch(s, d, tau = 1.3)),
     "vector_norms" -> ((s, d) => Ann.vectorNorms(s, d, n = 100)),
+    "ann_ivf_build" -> ((s, d) => IvfIndex.buildReport(s, d)),
+    "ann_ivf_search" -> ((s, d) => IvfIndex.search(s, d)),
+    "ann_lsh_search" -> ((s, d) => Lsh.search(s, d)),
+    "qdtree_partition_assign" -> ((s, d) => IvfIndex.qdTreeAssign(s, d)),
+    "qdtree_routed_topk" -> ((s, d) => IvfIndex.qdTreeSearch(s, d, 1)),
     // --- C. Deduplication ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -108,6 +118,72 @@ object SparkEntry {
          |FROM embeddings e JOIN acc ON e.vec_id = acc.document_id, q
          |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
          |LIMIT 10""".stripMargin,
+    "rbac_role_partition_topk" ->
+      s"""WITH $ur1, $perm, $acc, $qv
+         |SELECT e.vec_id AS block_id, e.vec_id AS document_id
+         |FROM embeddings e JOIN acc ON e.vec_id = acc.document_id, q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
+    "rbac_comb_partition_topk" ->
+      s"""WITH $ur1, $perm, $acc, $qv,
+         |comb AS (
+         |  SELECT document_id, string_agg(role_id, ',' ORDER BY role_id) AS comb_key
+         |  FROM perm GROUP BY document_id
+         |)
+         |SELECT e.vec_id AS block_id, e.vec_id AS document_id, c.comb_key
+         |FROM embeddings e
+         |JOIN acc ON e.vec_id = acc.document_id
+         |JOIN comb c ON c.document_id = e.vec_id, q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
+    "rbac_dynamic_partition_topk" ->
+      s"""WITH $ur1, $perm, $acc, $qv,
+         |comb AS (
+         |  SELECT document_id, string_agg(role_id, ',' ORDER BY role_id) AS comb_key
+         |  FROM perm GROUP BY document_id
+         |),
+         |layout AS (
+         |  SELECT document_id, ord(substr(md5(comb_key), 1, 1)) % 8 AS partition_id
+         |  FROM comb
+         |),
+         |role_partitions AS (
+         |  SELECT DISTINCT p.role_id, l.partition_id
+         |  FROM perm p JOIN layout l USING (document_id)
+         |),
+         |routed AS (SELECT DISTINCT partition_id FROM role_partitions JOIN ur USING (role_id))
+         |SELECT e.vec_id AS block_id, e.vec_id AS document_id, l.partition_id
+         |FROM embeddings e
+         |JOIN layout l ON l.document_id = e.vec_id
+         |JOIN routed r ON l.partition_id = r.partition_id
+         |JOIN acc ON e.vec_id = acc.document_id, q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
+    "rbac_batch_ground_truth" ->
+      s"""WITH $urAll, $perm,
+         |ud AS (
+         |  SELECT DISTINCT u.user_id, p.document_id
+         |  FROM ur_all u JOIN perm p USING (role_id) WHERE u.user_id <= 8
+         |),
+         |qs AS (SELECT vec_id + 1 AS user_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 8)
+         |SELECT ud.user_id, e.vec_id AS block_id
+         |FROM ud
+         |JOIN embeddings e ON e.vec_id = ud.document_id
+         |JOIN qs ON qs.user_id = ud.user_id
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY ud.user_id
+         |  ORDER BY list_distance(e.embedding::DOUBLE[], qs.v), e.vec_id) <= 5
+         |ORDER BY ud.user_id, block_id""".stripMargin,
+    "rbac_space_report" ->
+      s"""WITH $perm
+         |SELECT 'base' AS layout, count(*)::BIGINT AS n_rows,
+         |       (count(*) * 272)::BIGINT AS est_bytes FROM embeddings
+         |UNION ALL
+         |SELECT 'comb_partition', count(*)::BIGINT, (count(*) * 272)::BIGINT
+         |FROM (SELECT DISTINCT document_id FROM perm)
+         |UNION ALL
+         |SELECT 'role_partition', count(*)::BIGINT, (count(*) * 272)::BIGINT
+         |FROM embeddings e JOIN perm p ON e.vec_id = p.document_id
+         |ORDER BY layout""".stripMargin,
     "rbac_selectivity_stats" ->
       s"""WITH $urAll, $perm,
          |uracc AS (

@@ -1,0 +1,161 @@
+package graft.ann
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.vector._
+
+/** IVF (inverted-file) vector index, Spark-batch edition.
+  *
+  * Reference analogue: pgvector IVFFlat
+  * (/root/reference/controller/initialize_main_tables.py:83 `CREATE INDEX
+  * ... USING ivfflat`, probes set via `SET ivfflat.probes` in
+  * basic_benchmark/common_function.py:83).
+  *
+  * Spark-first re-expression: the index IS a partitioning.
+  *   - build: MLlib KMeans (seeded, deterministic) → tiny centroid table
+  *     (k × dim doubles, kilobytes — lives on the driver / broadcast);
+  *     every vector gets a `list_id` via a broadcast argmin join. At
+  *     100 TB the assignment is written once as list_id-partitioned
+  *     parquet, so a probe scan is partition pruning, not a filter.
+  *   - search: nprobe nearest centroids picked driver-side (centroid set
+  *     is tiny), then ONLY those lists are scanned — the scan cost drops
+  *     by ~nprobe/k, which is the entire point of IVF.
+  */
+object IvfIndex {
+
+  final case class Index(k: Int, centroids: Array[Array[Float]])
+
+  private val cache = TrieMap.empty[(String, Int), Index]
+
+  /** Fit (or fetch cached) KMeans centroids for the corpus. */
+  def getOrBuild(spark: SparkSession, dir: String, k: Int): Index =
+    cache.getOrElseUpdate((dir, k), {
+      val emb = Tables.embeddings(spark, dir)
+        .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("features").fit(emb)
+      Index(k, model.clusterCenters.map(_.toArray.map(_.toFloat)))
+    })
+
+  /** (vec_id, list_id, embedding): nearest-centroid assignment via a
+    * broadcast argmin — min(struct(dist, list_id)) needs no shuffle of
+    * the corpus, only of (vec_id → argmin) pairs.
+    */
+  def assignments(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val idx = getOrBuild(spark, dir, k)
+    val cents = spark.createDataFrame(
+      idx.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c) })
+      .toDF("list_id", "centroid")
+    Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .crossJoin(broadcast(cents))
+      .groupBy("vec_id")
+      .agg(min(struct(
+        l2_dist_sq(col("embedding"), col("centroid")).as("d"),
+        col("list_id"))).as("best"))
+      .select(col("vec_id"), col("best.list_id").as("list_id"))
+  }
+
+  /** B3: index-build report — list sizes (the reference's `CREATE INDEX`
+    * observable). Rows-only: k-means is engine-specific.
+    */
+  def buildReport(spark: SparkSession, dir: String, k: Int = 16): DataFrame =
+    assignments(spark, dir, k)
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("list_id")
+
+  /** nprobe nearest list ids for a query vector — computed driver-side
+    * over the (tiny) centroid set, exactly like pgvector's probe pick.
+    */
+  def probeLists(idx: Index, q: Array[Float], nprobe: Int): Seq[Int] = {
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    idx.centroids.zipWithIndex
+      .map { case (c, i) => (d2(c, q), i) }
+      .sortBy(identity).take(nprobe).map(_._2).toSeq
+  }
+
+  private def queryVec(spark: SparkSession, dir: String, qid: Long): Array[Float] =
+    Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  /** B4: IVF probe search — scan only the nprobe lists, exact re-rank
+    * inside them. Approximate overall (recall checked in ScalaTest).
+    */
+  def search(spark: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
+             topk: Int = 10, qid: Long = 0): DataFrame = {
+    val idx = getOrBuild(spark, dir, k)
+    val lists = probeLists(idx, queryVec(spark, dir, qid), nprobe)
+    val assigned = assignments(spark, dir, k)
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .join(assigned.filter(col("list_id").isin(lists: _*)), "vec_id")
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(
+        Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
+          .select(col("embedding").as("qvec"))))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(topk)
+      .select("vec_id", "list_id")
+  }
+
+  /** B9: qd-tree-style layout (HQI baseline, qd_tree.py:508): leaves
+    * are (k-means cell × role-bucket) — vector locality AND permission
+    * locality in one partitioning key. Output: per-leaf block counts.
+    */
+  def qdTreeAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val assigned = assignments(spark, dir, k)
+    val roleBucket = graft.rbac.Rbac.permissions(spark, dir)
+      .groupBy("document_id")
+      .agg(min("role_id").as("role_bucket"))
+    assigned
+      .join(roleBucket, assigned("vec_id") === roleBucket("document_id"), "left")
+      .na.fill(-1, Seq("role_bucket"))
+      .groupBy("list_id", "role_bucket")
+      .agg(count(lit(1)).as("n_blocks"))
+      .orderBy("list_id", "role_bucket")
+  }
+
+  /** B10: qd-tree routed search — prune BOTH by vector cell (nprobe)
+    * and by the user's role buckets before any distance math
+    * (qd_tree.py:644 find_relevant_partitions).
+    */
+  def qdTreeSearch(spark: SparkSession, dir: String, userId: Long, k: Int = 8,
+                   nprobe: Int = 4, topk: Int = 10): DataFrame = {
+    val idx = getOrBuild(spark, dir, k)
+    val lists = probeLists(idx, queryVec(spark, dir, 0), nprobe)
+    val userRoles = graft.rbac.Rbac.userRoles(spark, dir)
+      .filter(col("user_id") === userId).select("role_id")
+    val docBuckets = graft.rbac.Rbac.permissions(spark, dir)
+      .groupBy("document_id").agg(min("role_id").as("role_bucket"))
+    // leaves whose role_bucket belongs to one of the user's roles
+    val routedDocs = docBuckets
+      .join(broadcast(userRoles), docBuckets("role_bucket") === userRoles("role_id"), "left_semi")
+    val acc = graft.rbac.Rbac.accessibleDocs(spark, dir, userId)
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .join(assignments(spark, dir, k).filter(col("list_id").isin(lists: _*)), "vec_id")
+      .join(broadcast(routedDocs.select(col("document_id"))),
+        col("vec_id") === col("document_id"), "left_semi")
+      // exact permission check on the routed candidates (reference keeps
+      // the permission filter in the merge step, search.py:114)
+      .join(broadcast(acc.withColumnRenamed("document_id", "acc_doc")),
+        col("vec_id") === col("acc_doc"), "left_semi")
+      .crossJoin(broadcast(
+        Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"))))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(topk)
+      .select("vec_id", "list_id")
+  }
+}

@@ -1,0 +1,157 @@
+package graft.rbac
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.vector._
+import graft.operators.TopKAgg.topk_ids
+
+/** The reference's partitioned physical layouts, re-expressed as
+  * DataFrame partitionings (SURVEY.md §2 A5–A8, A10).
+  *
+  * The reference materializes real PostgreSQL tables per layout
+  * (controller/baseline/prefilter/initialize_partitions.py) and picks
+  * which tables to scan at query time. Here each layout is a
+  * deterministic `partition_id` derivation — at scale these become
+  * partitioned-parquet write keys and the query-time routing becomes
+  * file pruning; semantics below are identical either way.
+  */
+object Partitioned {
+
+  /** Role layout: a block lives in the partition of EVERY role granting
+    * its document (duplication factor = grants per doc), mirroring
+    * `documentblocks_role_%` tables (initialize_partitions.py:350).
+    */
+  def roleLayout(spark: SparkSession, dir: String): DataFrame =
+    Rbac.blocks(spark, dir)
+      .join(Rbac.permissions(spark, dir), "document_id")
+      .select(col("role_id").as("partition_role"), col("block_id"),
+        col("document_id"), col("embedding"))
+
+  /** A5: search the user's role partitions, merge, dedup by block,
+    * re-rank, top-k (prefilter_role.py). Same answer as prefilter —
+    * through the partitioned plan.
+    */
+  def rolePartitionTopK(spark: SparkSession, dir: String, userId: Long, k: Int): DataFrame = {
+    val ur = Rbac.userRoles(spark, dir).filter(col("user_id") === userId)
+      .select(col("role_id").as("partition_role"))
+    roleLayout(spark, dir)
+      .join(broadcast(ur), Seq("partition_role"), "left_semi") // partition prune
+      .select("block_id", "document_id", "embedding").distinct() // merge-dedup
+      .crossJoin(broadcast(Rbac.queryVector(spark, dir)))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("block_id"))
+      .limit(k)
+      .select("block_id", "document_id")
+  }
+
+  /** Combination key of a document: its full sorted granting-role set
+    * (initialize_combination_role_partition_tables.py) — each doc lives
+    * in exactly ONE combination partition (no duplication).
+    */
+  def combKeys(spark: SparkSession, dir: String): DataFrame =
+    Rbac.permissions(spark, dir)
+      .groupBy("document_id")
+      .agg(concat_ws(",", sort_array(collect_set(col("role_id")))).as("comb_key"))
+
+  /** A6: combination-partition search: route to the partitions whose
+    * role-set intersects the user's roles, scan only those, top-k.
+    */
+  def combPartitionTopK(spark: SparkSession, dir: String, userId: Long, k: Int): DataFrame = {
+    val userRoleSet = Rbac.userRoles(spark, dir)
+      .filter(col("user_id") === userId).select("role_id")
+    // partitions (comb keys) relevant to the user = combs containing ≥1 user role
+    val relevantCombs = Rbac.permissions(spark, dir)
+      .join(broadcast(userRoleSet), "role_id")
+      .select("document_id").distinct()
+      .join(combKeys(spark, dir), "document_id")
+      .select("comb_key").distinct()
+    Rbac.blocks(spark, dir)
+      .join(combKeys(spark, dir), "document_id") // assign comb partition
+      .join(broadcast(relevantCombs), Seq("comb_key"), "left_semi") // prune
+      .crossJoin(broadcast(Rbac.queryVector(spark, dir)))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("block_id"))
+      .limit(k)
+      .select("block_id", "document_id", "comb_key")
+  }
+
+  /** Dynamic layout: comb-key-hashed partition id, engine-portable
+    * (ascii of first md5 hex char, mod nParts — reproducible in any
+    * SQL engine; stands in for the reference's cost-model assignment,
+    * hnsw/AnonySys_dynamic_partition.py).
+    */
+  def dynamicLayout(spark: SparkSession, dir: String, nParts: Int): DataFrame =
+    combKeys(spark, dir)
+      .withColumn("partition_id",
+        ascii(substring(md5(col("comb_key")), 1, 1)) % nParts)
+
+  /** A7: dynamic-partition search (search.py:31): user roles →
+    * RolePartitions routing table → scan routed partitions → merge with
+    * permission post-filter (merge_results_with_filter, search.py:114).
+    */
+  def dynamicPartitionTopK(spark: SparkSession, dir: String, userId: Long, k: Int,
+                           nParts: Int = 8): DataFrame = {
+    val layout = dynamicLayout(spark, dir, nParts)
+    val ur = Rbac.userRoles(spark, dir).filter(col("user_id") === userId).select("role_id")
+    // RolePartitions: role → partitions holding ≥1 doc granted to it
+    val rolePartitions = Rbac.permissions(spark, dir)
+      .join(layout, "document_id")
+      .select("role_id", "partition_id").distinct()
+    val routed = rolePartitions.join(broadcast(ur), "role_id")
+      .select("partition_id").distinct()
+    val acc = Rbac.accessibleDocs(spark, dir, userId)
+    Rbac.blocks(spark, dir)
+      .join(layout.select("document_id", "partition_id"), "document_id")
+      .join(broadcast(routed), Seq("partition_id"), "left_semi") // routed scan
+      .crossJoin(broadcast(Rbac.queryVector(spark, dir)))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      // permission filter at merge time — routed partitions may hold
+      // blocks the user cannot read
+      .join(broadcast(acc), Seq("document_id"), "left_semi")
+      .orderBy(col("dist"), col("block_id"))
+      .limit(k)
+      .select("block_id", "document_id", "partition_id")
+  }
+
+  /** A8: batch ground truth (compute_ground_truth.py): exact top-k per
+    * (user u, query vector u-1) pair for users 1..nUsers, in ONE
+    * distributed pass — queries and grants broadcast, corpus scanned
+    * once, per-user bounded heaps, shuffle = nUsers × k rows.
+    */
+  def batchGroundTruth(spark: SparkSession, dir: String, nUsers: Int, k: Int): DataFrame = {
+    val users = Rbac.userRoles(spark, dir)
+      .filter(col("user_id") <= nUsers)
+    val userDocs = users.join(Rbac.permissions(spark, dir), "role_id")
+      .select("user_id", "document_id").distinct()
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < nUsers)
+      .select((col("vec_id") + 1).as("user_id"), col("embedding").as("qvec"))
+    Rbac.blocks(spark, dir)
+      .join(userDocs, "document_id") // expand: block × users allowed to see it
+      .join(broadcast(queries), "user_id")
+      .groupBy("user_id")
+      .agg(topk_ids(l2_dist(col("embedding"), col("qvec")), col("block_id"), k).as("ids"))
+      .select(col("user_id"), explode(col("ids")).as("block_id"))
+      .orderBy("user_id", "block_id")
+  }
+
+  /** A10: storage accounting per layout (space_calculate.py): row count
+    * and estimated bytes (id/doc overhead + 4 bytes per dim), showing
+    * the duplication cost of each physical design.
+    */
+  def spaceReport(spark: SparkSession, dir: String): DataFrame = {
+    val bytesPerBlock = lit(8L + 8L + 4L * 64L)
+    val base = Rbac.blocks(spark, dir).select("block_id")
+      .agg(count(lit(1)).as("n_rows")).withColumn("layout", lit("base"))
+    val role = roleLayout(spark, dir).select("block_id")
+      .agg(count(lit(1)).as("n_rows")).withColumn("layout", lit("role_partition"))
+    val comb = combKeys(spark, dir)
+      .agg(count(lit(1)).as("n_rows")).withColumn("layout", lit("comb_partition"))
+    base.union(role).union(comb)
+      .select(col("layout"), col("n_rows"),
+        (col("n_rows") * bytesPerBlock).as("est_bytes"))
+      .orderBy("layout")
+  }
+}

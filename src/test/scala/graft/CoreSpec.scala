@@ -121,3 +121,50 @@ class DedupTextSpec extends AnyFunSuite {
     assert(d.forall(r => r.getLong(2) == 1L && r.getLong(3) == r.getLong(0)))
   }
 }
+
+class AnnIndexSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.ann.{Ann, IvfIndex, Lsh}
+  import graft.rbac.Partitioned
+
+  test("IVF with nprobe = k equals exact brute force (recall 1.0)") {
+    val exact = Ann.bruteForceL2TopK(spark, sf, 10).collect().map(_.getLong(0)).toSeq
+    val ivf = IvfIndex.search(spark, sf, k = 16, nprobe = 16, topk = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf == exact)
+  }
+
+  test("IVF probe search has reasonable recall at nprobe=4/16") {
+    val exact = Ann.bruteForceL2TopK(spark, sf, 10).collect().map(_.getLong(0)).toSet
+    val ivf = IvfIndex.search(spark, sf, k = 16, nprobe = 4, topk = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.intersect(exact).size >= 2, s"recall too low: ${ivf.intersect(exact).size}/10")
+  }
+
+  test("IVF build assigns every vector to exactly one list") {
+    val rep = IvfIndex.buildReport(spark, sf).collect()
+    assert(rep.map(_.getLong(1)).sum == 500L)
+  }
+
+  test("LSH multiprobe search overlaps exact cosine topk") {
+    val exact = Ann.bruteForceCosineTopK(spark, sf, 10).collect().map(_.getLong(0)).toSet
+    val lsh = Lsh.search(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(lsh.intersect(exact).nonEmpty)
+  }
+
+  test("role/comb/dynamic partition searches all agree with prefilter") {
+    import graft.rbac.Rbac
+    val expect = Rbac.prefilterTopK(spark, sf, 1, 10).collect().map(_.getLong(0)).toSeq
+    val role = Partitioned.rolePartitionTopK(spark, sf, 1, 10).collect().map(_.getLong(0)).toSeq
+    val comb = Partitioned.combPartitionTopK(spark, sf, 1, 10).collect().map(_.getLong(0)).toSeq
+    val dyn = Partitioned.dynamicPartitionTopK(spark, sf, 1, 10).collect().map(_.getLong(0)).toSeq
+    assert(role == expect && comb == expect && dyn == expect)
+  }
+
+  test("qd-tree routed search returns only accessible blocks") {
+    import graft.rbac.Rbac
+    val acc = Rbac.accessibleDocs(spark, sf, 1).collect().map(_.getLong(0)).toSet
+    val got = IvfIndex.qdTreeSearch(spark, sf, 1).collect().map(_.getLong(0))
+    assert(got.nonEmpty && got.forall(acc.contains))
+  }
+}
