@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ann.{Ann, IvfIndex, Lsh}
 import graft.dedup.Dedup
 import graft.operators.Analytics
-import graft.rbac.{Partitioned, Rbac}
+import graft.multimodal.Multimodal
+import graft.rbac.{Maintenance, Partitioned, Rbac}
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -32,6 +33,9 @@ object SparkEntry {
     "rbac_dynamic_partition_topk" -> ((s, d) => Partitioned.dynamicPartitionTopK(s, d, 1, 10)),
     "rbac_batch_ground_truth" -> ((s, d) => Partitioned.batchGroundTruth(s, d, 8, 5)),
     "rbac_space_report" -> ((s, d) => Partitioned.spaceReport(s, d)),
+    "rbac_delete_topk" -> ((s, d) => Maintenance.deleteAwareTopK(s, d, 1, 10)),
+    "rbac_partition_refine" -> ((s, d) => Maintenance.partitionRefine(s, d)),
+    "rbac_workload_gen" -> ((s, d) => Maintenance.workloadGen(s, d)),
     "rbac_selectivity_stats" -> ((s, d) => Rbac.selectivityStats(s, d)),
     "rbac_permission_matrix" -> ((s, d) => Rbac.permissionMatrix(s, d)),
     "rbac_user_role_stats" -> ((s, d) => Rbac.userRoleStats(s, d)),
@@ -46,6 +50,9 @@ object SparkEntry {
     "ann_lsh_search" -> ((s, d) => Lsh.search(s, d)),
     "qdtree_partition_assign" -> ((s, d) => IvfIndex.qdTreeAssign(s, d)),
     "qdtree_routed_topk" -> ((s, d) => IvfIndex.qdTreeSearch(s, d, 1)),
+    // --- F. Multimodal plumbing ---
+    "mm_binary_features" -> ((s, d) => Multimodal.features(s, d).toDF().orderBy("media_id")),
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
     // --- C. Deduplication ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -184,6 +191,39 @@ object SparkEntry {
          |SELECT 'role_partition', count(*)::BIGINT, (count(*) * 272)::BIGINT
          |FROM embeddings e JOIN perm p ON e.vec_id = p.document_id
          |ORDER BY layout""".stripMargin,
+    "rbac_delete_topk" ->
+      s"""WITH $ur1, $perm, $acc, $qv
+         |SELECT e.vec_id AS block_id, e.vec_id AS document_id
+         |FROM embeddings e JOIN acc ON e.vec_id = acc.document_id, q
+         |WHERE e.vec_id % 17 <> 0
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
+    "rbac_partition_refine" ->
+      s"""WITH $perm,
+         |comb AS (
+         |  SELECT document_id, string_agg(role_id, ',' ORDER BY role_id) AS comb_key
+         |  FROM perm GROUP BY document_id
+         |),
+         |layout AS (
+         |  SELECT document_id,
+         |         ord(substr(md5(comb_key), 1, 1)) % 8 AS partition_id,
+         |         ord(substr(md5(comb_key), 2, 1)) % 4 AS sub_id
+         |  FROM comb
+         |),
+         |wl AS (
+         |  SELECT e.vec_id, l.partition_id, l.sub_id,
+         |         count(*) OVER (PARTITION BY l.partition_id) AS load
+         |  FROM embeddings e JOIN layout l ON e.vec_id = l.document_id
+         |)
+         |SELECT CASE WHEN load > 80 THEN partition_id * 100 + sub_id
+         |            ELSE partition_id END AS refined_pid,
+         |       count(*) AS n_blocks
+         |FROM wl GROUP BY refined_pid ORDER BY refined_pid""".stripMargin,
+    "rbac_workload_gen" ->
+      """SELECT c_custkey AS query_id, c_custkey AS user_id,
+        |       (c_custkey * 7) % (SELECT count(*) FROM embeddings) AS vec_id,
+        |       10 AS topk
+        |FROM customer WHERE c_custkey <= 20 ORDER BY query_id""".stripMargin,
     "rbac_selectivity_stats" ->
       s"""WITH $urAll, $perm,
          |uracc AS (

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming surface (SURVEY.md §2.G): the events table as an
+  * unbounded stream. The reference has no streaming path (Postgres,
+  * point queries); these are the pipeline operators a production ingest
+  * of documentblocks/events would need, expressed with watermarks +
+  * windows and typed stateful processing.
+  *
+  * Batch mirrors of both queries (Analytics.eventsWindowAgg /
+  * Analytics.sessionize) are oracle-checked; the streaming versions are
+  * asserted against those in ScalaTest via the memory sink.
+  */
+object EventStream {
+
+  /** Parquet-file schema of events, post nanos→long read (see
+    * Tables.events).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** FileStreamSource monitors a DIRECTORY (new files appear → new
+    * micro-batches); testdata ships a single file, so stage it into a
+    * stream-input dir once (in production the ingest dir exists anyway).
+    */
+  private def stageDir(dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val d = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_stream_" + Integer.toHexString(dir.hashCode))
+    if (!java.nio.file.Files.exists(d.resolve("events.parquet"))) {
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(src, d.resolve("events.parquet"))
+    }
+    d.toString
+  }
+
+  /** Unbounded read of the events parquet as a stream. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(stageDir(dir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** G1: tumbling 1-hour windowed aggregates with a 2-hour watermark —
+    * the streaming mirror of events_window_agg. State is bounded by the
+    * watermark; late events beyond 2h are dropped, exactly the contract
+    * a 100 TB/day ingest needs.
+    */
+  def windowedAgg(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double, seq: Long)
+  case class SessionOut(user_id: Long, session_seq: Long, n_events: Long, sum_value: Double)
+
+  /** G2: stateful sessionization via flatMapGroupsWithState — 30-minute
+    * inactivity gap, one state object per user (bounded, O(users) state,
+    * emitted and cleared as sessions close).
+    */
+  def sessionize(spark: SparkSession, dir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    val events = readEvents(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+
+    def fn(userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = List.empty[SessionOut]
+      var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0, 0L))
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (st.n == 0L || t - st.lastTs > 30 * 60 * 1000L) {
+          if (st.n > 0) out ::= SessionOut(userId, st.seq, st.n, st.sum)
+          st = SessionState(t, t, 1L, e.value, st.seq + 1)
+        } else {
+          st = st.copy(lastTs = t, n = st.n + 1, sum = st.sum + e.value)
+        }
+      }
+      state.update(st)
+      out.reverseIterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Run a streaming DF to a memory sink until input is drained;
+    * returns the sink table name.
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -168,3 +168,49 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(acc.contains))
   }
 }
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.multimodal.Multimodal
+  import graft.operators.Analytics
+  import graft.streaming.EventStream
+
+  test("streaming windowed agg matches the batch mirror") {
+    val q = EventStream.runToMemory(spark, EventStream.windowedAgg(spark, sf), "g1win")
+    val streamed = spark.sql(
+      "SELECT window_start, event_type, n_events, sum_value FROM g1win")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Analytics.eventsWindowAgg(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // watermark may hold back the final window in append mode; streamed ⊆ batch and mostly complete
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    assert(streamed.size >= batch.size - 30)
+  }
+
+  test("stateful sessionizer emits closed sessions consistent with batch sessionize") {
+    val q = EventStream.runToMemory(spark, EventStream.sessionize(spark, sf).toDF(), "g2sess")
+    val streamed = spark.sql("SELECT user_id, session_seq, n_events FROM g2sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Analytics.sessionize(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+  }
+
+  test("multimodal features are deterministic with real binary plumbing") {
+    val f1 = Multimodal.features(spark, sf).collect().map(f => f.media_id -> f).toMap
+    val f2 = Multimodal.features(spark, sf).collect().map(f => f.media_id -> f).toMap
+    assert(f1.size == 500)
+    assert(f1.keys.forall(k => f1(k) == f2(k)))
+    assert(f1.values.forall(f => f.n_bytes > 0 && f.width >= 16 && f.mean_intensity >= 0))
+  }
+
+  test("frame sampling emits stride-spaced indices per video") {
+    val rows = Multimodal.frameSamplePlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byMedia = rows.groupBy(_.getLong(0))
+    byMedia.values.foreach { g =>
+      val idx = g.sortBy(_.getInt(2)).map(_.getInt(3))
+      assert(idx.zipWithIndex.forall { case (f, i) => f == i * 10 })
+    }
+  }
+}
