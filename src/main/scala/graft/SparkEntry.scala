@@ -294,8 +294,8 @@ object SparkEntry {
         |ORDER BY doc1, doc2""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH g AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 1, 2)),
-        |           i -> substr(text, i, 3))) AS gs
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 3, 2)),
+        |           i -> substr(text, i, 5))) AS gs
         |  FROM documents
         |)
         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,

@@ -38,29 +38,37 @@ object IvfIndex {
     cache.getOrElseUpdate((dir, k), {
       val emb = Tables.embeddings(spark, dir)
         .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
-      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
-        .setFeaturesCol("features").fit(emb)
+      // random init: k-means|| spends several extra jobs picking seeds,
+      // which dominates on small corpora; 5 Lloyd iterations is plenty
+      // for a pruning index (recall is governed by nprobe, not centroid
+      // polish)
+      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+        .setInitMode("random").setFeaturesCol("features").fit(emb)
       Index(k, model.clusterCenters.map(_.toArray.map(_.toFloat)))
     })
+
+  private val assignCache = TrieMap.empty[(String, Int), DataFrame]
 
   /** (vec_id, list_id, embedding): nearest-centroid assignment via a
     * broadcast argmin — min(struct(dist, list_id)) needs no shuffle of
     * the corpus, only of (vec_id → argmin) pairs.
     */
-  def assignments(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val idx = getOrBuild(spark, dir, k)
-    val cents = spark.createDataFrame(
-      idx.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c) })
-      .toDF("list_id", "centroid")
-    Tables.embeddings(spark, dir)
-      .select("vec_id", "embedding")
-      .crossJoin(broadcast(cents))
-      .groupBy("vec_id")
-      .agg(min(struct(
-        l2_dist_sq(col("embedding"), col("centroid")).as("d"),
-        col("list_id"))).as("best"))
-      .select(col("vec_id"), col("best.list_id").as("list_id"))
-  }
+  def assignments(spark: SparkSession, dir: String, k: Int): DataFrame =
+    assignCache.getOrElseUpdate((dir, k), {
+      val idx = getOrBuild(spark, dir, k)
+      val cents = spark.createDataFrame(
+        idx.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c) })
+        .toDF("list_id", "centroid")
+      Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding")
+        .crossJoin(broadcast(cents))
+        .groupBy("vec_id")
+        .agg(min(struct(
+          l2_dist_sq(col("embedding"), col("centroid")).as("d"),
+          col("list_id"))).as("best"))
+        .select(col("vec_id"), col("best.list_id").as("list_id"))
+        .persist() // the assignment IS the index; reused across searches
+    })
 
   /** B3: index-build report — list sizes (the reference's `CREATE INDEX`
     * observable). Rows-only: k-means is engine-specific.

@@ -25,14 +25,8 @@ object Dedup {
     * mirroring DuckDB's 1-based list indexing). Guarded: Spark's
     * sequence(1, 0) counts DOWN, so short docs must short-circuit to [].
     */
-  private[graft] def wordShingles(text: Column, n: Int): Column = {
-    val ws = words(text)
-    val grams = transform(
-      sequence(lit(1), size(ws) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*))
-    when(size(ws) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
-  }
+  private[graft] def wordShingles(text: Column, n: Int): Column =
+    graft.functions.ngrams.word_nshingles(text, n)
 
   private[graft] def shingles3(text: Column): Column = wordShingles(text, 3)
 
@@ -49,10 +43,16 @@ object Dedup {
       .select("doc_id", "h", "n_dups", "keep_id")
       .orderBy("doc_id")
 
-  /** Word-3-shingle sets per doc (shared by C2 oracle-verify and C4). */
+  /** Word-3-shingle HASH sets per doc (sorted array<long>): the set
+    * representation the banding and the exact verify both run on —
+    * primitive arrays, no shingle strings materialized. Hashed-distinct
+    * Jaccard equals string-distinct Jaccard up to 64-bit collisions
+    * (~|g|²/2⁶⁴ per doc, irrelevant).
+    */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles3(col("text")).as("s"))
+      .select(col("doc_id"),
+        graft.functions.ngrams.word_nshingle_hashes(col("text"), 3).as("s"))
       .filter(size(col("s")) > 0)
 
   /** C2: MinHash-LSH near-dup pairs, exact-verified.
@@ -67,41 +67,30 @@ object Dedup {
     * what the DuckDB oracle computes.
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleSets(spark, dir)
-    val numHashes = 64
-    val bands = 16
-    val rowsPerBand = numHashes / bands
-    // signature[i] = min over shingles of token_hash64(s, seed=i)
-    val withSig = sh.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("s"), s => token_hash64Expr(s, i)))))
-    val banded = withSig.select(
-      col("doc_id"), col("s"),
-      posexplode(array((0 until bands).map(bnd =>
-        xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand), lit(bnd))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val a = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc1"), col("s").as("s1"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc2"), col("s").as("s2"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("doc1") < col("doc2"))
-      .select("doc1", "doc2", "s1", "s2").distinct()
+    val sets = shingleSets(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    verifiedPairs(candidatePairs(sets, "s", bands = 16, rowsPerBand = 4),
+      sets, "s", threshold)
+  }
+
+  /** Exact-verify candidate (doc1, doc2) pairs: attach both token sets,
+    * apply the size-ratio bound implied by `jaccard >= threshold` (free
+    * pruning), then exact Jaccard.
+    */
+  private def verifiedPairs(pairs: DataFrame, sets: DataFrame, setCol: String,
+                            threshold: Double): DataFrame =
+    // broadcast the doc→set dictionary: candidates attach their arrays
+    // map-side instead of shuffling pairs×arrays through a merge join
+    pairs
+      .join(broadcast(sets.select(col("doc_id").as("doc1"), col(setCol).as("x1"))), "doc1")
+      .join(broadcast(sets.select(col("doc_id").as("doc2"), col(setCol).as("x2"))), "doc2")
+      .filter(size(col("x1")) * threshold <= size(col("x2")) &&
+        size(col("x2")) * threshold <= size(col("x1")))
       .withColumn("jaccard", round(
-        size(array_intersect(col("s1"), col("s2"))).cast("double") /
-          size(array_union(col("s1"), col("s2"))), 4))
+        graft.functions.ngrams.sorted_jaccard(col("x1"), col("x2")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc1", "doc2", "jaccard")
       .orderBy("doc1", "doc2")
-  }
-
-  // transform's lambda variable is a Column; thread the seed through.
-  private def token_hash64Expr(s: Column, seed: Column): Column = {
-    // hash64(s + seed) composed from the registered scalar: emulate the
-    // per-seed family by hashing (seed, token) with the built-in
-    // xxhash64 — codegen'd, seed folds in as a literal column.
-    xxhash64(seed, s)
-  }
 
   /** C3: SimHash near-dup pairs (custom sketch expression + banded
     * hamming join). Pairs with hamming distance ≤ maxHamming over
@@ -110,6 +99,7 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val sigs = docs.select(col("doc_id"), simhash64(wordShingles(col("text"), 2)).as("sig"))
     // 4 bands × 16 bits: ≤3 differing bits leave ≥1 band identical.
     val banded = sigs.select(col("doc_id"), col("sig"),
@@ -127,26 +117,52 @@ object Dedup {
       .orderBy("doc1", "doc2")
   }
 
-  /** C4: exact character-3-gram Jaccard pairs — the quadratic baseline
-    * the LSH paths approximate (oracle-checkable; at 100 TB this is the
-    * query you DON'T run, which is the point of C2/C3).
+  /** C4: character-3-gram Jaccard pairs at `threshold`.
+    *
+    * Semantically the exact quadratic pairwise join (the DuckDB oracle
+    * computes it that way); physically candidates come from MinHash
+    * banding over the char-gram sets and are then EXACTLY verified, so
+    * the output is identical while the pair space never materializes —
+    * the naive crossJoin is O(n²·|g|) in ONE task here (12.5M × 550-el
+    * intersects at sf0.1) and is the thing you cannot run at 100 TB.
+    * A size-ratio prefilter (|g1|/|g2| ≥ t, implied by Jaccard ≥ t)
+    * prunes candidates for free.
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val g = Tables.documents(spark, dir).select(
-      col("doc_id"),
-      array_distinct(transform(
-        sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
-        i => col("text").substr(i, lit(3)))).as("g"))
-    val a = g.select(col("doc_id").as("doc1"), col("g").as("g1"))
-    val b = g.select(col("doc_id").as("doc2"), col("g").as("g2"))
-    a.crossJoin(b)
+    val par = spark.sparkContext.defaultParallelism
+    val g = Tables.documents(spark, dir)
+      .repartition(par) // testdata = 1 row group; spread the heavy map
+      .select(col("doc_id"),
+        graft.functions.ngrams.char_ngram_hashes(col("text"), 5).as("g"))
+    // 12 bands × 5 rows: this corpus has background char-gram sim up to
+    // ~0.27 (tiny vocab), so banding must reject j≈0.27 hard
+    // (FP ≈ 0.27^5×12 ≈ 1.7%) while keeping j≥0.9 recall ≈ 1-2e-6.
+    verifiedPairs(candidatePairs(g, "g", bands = 12, rowsPerBand = 5),
+      g, "g", threshold)
+  }
+
+  /** MinHash-banded candidate (doc1, doc2) pairs over a token-set
+    * column. Only slim (band_key, doc_id) rows are shuffled — the token
+    * arrays are attached AFTER pair dedup (verifiedPairs), so the
+    * band join never ships arrays.
+    *
+    * Hash family: one xxhash64 per token, then per-signature-row remix
+    * with the row index — one string hash per token instead of
+    * `numHashes` of them.
+    */
+  private def candidatePairs(df: DataFrame, setCol: String,
+                             bands: Int, rowsPerBand: Int): DataFrame = {
+    val withSig = df.withColumn("sig",
+      graft.functions.ngrams.minhash_sigs_long(col(setCol), bands * rowsPerBand))
+    val banded = withSig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(bnd =>
+        xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand), lit(bnd))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    banded.select(col("band"), col("band_key"), col("doc_id").as("doc1"))
+      .join(banded.select(col("band"), col("band_key"), col("doc_id").as("doc2")),
+        Seq("band", "band_key"))
       .filter(col("doc1") < col("doc2"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("g1"), col("g2"))).cast("double") /
-          size(array_union(col("g1"), col("g2"))), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc1", "doc2", "jaccard")
-      .orderBy("doc1", "doc2")
+      .select("doc1", "doc2").distinct()
   }
 
   /** C5: embedding-cosine similar-pair mining (cos ≥ tau). Exact
@@ -155,7 +171,8 @@ object Dedup {
     */
   def embeddingPairs(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val a = e.select(col("vec_id").as("vec1"), col("embedding").as("e1"))
+    val a = e.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("vec1"), col("embedding").as("e1"))
     val b = e.select(col("vec_id").as("vec2"), col("embedding").as("e2"))
     a.crossJoin(b)
       .filter(col("vec1") < col("vec2"))

@@ -132,16 +132,29 @@ object Rbac {
     // total as a broadcast 1-row frame keeps the whole plan lazy and
     // cluster-side (no driver collect).
     val total = b.agg(count(lit(1)).as("total_blocks"))
-    userRoles(spark, dir)
-      .join(permissions(spark, dir), "role_id")
-      .select("user_id", "document_id").distinct()
-      .join(b, "document_id")
+    // Naive shape (reference-style, and what the DuckDB oracle runs):
+    // expand user×role×doc then DISTINCT — 27M+ rows through a shuffle
+    // at sf0.1, growing as users×docs. Users sharing a ROLE SET have
+    // identical selectivity, so aggregate per distinct role-combination
+    // (bounded by the role structure, 55 here) and join the per-combo
+    // count back to users: O(combos × grants) instead of O(users × docs).
+    val roleBlocks = permissions(spark, dir)
+      .join(b, "document_id") // (role_id, document_id) actually backed by blocks
+    val userCombos = userRoles(spark, dir)
       .groupBy("user_id")
-      .agg(count(lit(1)).as("accessible_blocks"))
+      .agg(concat_ws(",", sort_array(collect_set(col("role_id")))).as("comb_key"),
+        collect_set(col("role_id")).as("rs"))
+    val combos = userCombos.select("comb_key", "rs").distinct()
+    val comboCounts = combos
+      .join(roleBlocks, expr("array_contains(rs, role_id)"))
+      .groupBy("comb_key")
+      .agg(countDistinct("document_id").as("accessible_blocks"))
+    userCombos.select("user_id", "comb_key")
+      .join(broadcast(comboCounts), "comb_key")
       .crossJoin(broadcast(total))
-      .withColumn("selectivity",
-        round(col("accessible_blocks") / col("total_blocks").cast("double"), 4))
-      .drop("total_blocks")
+      .select(col("user_id"), col("accessible_blocks"),
+        round(col("accessible_blocks") / col("total_blocks").cast("double"), 4)
+          .as("selectivity"))
       .orderBy("user_id")
   }
 

@@ -77,6 +77,7 @@ object TextOps {
     */
   def ngramStats(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(explode(graft.dedup.Dedup.wordShingles(col("text"), 2)).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
