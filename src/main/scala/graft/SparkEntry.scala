@@ -72,6 +72,8 @@ object SparkEntry {
     "q_top_suppliers" -> ((s, d) => Analytics.topSuppliers(s, d)),
     "q_order_priority" -> ((s, d) => Analytics.orderPriority(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+    "events_quantiles" -> ((s, d) => Analytics.valueQuantiles(s, d)),
+    "q_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
     "events_window_agg" -> ((s, d) => Analytics.eventsWindowAgg(s, d)),
   )
 
@@ -413,6 +415,18 @@ object SparkEntry {
         |       round(sum(value), 4) AS sum_value
         |FROM z GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "events_quantiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90,
+        |       round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_revenue_rollup" ->
+      """SELECT c.c_nationkey, c.c_mktsegment,
+        |       round(sum(o.o_totalprice), 4) AS total, count(*) AS n_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY ROLLUP (c.c_nationkey, c.c_mktsegment)
+        |ORDER BY c_nationkey ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
     "events_window_agg" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value

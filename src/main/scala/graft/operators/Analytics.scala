@@ -121,6 +121,33 @@ object Analytics {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Exact quantiles of order value per event type (percentile with
+    * linear interpolation — matches DuckDB quantile_cont).
+    */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  /** Revenue ROLLUP over (nation, market segment) — multi-level
+    * aggregate surface (grouping sets).
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey", "c_mktsegment")
+    val ord = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .rollup(expr("c_nationkey"), expr("c_mktsegment"))
+      .agg(round(sum("o_totalprice"), 4).as("total"), count(lit(1)).as("n_orders"))
+      // expr() makes fresh unresolved refs — Dataset-tagged columns trip
+      // DetectAmbiguousSelfJoin under rollup; asc = NULLS FIRST, matching
+      // the oracle
+      .orderBy(expr("c_nationkey"), expr("c_mktsegment"))
+  }
+
   /** Tumbling 1-hour window aggregates over events — the batch mirror of
     * the streaming query (graft.streaming), oracle-checkable.
     */

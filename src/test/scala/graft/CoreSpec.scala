@@ -214,3 +214,38 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 }
+
+class ExtensionsSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("functions are SQL-callable after install") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT l2_dist(array(1.0F,2.0F), array(1.0F,0.0F)) AS d,
+        |       cosine_sim(array(1.0F,0.0F), array(1.0F,0.0F)) AS c,
+        |       rolling_hash('abc') AS rh,
+        |       sorted_jaccard(array(1L,2L,3L), array(2L,3L,4L)) AS j
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getLong(2) == (((97L*31+98)%2147483647)*31+99)%2147483647)
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
+  }
+
+  test("topk10_ids works in SQL group-by") {
+    GraftExtensions.install(spark)
+    spark.range(100).selectExpr("id % 3 AS g", "cast(id AS double) AS s", "id")
+      .createOrReplaceTempView("t")
+    val rows = spark.sql("SELECT g, topk10_ids(s, id) AS ids FROM t GROUP BY g").collect()
+    assert(rows.length == 3 && rows.forall(_.getSeq[Long](1).length == 10))
+  }
+
+  test("withExtensions builder path registers functions") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    // note: getOrCreate may return the existing session; install covers that
+    GraftExtensions.install(s2)
+    assert(s2.sql("SELECT vec_norm(array(3.0F,4.0F))").head().getDouble(0) == 5.0)
+  }
+}
