@@ -73,6 +73,8 @@ object SparkEntry {
     "q_order_priority" -> ((s, d) => Analytics.orderPriority(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "events_quantiles" -> ((s, d) => Analytics.valueQuantiles(s, d)),
+    "q7_nation_volume" -> ((s, d) => Analytics.q7NationVolume(s, d)),
+    "q19_discounted_revenue" -> ((s, d) => Analytics.q19DiscountedRevenue(s, d)),
     "q_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
     "events_window_agg" -> ((s, d) => Analytics.eventsWindowAgg(s, d)),
   )
@@ -415,6 +417,28 @@ object SparkEntry {
         |       round(sum(value), 4) AS sum_value
         |FROM z GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l.l_shipdate) AS l_year,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name AND year(l.l_shipdate) = 1997
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "events_quantiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS p50,

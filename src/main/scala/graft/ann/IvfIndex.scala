@@ -56,17 +56,12 @@ object IvfIndex {
   def assignments(spark: SparkSession, dir: String, k: Int): DataFrame =
     assignCache.getOrElseUpdate((dir, k), {
       val idx = getOrBuild(spark, dir, k)
-      val cents = spark.createDataFrame(
-        idx.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c) })
-        .toDF("list_id", "centroid")
+      // nearest_centroid bakes the (tiny) centroid matrix into the
+      // expression: one argmin pass inside the scan stage — no join, no
+      // per-vector aggregation, no shuffle at all.
       Tables.embeddings(spark, dir)
-        .select("vec_id", "embedding")
-        .crossJoin(broadcast(cents))
-        .groupBy("vec_id")
-        .agg(min(struct(
-          l2_dist_sq(col("embedding"), col("centroid")).as("d"),
-          col("list_id"))).as("best"))
-        .select(col("vec_id"), col("best.list_id").as("list_id"))
+        .select(col("vec_id"),
+          nearest_centroid(col("embedding"), idx.centroids).as("list_id"))
         .persist() // the assignment IS the index; reused across searches
     })
 

@@ -153,6 +153,36 @@ case class VectorNorm(child: Expression) extends UnaryExpression with ExpectsInp
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** argmin_c ||v - centroid_c||² against a small centroid matrix baked
+  * into the expression — the IVF assignment kernel. One pass per row,
+  * no join, no aggregation; usable identically in batch and streaming
+  * plans (streaming can't chain an argmin aggregation under a count).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "nearest_centroid"
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var s = 0.0; var i = 0
+      val n = math.min(dim, cent.length)
+      while (i < n) { val d = v.getFloat(i) - cent(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API facade, mirroring `org.apache.spark.sql.functions`. */
 object vector {
   private def col(e: Expression): Column = ExpressionUtils.column(e)
@@ -163,4 +193,6 @@ object vector {
   def dot(a: Column, b: Column): Column        = col(DotProduct(ex(a), ex(b)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
   def vec_norm(a: Column): Column              = col(VectorNorm(ex(a)))
+  def nearest_centroid(v: Column, cents: Array[Array[Float]]): Column =
+    col(NearestCentroid(ex(v), cents))
 }

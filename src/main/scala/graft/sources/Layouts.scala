@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.vector._
+import graft.rbac.Rbac
+
+/** Materialized physical layouts — the write-side of the reference's
+  * partition tables (controller/baseline/prefilter/initialize_partitions
+  * .py creates `documentblocks_role_%` TABLES; the Spark-native
+  * equivalent is PARTITIONED PARQUET, where query-time routing becomes
+  * file pruning the scan never reads past).
+  *
+  * `materializeRoleLayout` writes blocks duplicated per granting role,
+  * `partitionBy("partition_role")`; `prunedRoleSearch` reads it back
+  * with a partition predicate — `PartitionFilters` in the scan node (see
+  * LayoutSpec) proves only the user's role directories are touched. At
+  * 100 TB this is the difference between scanning ~2 role partitions
+  * and scanning everything.
+  */
+object Layouts {
+
+  /** Write the role-partitioned layout; returns the layout path. */
+  def materializeRoleLayout(spark: SparkSession, dir: String, outDir: String): String = {
+    val path = s"$outDir/blocks_by_role"
+    if (!Files.exists(Paths.get(path))) {
+      Rbac.blocks(spark, dir)
+        .join(Rbac.permissions(spark, dir), "document_id")
+        .select(col("role_id").as("partition_role"), col("block_id"),
+          col("document_id"), col("embedding"))
+        .repartition(col("partition_role")) // one writer per partition dir
+        .write.partitionBy("partition_role").mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Top-k over the materialized layout: the role predicate is a
+    * PARTITION filter (directory pruning), not a row filter.
+    */
+  def prunedRoleSearch(spark: SparkSession, dir: String, layoutPath: String,
+                       userId: Long, k: Int): DataFrame = {
+    val roleIds = Rbac.userRoles(spark, dir)
+      .filter(col("user_id") === userId)
+      .collect().map(_.getLong(1)) // tiny: the user's 1-2 roles
+    spark.read.parquet(layoutPath)
+      .filter(col("partition_role").isin(roleIds: _*)) // partition pruning
+      .select("block_id", "document_id", "embedding").distinct()
+      .crossJoin(broadcast(Rbac.queryVector(spark, dir)))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("block_id"))
+      .limit(k)
+      .select("block_id", "document_id")
+  }
+}

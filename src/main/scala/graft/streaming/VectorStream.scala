@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ann.IvfIndex
+import graft.functions.vector._
+
+/** Streaming vector ingest: arriving embeddings are routed to their IVF
+  * list (nearest centroid against the broadcast centroid table) as they
+  * land — the streaming half of index maintenance. The reference builds
+  * indexes offline and re-searches; a 100 TB/day pipeline assigns
+  * vectors at ingest so the partitioned layout stays current.
+  */
+object VectorStream {
+
+  val rawSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private def stageDir(dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val d = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_vstream_" + Integer.toHexString(dir.hashCode))
+    if (!java.nio.file.Files.exists(d.resolve("embeddings.parquet"))) {
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(src, d.resolve("embeddings.parquet"))
+    }
+    d.toString
+  }
+
+  /** Streaming nearest-centroid assignment: the `nearest_centroid`
+    * expression (centroid matrix baked in at plan time, from the batch-
+    * built index) runs inside the streaming scan — stateless, so it
+    * composes freely with downstream streaming aggregation.
+    */
+  def assignStream(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val idx = IvfIndex.getOrBuild(spark, dir, k)
+    spark.readStream.schema(rawSchema).parquet(stageDir(dir))
+      .select(col("vec_id"),
+        nearest_centroid(col("embedding"), idx.centroids).as("list_id"))
+  }
+
+  /** Running list-occupancy counts (Update mode) — the live view of
+    * buildReport.
+    */
+  def listCounts(spark: SparkSession, dir: String, k: Int = 16): DataFrame =
+    assignStream(spark, dir, k)
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_vectors"))
+}

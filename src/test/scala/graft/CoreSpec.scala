@@ -249,3 +249,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(s2.sql("SELECT vec_norm(array(3.0F,4.0F))").head().getDouble(0) == 5.0)
   }
 }
+
+class LayoutStreamSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.sources.Layouts
+  import graft.streaming.{EventStream, VectorStream}
+
+  test("materialized role layout search matches prefilter, with partition pruning") {
+    import graft.rbac.Rbac
+    val out = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val path = Layouts.materializeRoleLayout(spark, sf, out)
+    val got = Layouts.prunedRoleSearch(spark, sf, path, 1, 10)
+    val expect = Rbac.prefilterTopK(spark, sf, 1, 10).collect().map(_.getLong(0)).toSeq
+    assert(got.collect().map(_.getLong(0)).toSeq == expect)
+    // the role predicate must be a partition filter, not a data filter
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("partition_role"), "expected partition pruning in scan")
+  }
+
+  test("streaming IVF assignment converges to the batch build report") {
+    import graft.ann.IvfIndex
+    val q = EventStream.runToMemory(spark,
+      VectorStream.listCounts(spark, sf), "vstream",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    val streamed = spark.sql("SELECT list_id, n_vectors FROM vstream")
+      .groupBy("list_id").agg(org.apache.spark.sql.functions.max("n_vectors").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = IvfIndex.buildReport(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+}
