@@ -1,0 +1,114 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{HashKernels, NGramKernels}
+import graft.operators.TopKBuffer
+
+/** Property-style tests (seeded random trials) for the hand-written
+  * kernels — the pieces with imperative loops where an off-by-one
+  * survives example tests.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+  private val trials = 300
+
+  test("TopKBuffer equals sort-take for arbitrary inputs, ties included") {
+    val rnd = new Random(7)
+    (1 to trials).foreach { _ =>
+      val k = 1 + rnd.nextInt(8)
+      val n = rnd.nextInt(60)
+      val rows = Seq.fill(n)((rnd.nextInt(10).toDouble, rnd.nextInt(31).toLong))
+      val buf = new TopKBuffer(k)
+      rows.foreach { case (s, i) => buf.add(s, i) }
+      val expect = rows.sorted.take(k).map(_._2)
+      assert(buf.sortedIds.toSeq == expect, s"k=$k rows=$rows")
+    }
+  }
+
+  test("TopKBuffer merge equals union add") {
+    val rnd = new Random(8)
+    (1 to trials).foreach { _ =>
+      val k = 1 + rnd.nextInt(6)
+      def mk(n: Int) = Seq.fill(n)((rnd.nextInt(500).toDouble / 100, rnd.nextInt(100).toLong))
+      val a = mk(20); val b = mk(20)
+      val b1 = new TopKBuffer(k); a.foreach { case (s, i) => b1.add(s, i) }
+      val b2 = new TopKBuffer(k); b.foreach { case (s, i) => b2.add(s, i) }
+      b1.mergeFrom(b2)
+      val all = new TopKBuffer(k); (a ++ b).foreach { case (s, i) => all.add(s, i) }
+      assert(b1.sortedIds.toSeq == all.sortedIds.toSeq)
+    }
+  }
+
+  test("sortedHashes output is sorted, deduped, set-equal to input") {
+    val rnd = new Random(9)
+    (1 to trials).foreach { _ =>
+      val xs = Seq.fill(rnd.nextInt(80))(rnd.nextLong() % 100)
+      val out = NGramKernels.sortedHashes(xs.toArray)
+      assert(out.toSeq == xs.distinct.sorted)
+    }
+  }
+
+  test("intersectSize equals set intersection") {
+    val rnd = new Random(10)
+    (1 to trials).foreach { _ =>
+      def mk = Seq.fill(rnd.nextInt(60))(rnd.nextInt(101).toLong - 50)
+      val a = mk; val b = mk
+      val sa = NGramKernels.sortedHashes(a.toArray)
+      val sb = NGramKernels.sortedHashes(b.toArray)
+      val got = NGramKernels.intersectSize(
+        new GenericArrayData(sa), new GenericArrayData(sb))
+      assert(got == sa.toSet.intersect(sb.toSet).size)
+    }
+  }
+
+  test("charGramHashes count matches distinct sliding grams") {
+    val rnd = new Random(11)
+    (1 to trials).foreach { _ =>
+      val s = Seq.fill(1 + rnd.nextInt(30))(('a' + rnd.nextInt(4)).toChar).mkString
+      val n = 2 + rnd.nextInt(5)
+      val out = NGramKernels.charGramHashes(UTF8String.fromString(s), n)
+      val upper = math.max(s.length - n + 1, 1)
+      val grams = (0 until upper).map(i => s.substring(i, math.min(i + n, s.length))).toSet
+      assert(out.length == grams.size, s"s=$s n=$n")
+    }
+  }
+
+  test("wordShingleHashes equals sliding-window distinct count") {
+    val rnd = new Random(12)
+    val vocab = Vector("a", "b", "cc", "dd", "eee")
+    (1 to trials).foreach { _ =>
+      val ws = Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      val n = 1 + rnd.nextInt(4)
+      val out = NGramKernels.wordShingleHashes(UTF8String.fromString(ws.mkString(" ")), n)
+      val expect =
+        if (ws.length < n) 0 else ws.sliding(n).map(_.mkString(" ")).toSet.size
+      assert(out.length == expect, s"ws=$ws n=$n")
+    }
+  }
+
+  test("rollingHash stays within modulus and separates short strings") {
+    val rnd = new Random(13)
+    val seen = scala.collection.mutable.Map.empty[Long, String]
+    (1 to trials).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(6))(('a' + rnd.nextInt(26)).toChar).mkString
+      val h = HashKernels.rollingHash(UTF8String.fromString(s))
+      assert(h >= 0 && h < 2147483647L)
+      seen.get(h).foreach(prev => assert(prev == s, s"collision: '$prev' vs '$s'"))
+      seen(h) = s
+    }
+  }
+
+  test("simhash is deterministic; empty bag is zero") {
+    val rnd = new Random(14)
+    (1 to 50).foreach { _ =>
+      val tokens = Seq.fill(rnd.nextInt(30))(rnd.nextString(5))
+      def arr = new GenericArrayData(tokens.map(UTF8String.fromString).toArray[Any])
+      assert(HashKernels.simhash(arr) == HashKernels.simhash(arr))
+    }
+    assert(HashKernels.simhash(new GenericArrayData(Array.empty[Any])) == 0L)
+  }
+}
