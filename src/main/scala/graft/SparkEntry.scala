@@ -44,6 +44,8 @@ object SparkEntry {
     "ann_bruteforce_l2_topk" -> ((s, d) => Ann.bruteForceL2TopK(s, d, 10)),
     "ann_batch_topk" -> ((s, d) => Ann.batchTopK(s, d, nq = 8, k = 10)),
     "ann_range_search" -> ((s, d) => Ann.rangeSearch(s, d, tau = 1.3)),
+    "ann_knn_graph" -> ((s, d) => Ann.knnGraph(s, d, 5)),
+    "events_props_stats" -> ((s, d) => Analytics.eventsPropsStats(s, d)),
     "vector_norms" -> ((s, d) => Ann.vectorNorms(s, d, n = 100)),
     "ann_ivf_build" -> ((s, d) => IvfIndex.buildReport(s, d)),
     "ann_ivf_search" -> ((s, d) => IvfIndex.search(s, d)),
@@ -266,6 +268,18 @@ object SparkEntry {
         |  PARTITION BY q.vec_id
         |  ORDER BY list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), e.vec_id) <= 10
         |ORDER BY query_id, block_id""".stripMargin,
+    "ann_knn_graph" ->
+      """SELECT a.vec_id AS src, b.vec_id AS nbr
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id <> b.vec_id
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY a.vec_id
+        |  ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) <= 5
+        |ORDER BY src, nbr""".stripMargin,
+    "events_props_stats" ->
+      """SELECT CAST(props->>'$.k' AS BIGINT) // 10 AS k_bucket,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
     "ann_range_search" ->
       s"""WITH $qv
          |SELECT e.vec_id FROM embeddings e, q

@@ -68,6 +68,25 @@ object Ann {
       .orderBy("query_id", "block_id")
   }
 
+  /** B11: k-NN graph over the corpus — every vector's k nearest
+    * neighbors in one pass (crossJoin never materializes beyond the
+    * per-group bounded heaps). This is the batch primitive graph-ANN
+    * indexes (HNSW/NSG — the reference's other index family) bootstrap
+    * from; on Spark the graph build IS the index build.
+    */
+  def knnGraph(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = corpus(spark, dir)
+    val a = e.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("src"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src")
+      .agg(topk_ids(l2_dist(col("ea"), col("eb")), col("dst"), k).as("ids"))
+      .select(col("src"), explode(col("ids")).as("nbr"))
+      .orderBy("src", "nbr")
+  }
+
   /** Range search: all vectors within L2 distance tau of the query.
     * The distance predicate is evaluated inside the scan stage (codegen),
     * no top-k state at all — fully parallel.

@@ -166,6 +166,20 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** Semi-structured surface: parse the JSON `props` column and
+    * aggregate by extracted key bucket — the JSON path is evaluated
+    * inside the scan (codegen'd get_json_object), no UDF.
+    */
+  def eventsPropsStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+        col("value"))
+      .withColumn("k_bucket", expr("k div 10"))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("k_bucket")
+
   /** Exact quantiles of order value per event type (percentile with
     * linear interpolation — matches DuckDB quantile_cont).
     */
