@@ -33,6 +33,7 @@ object SparkEntry {
     "rbac_dynamic_partition_topk" -> ((s, d) => Partitioned.dynamicPartitionTopK(s, d, 1, 10)),
     "rbac_batch_ground_truth" -> ((s, d) => Partitioned.batchGroundTruth(s, d, 8, 5)),
     "rbac_space_report" -> ((s, d) => Partitioned.spaceReport(s, d)),
+    "rbac_recall_report" -> ((s, d) => Partitioned.recallReport(s, d)),
     "rbac_delete_topk" -> ((s, d) => Maintenance.deleteAwareTopK(s, d, 1, 10)),
     "rbac_partition_refine" -> ((s, d) => Maintenance.partitionRefine(s, d)),
     "rbac_workload_gen" -> ((s, d) => Maintenance.workloadGen(s, d)),
@@ -52,6 +53,7 @@ object SparkEntry {
     "ann_lsh_search" -> ((s, d) => Lsh.search(s, d)),
     "qdtree_partition_assign" -> ((s, d) => IvfIndex.qdTreeAssign(s, d)),
     "qdtree_routed_topk" -> ((s, d) => IvfIndex.qdTreeSearch(s, d, 1)),
+    "ann_predicate_probe" -> ((s, d) => IvfIndex.predicateAwareSearch(s, d, 1)),
     // --- F. Multimodal plumbing ---
     "mm_binary_features" -> ((s, d) => Multimodal.features(s, d).toDF().orderBy("media_id")),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
@@ -197,6 +199,38 @@ object SparkEntry {
          |SELECT 'role_partition', count(*)::BIGINT, (count(*) * 272)::BIGINT
          |FROM embeddings e JOIN perm p ON e.vec_id = p.document_id
          |ORDER BY layout""".stripMargin,
+    "rbac_recall_report" ->
+      s"""WITH $urAll, $perm,
+         |ud AS (
+         |  SELECT DISTINCT u.user_id, p.document_id
+         |  FROM ur_all u JOIN perm p USING (role_id) WHERE u.user_id <= 8
+         |),
+         |qs AS (SELECT vec_id + 1 AS user_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 8),
+         |exact AS (
+         |  SELECT ud.user_id, e.vec_id AS block_id
+         |  FROM ud JOIN embeddings e ON e.vec_id = ud.document_id
+         |  JOIN qs ON qs.user_id = ud.user_id
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY ud.user_id
+         |    ORDER BY list_distance(e.embedding::DOUBLE[], qs.v), e.vec_id) <= 5
+         |),
+         |cand AS (
+         |  SELECT qs.user_id, e.vec_id,
+         |         row_number() OVER (
+         |           PARTITION BY qs.user_id
+         |           ORDER BY list_distance(e.embedding::DOUBLE[], qs.v), e.vec_id) AS rank
+         |  FROM embeddings e, qs
+         |  QUALIFY rank <= 50
+         |),
+         |approx AS (
+         |  SELECT c.user_id, c.vec_id
+         |  FROM cand c JOIN ud ON c.user_id = ud.user_id AND c.vec_id = ud.document_id
+         |  QUALIFY row_number() OVER (PARTITION BY c.user_id ORDER BY c.rank) <= 5
+         |)
+         |SELECT x.user_id, round(count(a.vec_id)::DOUBLE / 5, 4) AS recall
+         |FROM exact x LEFT JOIN approx a
+         |  ON x.user_id = a.user_id AND x.block_id = a.vec_id
+         |GROUP BY x.user_id ORDER BY x.user_id""".stripMargin,
     "rbac_delete_topk" ->
       s"""WITH $ur1, $perm, $acc, $qv
          |SELECT e.vec_id AS block_id, e.vec_id AS document_id

@@ -112,6 +112,44 @@ object IvfIndex {
       .select("vec_id", "list_id")
   }
 
+  /** B12: predicate-aware probe search — the ACORN/dynamic-partition
+    * insight (controller/dynamic_partition/acorn): under a selective
+    * permission filter a fixed nprobe may hold < k accessible
+    * candidates, so widen the probe set until the filtered candidate
+    * pool can satisfy k. Batch adaptation: one cheap count on the
+    * filtered probe set decides escalation (driver-side decision, both
+    * phases fully distributed).
+    */
+  def predicateAwareSearch(spark: SparkSession, dir: String, userId: Long,
+                           k: Int = 16, nprobe: Int = 2, topk: Int = 10): DataFrame = {
+    val idx = getOrBuild(spark, dir, k)
+    val q = queryVec(spark, dir, 0)
+    val acc = graft.rbac.Rbac.accessibleDocs(spark, dir, userId)
+    val assigned = assignments(spark, dir, k)
+
+    def filteredProbe(lists: Seq[Int]) =
+      Tables.embeddings(spark, dir).select("vec_id", "embedding")
+        .join(assigned.filter(col("list_id").isin(lists: _*)), "vec_id")
+        .join(broadcast(acc.withColumnRenamed("document_id", "acc_doc")),
+          col("vec_id") === col("acc_doc"), "left_semi")
+
+    var probes = nprobe
+    var lists = probeLists(idx, q, probes)
+    // escalate until the accessible pool can fill top-k (or all lists probed)
+    while (probes < k && filteredProbe(lists).count() < topk) {
+      probes = math.min(k, probes * 2)
+      lists = probeLists(idx, q, probes)
+    }
+    filteredProbe(lists)
+      .crossJoin(broadcast(
+        Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"))))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(topk)
+      .select("vec_id", "list_id")
+  }
+
   /** B9: qd-tree-style layout (HQI baseline, qd_tree.py:508): leaves
     * are (k-means cell × role-bucket) — vector locality AND permission
     * locality in one partitioning key. Output: per-leaf block counts.

@@ -137,6 +137,49 @@ object Partitioned {
       .orderBy("user_id", "block_id")
   }
 
+  /** A16: recall@k report — the reference's headline quality metric
+    * (basic_benchmark/test_all.py reports recall + latency per
+    * strategy). Here: recall of the POST-filter strategy (global
+    * over-fetch k×10, then permission filter, then k) against the exact
+    * pre-filtered ground truth, per user, one distributed pass for all
+    * users.
+    */
+  def recallReport(spark: SparkSession, dir: String, nUsers: Int = 8, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = batchGroundTruth(spark, dir, nUsers, k)
+      .withColumnRenamed("block_id", "exact_block")
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < nUsers)
+      .select((col("vec_id") + 1).as("user_id"), col("embedding").as("qvec"))
+    // global (permission-blind) over-fetch, ranked
+    val cand = Rbac.blocks(spark, dir)
+      .crossJoin(broadcast(queries))
+      .groupBy("user_id")
+      .agg(topk_ids(l2_dist(col("embedding"), col("qvec")), col("block_id"), k * 10).as("ids"))
+      .select(col("user_id"), posexplode(col("ids")))
+      .withColumnRenamed("pos", "rank").withColumnRenamed("col", "block_id")
+    val userDocs = Rbac.userRoles(spark, dir)
+      .filter(col("user_id") <= nUsers)
+      .join(Rbac.permissions(spark, dir), "role_id")
+      .select("user_id", "document_id").distinct()
+    val approx = cand
+      .join(userDocs,
+        cand("user_id") === userDocs("user_id") &&
+          cand("block_id") === userDocs("document_id"))
+      .select(cand("user_id"), col("block_id"), col("rank"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("rank")))
+      .filter(col("rn") <= k)
+      .select(col("user_id"), col("block_id").as("approx_block"))
+    exact
+      .join(approx,
+        exact("user_id") === approx("user_id") &&
+          col("exact_block") === col("approx_block"), "left")
+      .groupBy(exact("user_id"))
+      .agg(round(count(col("approx_block")).cast("double") / k, 4).as("recall"))
+      .orderBy("user_id")
+  }
+
   /** A10: storage accounting per layout (space_calculate.py): row count
     * and estimated bytes (id/doc overhead + 4 bytes per dim), showing
     * the duplication cost of each physical design.

@@ -281,3 +281,28 @@ class LayoutStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 }
+
+class PredicateProbeSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.ann.IvfIndex
+  import graft.rbac.Rbac
+
+  test("predicate-aware probe returns k accessible results") {
+    val acc = Rbac.accessibleDocs(spark, sf, 1).collect().map(_.getLong(0)).toSet
+    val got = IvfIndex.predicateAwareSearch(spark, sf, 1).collect()
+    assert(got.length == 10)
+    assert(got.forall(r => acc.contains(r.getLong(0))))
+  }
+
+  test("csv and json sinks round-trip a query result") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val df = Rbac.accessibleDocs(spark, sf, 1).orderBy("document_id")
+    df.write.mode("overwrite").option("header", "true").csv(s"$out/csv")
+    df.write.mode("overwrite").json(s"$out/json")
+    val csvBack = spark.read.option("header", "true").schema(df.schema).csv(s"$out/csv")
+    val jsonBack = spark.read.schema(df.schema).json(s"$out/json")
+    val expect = df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(csvBack.collect().map(_.getLong(0)).sorted.toSeq == expect)
+    assert(jsonBack.collect().map(_.getLong(0)).sorted.toSeq == expect)
+  }
+}
