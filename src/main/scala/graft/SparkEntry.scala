@@ -43,6 +43,7 @@ object SparkEntry {
     // --- B. ANN / vector ops ---
     "ann_bruteforce_topk" -> ((s, d) => Ann.bruteForceCosineTopK(s, d, 10)),
     "ann_bruteforce_l2_topk" -> ((s, d) => Ann.bruteForceL2TopK(s, d, 10)),
+    "ann_maxip_topk" -> ((s, d) => Ann.maxInnerProductTopK(s, d, 10)),
     "ann_batch_topk" -> ((s, d) => Ann.batchTopK(s, d, nq = 8, k = 10)),
     "ann_range_search" -> ((s, d) => Ann.rangeSearch(s, d, tau = 1.3)),
     "ann_knn_graph" -> ((s, d) => Ann.knnGraph(s, d, 5)),
@@ -302,6 +303,11 @@ object SparkEntry {
         |  PARTITION BY q.vec_id
         |  ORDER BY list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), e.vec_id) <= 10
         |ORDER BY query_id, block_id""".stripMargin,
+    "ann_maxip_topk" ->
+      s"""WITH $qv
+         |SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+         |ORDER BY list_inner_product(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
     "ann_knn_graph" ->
       """SELECT a.vec_id AS src, b.vec_id AS nbr
         |FROM embeddings a, embeddings b

@@ -68,6 +68,18 @@ object Ann {
       .orderBy("query_id", "block_id")
   }
 
+  /** Max-inner-product top-k — pgvector's `<#>` operator class (its
+    * negation is ordered ascending; equivalently max dot product).
+    */
+  def maxInnerProductTopK(spark: SparkSession, dir: String, k: Int): DataFrame =
+    corpus(spark, dir)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(spark, dir, 0)))
+      .withColumn("ip", dot(col("embedding"), col("qvec")))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(k)
+      .select("vec_id")
+
   /** B11: k-NN graph over the corpus — every vector's k nearest
     * neighbors in one pass (crossJoin never materializes beyond the
     * per-group bounded heaps). This is the batch primitive graph-ANN
