@@ -70,6 +70,7 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextOps.tokens(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "text_ngram_stats" -> ((s, d) => TextOps.ngramStats(s, d)),
+    "text_hash_embedding" -> ((s, d) => TextOps.hashEmbedding(s, d)),
     // --- E. Relational analytics ---
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Analytics.q3ShippingPriority(s, d)),

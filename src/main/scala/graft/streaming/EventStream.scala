@@ -100,6 +100,17 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** G4: streaming exact dedup — `dropDuplicates` on event_id with a
+    * watermark bounding the dedup state (the streaming mirror of C1;
+    * state is evicted once the watermark passes, which is what makes
+    * exact dedup feasible on an unbounded 100 TB/day stream).
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+      .select("event_id", "user_id", "event_type", "value")
+
   /** Run a streaming DF to a memory sink until input is drained;
     * returns the sink table name.
     */

@@ -72,6 +72,26 @@ object TextOps {
       .select(col("doc_id"), rolling_hash(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** D6: hashed bag-of-words embedding (services/embedding_service.py
+    * stand-in — that uses spacy vectors, unavailable here; the hashing
+    * trick is the standard scalable featurizer). Output long form:
+    * (doc_id, bucket, weight) with weight = bucket term count / doc
+    * token count. Rows-only (hash family engine-specific).
+    */
+  def hashEmbedding(spark: SparkSession, dir: String, dims: Int = 16): DataFrame = {
+    val w = ws(col("text"))
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), size(w).cast("double").as("n_tokens"),
+        explode(w).as("token"))
+      .withColumn("bucket", pmod(xxhash64(col("token")), lit(dims)).cast("int"))
+      .groupBy("doc_id", "n_tokens", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), col("bucket"),
+        round(col("n") / col("n_tokens"), 4).as("weight"))
+      .orderBy("doc_id", "bucket")
+  }
+
   /** D5: corpus-level top word-bigrams (explode → one shuffle with
     * map-side partial aggregation — the canonical n-gram count shape).
     */

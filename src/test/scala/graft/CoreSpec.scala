@@ -306,3 +306,22 @@ class PredicateProbeSpec extends AnyFunSuite {
     assert(jsonBack.collect().map(_.getLong(0)).sorted.toSeq == expect)
   }
 }
+
+class StreamingDedupSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.streaming.EventStream
+  import graft.text.TextOps
+
+  test("streaming dedup emits each event_id once") {
+    val q = EventStream.runToMemory(spark, EventStream.dedupStream(spark, sf), "g4dedup")
+    val ids = spark.sql("SELECT event_id FROM g4dedup").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length)
+    assert(ids.length == graft.Tables.events(spark, sf).count())
+  }
+
+  test("hash embedding weights sum to ~1 per doc") {
+    val rows = TextOps.hashEmbedding(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(2)).sum)
+    assert(byDoc.values.forall(s => math.abs(s - 1.0) < 0.01))
+  }
+}
