@@ -33,7 +33,8 @@ object Bench {
     // runs. value = wall-clock for the whole workload; per-query
     // seconds are reported individually (measured under that
     // concurrency).
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val poolSize = sys.env.getOrElse("SPARK_GRAFT_POOL", "8").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val w0 = System.nanoTime()
