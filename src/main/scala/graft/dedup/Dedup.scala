@@ -18,17 +18,11 @@ import graft.functions.vector._
   */
 object Dedup {
 
-  /** Words of a document (single-space tokenization, mirrored in SQL). */
-  private def words(c: Column): Column = split(c, " ")
-
-  /** Distinct word n-shingles: `w[i] … w[i+n-1]` (1-based element_at,
-    * mirroring DuckDB's 1-based list indexing). Guarded: Spark's
-    * sequence(1, 0) counts DOWN, so short docs must short-circuit to [].
+  /** Distinct word n-shingles (native kernel; single-space
+    * tokenization, mirrored by the DuckDB oracles).
     */
   private[graft] def wordShingles(text: Column, n: Int): Column =
     graft.functions.ngrams.word_nshingles(text, n)
-
-  private[graft] def shingles3(text: Column): Column = wordShingles(text, 3)
 
   /** C1: exact dedup via content hash — every doc with its group size
     * and the canonical (minimum) doc id of its group.

@@ -3,7 +3,7 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.{GraftInternal => ExpressionUtils}
@@ -139,6 +139,31 @@ object NGramKernels {
     sortedHashes(raw)
   }
 
+  /** MinHash signature array from token hashes (codegen entry point). */
+  def minhashSigs(hs: ArrayData, numSigs: Int): Array[Long] = {
+    val sigs = Array.fill(numSigs)(Long.MaxValue)
+    val nTok = hs.numElements()
+    var t = 0
+    while (t < nTok) {
+      val h = hs.getLong(t)
+      var i = 0
+      while (i < numSigs) {
+        val m = HashKernels.mix64(h + i * 0x9e3779b97f4a7c15L)
+        if (m < sigs(i)) sigs(i) = m
+        i += 1
+      }
+      t += 1
+    }
+    sigs
+  }
+
+  /** Jaccard of two sorted-hash sets (codegen entry point). */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val inter = intersectSize(a, b)
+    val union = a.numElements() + b.numElements() - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** |a ∩ b| via merge scan of two sorted long arrays. */
   def intersectSize(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
@@ -158,31 +183,39 @@ object NGramKernels {
   * gram strings ever materialized.
   */
 case class CharNGramHashes(child: Expression, n: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   override def prettyName: String = "char_ngram_hashes"
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(a: Any): Any =
     new GenericArrayData(NGramKernels.charGramHashes(a.asInstanceOf[UTF8String], n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.NGramKernels.charGramHashes($c, $n))")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Sorted deduped word-n-shingle hashes. */
 case class WordNShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   override def prettyName: String = "word_nshingle_hashes"
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(a: Any): Any =
     new GenericArrayData(NGramKernels.wordShingleHashes(a.asInstanceOf[UTF8String], n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.NGramKernels.wordShingleHashes($c, $n))")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** MinHash signatures from precomputed token hashes (splitmix remixes). */
 case class MinHashSigsLong(child: Expression, numSigs: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   override def prettyName: String = "minhash_sigs_long"
   override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -204,6 +237,10 @@ case class MinHashSigsLong(child: Expression, numSigs: Int)
     }
     new GenericArrayData(sigs)
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.NGramKernels.minhashSigs($c, $numSigs))")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -213,7 +250,7 @@ case class MinHashSigsLong(child: Expression, numSigs: Int)
   */
 case class SortedJaccard(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with ExpectsInputTypes with CodegenFallback {
+    with ExpectsInputTypes {
   override def prettyName: String = "sorted_jaccard"
   override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
@@ -224,6 +261,9 @@ case class SortedJaccard(left: Expression, right: Expression)
     val union = x.numElements() + y.numElements() - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.NGramKernels.jaccard($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
