@@ -26,6 +26,8 @@ object SparkEntry {
     // --- A. RBAC vector search core ---
     "rbac_accessible_docs" -> ((s, d) => Rbac.accessibleDocs(s, d, 1).orderBy("document_id")),
     "rbac_prefilter_topk" -> ((s, d) => Rbac.prefilterTopK(s, d, 1, 10)),
+    "sql_prefilter_topk" -> ((s, d) => SqlSurface.prefilterTopKSql(s, d)),
+    "sql_batch_topk" -> ((s, d) => SqlSurface.batchTopKSql(s, d)),
     "rbac_postfilter_topk" -> ((s, d) => Rbac.postfilterTopK(s, d, 1, 10)),
     "rbac_rls_topk" -> ((s, d) => Rbac.rlsTopK(s, d, 1, 10)),
     "rbac_role_partition_topk" -> ((s, d) => Partitioned.rolePartitionTopK(s, d, 1, 10)),
@@ -80,6 +82,9 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "events_quantiles" -> ((s, d) => Analytics.valueQuantiles(s, d)),
     "q7_nation_volume" -> ((s, d) => Analytics.q7NationVolume(s, d)),
+    "q10_returned_items" -> ((s, d) => Analytics.q10ReturnedItems(s, d)),
+    "q12_priority_shipping" -> ((s, d) => Analytics.q12PriorityShipping(s, d)),
+    "q14_promo_revenue" -> ((s, d) => Analytics.q14PromoRevenue(s, d)),
     "q19_discounted_revenue" -> ((s, d) => Analytics.q19DiscountedRevenue(s, d)),
     "q_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
     "events_window_agg" -> ((s, d) => Analytics.eventsWindowAgg(s, d)),
@@ -119,6 +124,20 @@ object SparkEntry {
          |FROM embeddings e JOIN acc ON e.vec_id = acc.document_id, q
          |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
          |LIMIT 10""".stripMargin,
+    "sql_prefilter_topk" ->
+      s"""WITH $ur1, $perm, $acc, $qv
+         |SELECT e.vec_id AS block_id, e.vec_id AS document_id
+         |FROM embeddings e JOIN acc ON e.vec_id = acc.document_id, q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
+    "sql_batch_topk" ->
+      """SELECT q.vec_id AS query_id, e.vec_id AS block_id
+        |FROM embeddings q, embeddings e
+        |WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY q.vec_id
+        |  ORDER BY list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), e.vec_id) <= 10
+        |ORDER BY query_id, block_id""".stripMargin,
     "rbac_postfilter_topk" ->
       s"""WITH $ur1, $perm, $acc, $qv,
          |cand AS (
@@ -485,6 +504,27 @@ object SparkEntry {
         |WHERE n1.n_name <> n2.n_name AND year(l.l_shipdate) = 1997
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_priority_shipping" ->
+      """SELECT l.l_linestatus,
+        |       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY l.l_linestatus ORDER BY l.l_linestatus""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(
+        |  sum(CASE WHEN p.p_type = 'PROMO'
+        |           THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) * 100.0 /
+        |  sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin,
     "q19_discounted_revenue" ->
       """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
         |       count(*) AS n_items

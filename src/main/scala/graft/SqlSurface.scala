@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pure-SQL façade: the reference's users talk to pgvector in SQL, so
+  * the same queries must be expressible through `spark.sql` with the
+  * engine's registered functions (GraftExtensions) — no DataFrame code.
+  *
+  * Views are registered once per (session, sfDir); the SQL texts mirror
+  * the reference's queries (common_function.py:134 prefilter et al.)
+  * with `l2_dist(...)` standing in for `vector <-> %s`.
+  */
+object SqlSurface {
+
+  private val registered = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Register testdata tables as temp views + the function surface. */
+  def init(spark: SparkSession, dir: String): Unit =
+    registered.getOrElseUpdate(dir, {
+      GraftExtensions.install(spark)
+      Tables.names.foreach { t =>
+        // events needs the nanos-aware reader (Tables.events), not a raw scan
+        val df = if (t == "events") Tables.events(spark, dir) else Tables.table(spark, dir, t)
+        df.createOrReplaceTempView(t)
+      }
+      true
+    })
+
+  /** SQL spelling of the prefilter top-k (same result as
+    * Rbac.prefilterTopK — the DataFrame and SQL paths share the oracle).
+    */
+  def prefilterTopKSql(spark: SparkSession, dir: String): DataFrame = {
+    init(spark, dir)
+    spark.sql(
+      """WITH ur AS (
+        |  SELECT c_custkey % 10 AS role_id FROM customer WHERE c_custkey = 1
+        |  UNION
+        |  SELECT (c_custkey * 3 + 1) % 10 FROM customer WHERE c_custkey = 1
+        |), perm AS (
+        |  SELECT doc_id % 10 AS role_id, doc_id AS document_id FROM documents
+        |  UNION
+        |  SELECT (doc_id div 10) % 10, doc_id FROM documents
+        |), acc AS (SELECT DISTINCT document_id FROM perm JOIN ur USING (role_id)),
+        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS block_id, e.vec_id AS document_id
+        |FROM embeddings e JOIN acc ON e.vec_id = acc.document_id, q
+        |ORDER BY l2_dist(e.embedding, q.qvec), e.vec_id
+        |LIMIT 10""".stripMargin)
+  }
+
+  /** SQL spelling of grouped ANN top-k via the registered bounded-heap
+    * aggregate.
+    */
+  def batchTopKSql(spark: SparkSession, dir: String): DataFrame = {
+    init(spark, dir)
+    spark.sql(
+      """WITH qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+        |)
+        |SELECT query_id, explode(ids) AS block_id FROM (
+        |  SELECT qs.query_id, topk10_ids(l2_dist(e.embedding, qs.qvec), e.vec_id) AS ids
+        |  FROM embeddings e JOIN qs ON e.vec_id <> qs.query_id
+        |  GROUP BY qs.query_id
+        |)
+        |ORDER BY query_id, block_id""".stripMargin)
+  }
+}

@@ -166,6 +166,50 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q10 flavor: top customers by returned-item revenue. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12 flavor: line-status counts split by order priority class
+    * (conditional aggregation surface).
+    */
+  def q12PriorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_linestatus")
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q14 flavor: promo revenue share (conditional ratio). */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) * 100.0 /
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("promo_revenue_pct"))
+  }
+
   /** Semi-structured surface: parse the JSON `props` column and
     * aggregate by extracted key bucket — the JSON path is evaluated
     * inside the scan (codegen'd get_json_object), no UDF.
