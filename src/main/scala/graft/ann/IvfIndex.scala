@@ -18,9 +18,9 @@ import graft.functions.vector._
   * basic_benchmark/common_function.py:83).
   *
   * Spark-first re-expression: the index IS a partitioning.
-  *   - build: MLlib KMeans (seeded, deterministic) → tiny centroid table
-  *     (k × dim doubles, kilobytes — lives on the driver / broadcast);
-  *     every vector gets a `list_id` via a broadcast argmin join. At
+  *   - build: MLlib KMeans (seeded, deterministic) → tiny centroid
+  *     matrix (k × dim floats, kilobytes); every vector gets a `list_id`
+  *     from the `nearest_centroid` expression inside its scan stage. At
   *     100 TB the assignment is written once as list_id-partitioned
   *     parquet, so a probe scan is partition pruning, not a filter.
   *   - search: nprobe nearest centroids picked driver-side (centroid set
@@ -49,9 +49,8 @@ object IvfIndex {
 
   private val assignCache = TrieMap.empty[(String, Int), DataFrame]
 
-  /** (vec_id, list_id, embedding): nearest-centroid assignment via a
-    * broadcast argmin — min(struct(dist, list_id)) needs no shuffle of
-    * the corpus, only of (vec_id → argmin) pairs.
+  /** (vec_id, list_id): nearest-centroid assignment, computed entirely
+    * inside the scan stage (no join, no aggregation, no shuffle).
     */
   def assignments(spark: SparkSession, dir: String, k: Int): DataFrame =
     assignCache.getOrElseUpdate((dir, k), {
@@ -169,7 +168,12 @@ object IvfIndex {
 
   /** B10: qd-tree routed search — prune BOTH by vector cell (nprobe)
     * and by the user's role buckets before any distance math
-    * (qd_tree.py:644 find_relevant_partitions).
+    * (qd_tree.py:644 find_relevant_partitions). Routing by min-role
+    * bucket is deliberately lossy (a doc whose bucket role isn't among
+    * the user's roles is skipped even if another role grants it) —
+    * that's the recall/pruning tradeoff the qd-tree leaf predicate
+    * makes; the ScalaTest asserts precision (only accessible blocks),
+    * recall is governed by the layout.
     */
   def qdTreeSearch(spark: SparkSession, dir: String, userId: Long, k: Int = 8,
                    nprobe: Int = 4, topk: Int = 10): DataFrame = {
