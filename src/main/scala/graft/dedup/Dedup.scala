@@ -86,6 +86,22 @@ object Dedup {
       .select("doc1", "doc2", "jaccard")
       .orderBy("doc1", "doc2")
 
+  /** C6: dup-cluster assembly — near-dup PAIRS are not actionable until
+    * they become CLUSTERS with one canonical doc each (what an actual
+    * dedup pass deletes against). Connected components over the verified
+    * pair graph via GraphX (Pregel-based, scales to the 100 TB edge
+    * set); canonical = minimum doc id in the component.
+    */
+  def dupClusters(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLsh(spark, dir, threshold)
+      .select("doc1", "doc2").as[(Long, Long)].rdd
+    val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(pairs, defaultValue = 0)
+    val components = graph.connectedComponents().vertices // (doc_id, min reachable id)
+    components.toDF("doc_id", "cluster_rep")
+      .orderBy("doc_id")
+  }
+
   /** C3: SimHash near-dup pairs (custom sketch expression + banded
     * hamming join). Pairs with hamming distance ≤ maxHamming over
     * 64-bit simhash of word bigrams. Rows-only (hash family is

@@ -325,3 +325,38 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(byDoc.values.forall(s => math.abs(s - 1.0) < 0.01))
   }
 }
+
+class DupClusterSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.dedup.Dedup
+
+  test("dup clusters are consistent with the pair graph") {
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rep = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep.nonEmpty)
+    // both ends of every pair share a cluster rep, and rep is the min id
+    pairs.foreach { case (a, b) =>
+      assert(rep(a) == rep(b), s"pair ($a,$b) split across clusters")
+    }
+    rep.foreach { case (doc, r) => assert(r <= doc) }
+    // cluster count matches the number of connected components of pairs
+    val adj = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    def comp(start: Long): Set[Long] = {
+      var seen = Set(start); var frontier = List(start)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty)).filterNot(seen)
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    val roots = pairs.map(_._1).toSet ++ pairs.map(_._2).toSet
+    val nComponents = {
+      var remaining = roots; var n = 0
+      while (remaining.nonEmpty) { remaining --= comp(remaining.head); n += 1 }
+      n
+    }
+    assert(rep.values.toSet.size == nComponents)
+  }
+}
