@@ -360,3 +360,33 @@ class DupClusterSpec extends AnyFunSuite {
     assert(rep.values.toSet.size == nComponents)
   }
 }
+
+class BucketingSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.sources.Bucketing
+
+  test("bucketed join plans without a shuffle and matches the plain join") {
+    val df = Bucketing.bucketedJoinRevenue(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the JOIN itself must not shuffle: the only exchange allowed is the
+    // one for the final groupBy/orderBy, which keys on o_orderpriority
+    val joinSection = plan.split("SortMergeJoin")(1)
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join still shuffles:\n$plan")
+    val expect = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("l_extendedprice") *
+            (org.apache.spark.sql.functions.lit(1.0) -
+              org.apache.spark.sql.functions.col("l_discount"))), 4).as("revenue"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == expect)
+  }
+}
