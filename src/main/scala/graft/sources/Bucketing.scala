@@ -16,20 +16,32 @@ object Bucketing {
 
   val NumBuckets = 8
 
-  /** Write lineitem + orders bucketed by the join key (idempotent). */
+  /** Write lineitem + orders bucketed by the join key (idempotent;
+    * clears a stale warehouse location left by a previous JVM whose
+    * in-memory catalog died with it).
+    */
   def materialize(spark: SparkSession, dir: String): Unit = {
-    if (!spark.catalog.tableExists("lineitem_bkt")) {
-      Tables.lineitem(spark, dir)
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-        .write.bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("lineitem_bkt")
-    }
-    if (!spark.catalog.tableExists("orders_bkt")) {
-      Tables.orders(spark, dir)
-        .select("o_orderkey", "o_orderpriority")
-        .write.bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("orders_bkt")
-    }
+    def write(table: String, df: => org.apache.spark.sql.DataFrame, key: String): Unit =
+      if (!spark.catalog.tableExists(table)) {
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+        if (loc.exists()) {
+          // stale location from a previous session's catalog
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          rm(loc)
+        }
+        df.write.bucketBy(NumBuckets, key).sortBy(key)
+          .mode("overwrite").saveAsTable(table)
+      }
+    write("lineitem_bkt",
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+      "l_orderkey")
+    write("orders_bkt",
+      Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+      "o_orderkey")
   }
 
   /** Revenue per priority through the bucketed join — with both sides
