@@ -74,6 +74,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "text_ngram_stats" -> ((s, d) => TextOps.ngramStats(s, d)),
     "text_hash_embedding" -> ((s, d) => TextOps.hashEmbedding(s, d)),
+    "text_tfidf" -> ((s, d) => TextOps.tfidf(s, d)),
     // --- E. Relational analytics ---
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Analytics.q3ShippingPriority(s, d)),
@@ -418,6 +419,24 @@ object SparkEntry {
         |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
         |              (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term
+        |), w AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df), 4) AS weight
+        |  FROM tf JOIN df USING (term)
+        |)
+        |SELECT doc_id,
+        |       row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rnk,
+        |       term, weight
+        |FROM w
+        |QUALIFY rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "text_ngram_stats" ->
       """WITH b AS (
         |  SELECT unnest(list_distinct(list_transform(range(1, len(ws)),

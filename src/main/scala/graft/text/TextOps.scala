@@ -72,6 +72,33 @@ object TextOps {
       .select(col("doc_id"), rolling_hash(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** D7: TF-IDF top terms per document — the classic two-aggregate
+    * text pipeline (term frequency × inverse document frequency), exact
+    * and oracle-checked. Rank is computed on the ROUNDED weight in both
+    * engines so tie-breaks agree bit-for-bit.
+    */
+  def tfidf(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val terms = docs.select(col("doc_id"), explode(ws(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val weighted = tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("weight",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    weighted
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("weight").desc, col("term"))).cast("bigint"))
+      .filter(col("rnk") <= topN)
+      .select("doc_id", "rnk", "term", "weight")
+      .orderBy("doc_id", "rnk")
+  }
+
   /** D6: hashed bag-of-words embedding (services/embedding_service.py
     * stand-in — that uses spacy vectors, unavailable here; the hashing
     * trick is the standard scalable featurizer). Output long form:
