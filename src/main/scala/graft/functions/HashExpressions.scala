@@ -98,28 +98,10 @@ case class RollingHash(child: Expression) extends UnaryExpression with ExpectsIn
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** `token_hash64(string) -> bigint` — the scalar token hash, exposed so
-  * MinHash can be composed from built-in array functions around it.
-  */
-case class TokenHash64(child: Expression, seed: Long)
-    extends UnaryExpression with ExpectsInputTypes {
-  override def prettyName: String = "token_hash64"
-  override def inputTypes = Seq(StringType)
-  override def dataType: DataType = LongType
-  override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(a: Any): Any =
-    HashKernels.mix64(HashKernels.hashUtf8(a.asInstanceOf[UTF8String]) + seed * 0x9e3779b97f4a7c15L)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.HashKernels.mix64(graft.functions.HashKernels.hashUtf8($c) + ${seed}L * 0x9e3779b97f4a7c15L)")
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
 object hashes {
   private def col(e: Expression): Column = ExpressionUtils.column(e)
   private def ex(c: Column): Expression = ExpressionUtils.expression(c)
 
   def simhash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
   def rolling_hash(text: Column): Column = col(RollingHash(ex(text)))
-  def token_hash64(s: Column, seed: Long): Column = col(TokenHash64(ex(s), seed))
 }

@@ -70,36 +70,6 @@ case class WordNShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** All MinHash signature rows in one pass: one 64-bit content hash per
-  * token, remixed `numSigs` times with splitmix64 — replaces numSigs
-  * interpreted array_min(transform(...)) passes.
-  */
-case class MinHashSigs(child: Expression, numSigs: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-  override def prettyName: String = "minhash_sigs"
-  override def inputTypes = Seq(ArrayType(StringType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(a: Any): Any = {
-    val tokens = a.asInstanceOf[ArrayData]
-    val sigs = Array.fill(numSigs)(Long.MaxValue)
-    val nTok = tokens.numElements()
-    var t = 0
-    while (t < nTok) {
-      val h = HashKernels.hashUtf8(tokens.getUTF8String(t))
-      var i = 0
-      while (i < numSigs) {
-        val m = HashKernels.mix64(h + i * 0x9e3779b97f4a7c15L)
-        if (m < sigs(i)) sigs(i) = m
-        i += 1
-      }
-      t += 1
-    }
-    new GenericArrayData(sigs)
-  }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
 object NGramKernels {
   /** Sorted, deduped 64-bit hashes of a token array. */
   def sortedHashes(raw: Array[Long]): Array[Long] = {
@@ -274,7 +244,6 @@ object ngrams {
 
   def char_ngrams(text: Column, n: Int): Column = col(CharNGrams(ex(text), n))
   def word_nshingles(text: Column, n: Int): Column = col(WordNShingles(ex(text), n))
-  def minhash_sigs(tokens: Column, numSigs: Int): Column = col(MinHashSigs(ex(tokens), numSigs))
   def char_ngram_hashes(text: Column, n: Int): Column = col(CharNGramHashes(ex(text), n))
   def word_nshingle_hashes(text: Column, n: Int): Column = col(WordNShingleHashes(ex(text), n))
   def minhash_sigs_long(hashes: Column, numSigs: Int): Column = col(MinHashSigsLong(ex(hashes), numSigs))
