@@ -60,6 +60,7 @@ object SparkEntry {
     // --- F. Multimodal plumbing ---
     "mm_binary_features" -> ((s, d) => Multimodal.features(s, d).toDF().orderBy("media_id")),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
+    "mm_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, d)),
     // --- C. Deduplication ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),

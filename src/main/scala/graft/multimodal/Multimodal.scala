@@ -69,6 +69,25 @@ object Multimodal {
     }
   }
 
+  /** F3: resize plan for image rows — aspect-preserving fit into a
+    * target box, computed from the decoded dimensions. Pure column math
+    * over the feature table (the actual pixel resample happens in the
+    * stubbed codec); emits the (scale, out_w, out_h) every image
+    * pipeline needs before batching into a model.
+    */
+  def resizePlan(spark: SparkSession, dir: String,
+                 targetW: Int = 224, targetH: Int = 224): DataFrame = {
+    import org.apache.spark.sql.functions._
+    features(spark, dir).toDF()
+      .filter(col("kind") === "image")
+      .withColumn("scale", round(
+        least(lit(targetW.toDouble) / col("width"), lit(targetH.toDouble) / col("height")), 4))
+      .withColumn("out_w", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_h", floor(col("height") * col("scale")).cast("int"))
+      .select("media_id", "width", "height", "scale", "out_w", "out_h")
+      .orderBy("media_id")
+  }
+
   /** F2: deterministic frame-index sampling plan for video rows — pure
     * column math (codegen), no decode: every ~`stride`th frame index up
     * to a per-row pseudo frame count.

@@ -390,3 +390,20 @@ class BucketingSpec extends AnyFunSuite {
     assert(got == expect)
   }
 }
+
+class ResizePlanSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.multimodal.Multimodal
+
+  test("resize plan fits the target box and preserves aspect ratio") {
+    val rows = Multimodal.resizePlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, scale, ow, oh) =
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4), r.getInt(5))
+      assert(ow <= 224 && oh <= 224)
+      assert(ow == math.floor(w * scale).toInt && oh == math.floor(h * scale).toInt)
+      assert(scale > 0)
+    }
+  }
+}
