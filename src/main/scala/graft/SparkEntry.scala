@@ -57,6 +57,7 @@ object SparkEntry {
     "qdtree_partition_assign" -> ((s, d) => IvfIndex.qdTreeAssign(s, d)),
     "qdtree_routed_topk" -> ((s, d) => IvfIndex.qdTreeSearch(s, d, 1)),
     "ann_predicate_probe" -> ((s, d) => IvfIndex.predicateAwareSearch(s, d, 1)),
+    "ann_range_triangle" -> ((s, d) => IvfIndex.rangeSearchTriangle(s, d, tau = 1.3)),
     // --- F. Multimodal plumbing ---
     "mm_binary_features" -> ((s, d) => Multimodal.features(s, d).toDF().orderBy("media_id")),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
@@ -344,6 +345,12 @@ object SparkEntry {
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
     "ann_range_search" ->
+      s"""WITH $qv
+         |SELECT e.vec_id FROM embeddings e, q
+         |WHERE e.vec_id <> 0 AND list_distance(e.embedding::DOUBLE[], q.v) < 1.3
+         |ORDER BY e.vec_id""".stripMargin,
+    // triangle pruning is lossless: same oracle as the brute-force range scan
+    "ann_range_triangle" ->
       s"""WITH $qv
          |SELECT e.vec_id FROM embeddings e, q
          |WHERE e.vec_id <> 0 AND list_distance(e.embedding::DOUBLE[], q.v) < 1.3

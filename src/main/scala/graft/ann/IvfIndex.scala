@@ -149,6 +149,45 @@ object IvfIndex {
       .select("vec_id", "list_id")
   }
 
+  /** B14: triangle-inequality-pruned EXACT range search. With per-vector
+    * centroid distances precomputed in the index (d(v,c)) and the
+    * query-to-centroid distances known (d(q,c), tiny), the reverse
+    * triangle inequality d(q,v) ≥ |d(q,c) − d(v,c)| rejects most rows
+    * with ONE scalar comparison before any 64-dim distance math — a
+    * lossless filter, so the result (and the oracle) is identical to
+    * brute-force range search. The 1e-9 slack keeps float noise at the
+    * boundary from over-pruning.
+    */
+  def rangeSearchTriangle(spark: SparkSession, dir: String, tau: Double,
+                          k: Int = 16, qid: Long = 0): DataFrame = {
+    val idx = getOrBuild(spark, dir, k)
+    val q = queryVec(spark, dir, qid)
+    def dist(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    val dqc = spark.createDataFrame(
+      idx.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, dist(c, q)) })
+      .toDF("list_id", "dqc")
+    val cents = spark.createDataFrame(
+      idx.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c) })
+      .toDF("list_id", "centroid")
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .filter(col("vec_id") =!= qid)
+      .withColumn("list_id", nearest_centroid(col("embedding"), idx.centroids))
+      .join(broadcast(cents), "list_id")
+      .join(broadcast(dqc), "list_id")
+      .withColumn("dvc", l2_dist(col("embedding"), col("centroid")))
+      .filter(abs(col("dqc") - col("dvc")) <= tau + 1e-9) // lossless prune
+      .crossJoin(broadcast(
+        Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
+          .select(col("embedding").as("qvec"))))
+      .filter(l2_dist(col("embedding"), col("qvec")) < tau)
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
   /** B9: qd-tree-style layout (HQI baseline, qd_tree.py:508): leaves
     * are (k-means cell × role-bucket) — vector locality AND permission
     * locality in one partitioning key. Output: per-leaf block counts.

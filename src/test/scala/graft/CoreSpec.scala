@@ -407,3 +407,14 @@ class ResizePlanSpec extends AnyFunSuite {
     }
   }
 }
+
+class TrianglePruneSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.ann.{Ann, IvfIndex}
+
+  test("triangle-pruned range search equals brute force exactly") {
+    val brute = Ann.rangeSearch(spark, sf, 1.3).collect().map(_.getLong(0)).toSeq
+    val pruned = IvfIndex.rangeSearchTriangle(spark, sf, 1.3).collect().map(_.getLong(0)).toSeq
+    assert(pruned == brute)
+  }
+}
