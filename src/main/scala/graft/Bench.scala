@@ -33,6 +33,7 @@ object Bench {
       SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
       graft.ann.IvfIndex.assignments(spark, sfDir, 16).count()
       graft.ann.IvfIndex.assignments(spark, sfDir, 8).count()
+      graft.ann.PqIndex.getOrBuild(spark, sfDir)
     } catch { case _: Throwable => () }
     // Overlap queries on a small pool: a single local session leaves
     // cores idle during per-query driver phases (planning, codegen,

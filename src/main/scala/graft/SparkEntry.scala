@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ann.{Ann, IvfIndex, Lsh}
+import graft.ann.{Ann, IvfIndex, Lsh, PqIndex}
 import graft.dedup.Dedup
 import graft.operators.Analytics
 import graft.multimodal.Multimodal
@@ -58,6 +58,8 @@ object SparkEntry {
     "qdtree_routed_topk" -> ((s, d) => IvfIndex.qdTreeSearch(s, d, 1)),
     "ann_predicate_probe" -> ((s, d) => IvfIndex.predicateAwareSearch(s, d, 1)),
     "ann_range_triangle" -> ((s, d) => IvfIndex.rangeSearchTriangle(s, d, tau = 1.3)),
+    "ann_pq_build" -> ((s, d) => PqIndex.buildReport(s, d)),
+    "ann_pq_search" -> ((s, d) => PqIndex.search(s, d)),
     // --- F. Multimodal plumbing ---
     "mm_binary_features" -> ((s, d) => Multimodal.features(s, d).toDF().orderBy("media_id")),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),

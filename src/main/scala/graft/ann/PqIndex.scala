@@ -1,0 +1,117 @@
+package graft.ann
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.vector._
+import graft.functions.{PqAdcDistance, PqEncode}
+import org.apache.spark.sql.graft.{GraftInternal => ExpressionUtils}
+
+/** Product quantization (B15): 64-dim float vectors compressed to
+  * `nSub` one-byte codes (8 bytes/vector here — 32× smaller than the
+  * raw floats). At 100 TB the scan cost IS the byte count, so PQ is
+  * the difference between scanning 100 TB and scanning ~3 TB; search
+  * uses asymmetric distance computation (ADC: per-query distance table,
+  * code-indexed lookups) plus an exact re-rank of the short list.
+  *
+  * Reference analogue: pgvector's quantized index options and the
+  * IVFADC family (Jégou et al., TPAMI 2011 — public method).
+  */
+object PqIndex {
+
+  val NumSub = 8
+  val CodesPerSub = 16
+  val Dim = 64
+
+  /** codebook(sub)(code) = centroid of that subspace, trained per
+    * subspace with seeded KMeans.
+    */
+  final case class Codebook(centroids: Array[Array[Array[Float]]])
+
+  private val cache = TrieMap.empty[String, Codebook]
+
+  def getOrBuild(spark: SparkSession, dir: String): Codebook =
+    cache.getOrElseUpdate(dir, {
+      val subDim = Dim / NumSub
+      val base = Tables.embeddings(spark, dir).select("embedding")
+      // the 8 subspace quantizers are independent — train them
+      // concurrently (separate MLlib fits share the session safely)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val cents = Await.result(Future.sequence((0 until NumSub).map { s =>
+        Future {
+          val sub = base.select(
+            array_to_vector(slice(col("embedding"), s * subDim + 1, subDim)
+              .cast("array<double>")).as("features"))
+          new KMeans().setK(CodesPerSub).setSeed(42L + s).setMaxIter(5)
+            .setInitMode("random").setFeaturesCol("features")
+            .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat))
+        }
+      }), Duration.Inf).toArray
+      Codebook(cents)
+    })
+
+  private def encodeCol(emb: Column, cb: Codebook): Column =
+    ExpressionUtils.column(PqEncode(ExpressionUtils.expression(emb), cb.centroids))
+
+  /** (vec_id, code) — the compressed corpus. */
+  def codes(spark: SparkSession, dir: String): DataFrame = {
+    val cb = getOrBuild(spark, dir)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), encodeCol(col("embedding"), cb).as("code"))
+  }
+
+  /** B15 build observable: code-usage histogram per subspace 0 (shows
+    * quantizer balance), rows-only.
+    */
+  def buildReport(spark: SparkSession, dir: String): DataFrame =
+    codes(spark, dir)
+      // binary → first byte as int: hex the one-byte slice, parse base-16
+      .select(expr("CAST(conv(hex(substring(code, 1, 1)), 16, 10) AS INT)").as("code0"))
+      .groupBy("code0").agg(count(lit(1)).as("n"))
+      .orderBy("code0")
+
+  /** B16: ADC search — approximate top-`overfetch` via table lookups
+    * over the 8-byte codes, exact re-rank of that short list to
+    * top-`topk`. Only the short list ever touches the full vectors.
+    */
+  def search(spark: SparkSession, dir: String, topk: Int = 10,
+             overfetch: Int = 50, qid: Long = 0): DataFrame = {
+    val cb = getOrBuild(spark, dir)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
+      .select("embedding").head().getSeq[Float](0).toArray
+    // per-query distance table [sub][code] = ||q_sub - centroid||²
+    val subDim = Dim / NumSub
+    val table = Array.tabulate(NumSub, CodesPerSub) { (s, c) =>
+      var acc = 0.0f; var i = 0
+      while (i < subDim) {
+        val d = q(s * subDim + i) - cb.centroids(s)(c)(i); acc += d * d; i += 1
+      }
+      acc
+    }
+    val adc = (code: Column) =>
+      ExpressionUtils.column(PqAdcDistance(ExpressionUtils.expression(code), table))
+    val shortList = codes(spark, dir)
+      .filter(col("vec_id") =!= qid)
+      .withColumn("adc", adc(col("code")))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(overfetch)
+      .select("vec_id")
+    // exact re-rank of the short list only
+    Tables.embeddings(spark, dir)
+      .join(broadcast(shortList), "vec_id")
+      .crossJoin(broadcast(
+        Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
+          .select(col("embedding").as("qvec"))))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(topk)
+      .select("vec_id")
+  }
+}

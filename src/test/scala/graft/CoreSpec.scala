@@ -418,3 +418,21 @@ class TrianglePruneSpec extends AnyFunSuite {
     assert(pruned == brute)
   }
 }
+
+class PqSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.ann.{Ann, PqIndex}
+
+  test("PQ codes cover all vectors with one byte per subspace") {
+    val c = PqIndex.codes(spark, sf).collect()
+    assert(c.length == 500)
+    assert(c.forall(_.getAs[Array[Byte]](1).length == PqIndex.NumSub))
+  }
+
+  test("PQ ADC search with exact re-rank has high recall vs brute force") {
+    val exact = Ann.bruteForceL2TopK(spark, sf, 10).collect().map(_.getLong(0)).toSet
+    val pq = PqIndex.search(spark, sf).collect().map(_.getLong(0)).toSet
+    val recall = pq.intersect(exact).size / 10.0
+    assert(recall >= 0.5, s"PQ recall too low: $recall")
+  }
+}
