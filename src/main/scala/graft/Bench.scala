@@ -49,17 +49,26 @@ object Bench {
     val futures = qs.map { case (name, fn) =>
       scala.concurrent.Future {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        // a failed query must SURFACE as a failure, not bench as a fast
+        // success — record the error and report it in the JSON
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200))
+        }
+        (name, (System.nanoTime() - t0) / 1e9, err)
       }
     }
     val results = futures.map(f =>
       scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     val wall = (System.nanoTime() - w0) / 1e9
     pool.shutdown()
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"sf":"$sfDir"}""")
+    if (results.exists(_._3.isDefined)) System.err.println(
+      s"BENCH ERRORS: ${results.count(_._3.isDefined)} queries failed")
     spark.stop()
   }
 }

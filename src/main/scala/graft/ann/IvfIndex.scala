@@ -115,9 +115,13 @@ object IvfIndex {
     * insight (controller/dynamic_partition/acorn): under a selective
     * permission filter a fixed nprobe may hold < k accessible
     * candidates, so widen the probe set until the filtered candidate
-    * pool can satisfy k. Batch adaptation: one cheap count on the
-    * filtered probe set decides escalation (driver-side decision, both
-    * phases fully distributed).
+    * pool can satisfy k.
+    *
+    * One-pass escalation: a SINGLE aggregation job computes the
+    * accessible-candidate count per list (k tiny rows to the driver);
+    * the probe prefix is then chosen from those counters — no re-scan
+    * loop. At 100 TB the per-list counters live next to the index
+    * metadata and this stays one cheap job + one search job.
     */
   def predicateAwareSearch(spark: SparkSession, dir: String, userId: Long,
                            k: Int = 16, nprobe: Int = 2, topk: Int = 10): DataFrame = {
@@ -126,20 +130,25 @@ object IvfIndex {
     val acc = graft.rbac.Rbac.accessibleDocs(spark, dir, userId)
     val assigned = assignments(spark, dir, k)
 
-    def filteredProbe(lists: Seq[Int]) =
-      Tables.embeddings(spark, dir).select("vec_id", "embedding")
-        .join(assigned.filter(col("list_id").isin(lists: _*)), "vec_id")
-        .join(broadcast(acc.withColumnRenamed("document_id", "acc_doc")),
-          col("vec_id") === col("acc_doc"), "left_semi")
+    // one aggregation: accessible candidates per list (≤ k rows)
+    val accPerList = assigned
+      .join(broadcast(acc.withColumnRenamed("document_id", "acc_doc")),
+        col("vec_id") === col("acc_doc"), "left_semi")
+      .groupBy("list_id").agg(count(lit(1)).as("n_acc"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
+    // widen in centroid-distance order until the accessible pool can
+    // fill top-k (driver-side arithmetic over k counters)
+    val ordered = probeLists(idx, q, k)
     var probes = nprobe
-    var lists = probeLists(idx, q, probes)
-    // escalate until the accessible pool can fill top-k (or all lists probed)
-    while (probes < k && filteredProbe(lists).count() < topk) {
-      probes = math.min(k, probes * 2)
-      lists = probeLists(idx, q, probes)
-    }
-    filteredProbe(lists)
+    while (probes < k &&
+      ordered.take(probes).map(accPerList.getOrElse(_, 0L)).sum < topk) probes += 1
+    val lists = ordered.take(probes)
+
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .join(assigned.filter(col("list_id").isin(lists: _*)), "vec_id")
+      .join(broadcast(acc.withColumnRenamed("document_id", "acc_doc")),
+        col("vec_id") === col("acc_doc"), "left_semi")
       .crossJoin(broadcast(
         Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
           .select(col("embedding").as("qvec"))))

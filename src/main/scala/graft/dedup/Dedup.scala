@@ -60,12 +60,20 @@ object Dedup {
     * so the verified output equals the exact pairwise result — which is
     * what the DuckDB oracle computes.
     */
-  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sets = shingleSets(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-    verifiedPairs(candidatePairs(sets, "s", bands = 16, rowsPerBand = 4),
-      sets, "s", threshold)
-  }
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Double), DataFrame]
+
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    // compute-once + persist: `dedup_clusters` consumes the same verified
+    // pair set — without the cache it would re-run the whole
+    // shingle→minhash→band→verify pipeline before its connected
+    // components pass (the pair set is tiny; the pipeline is not)
+    pairsCache.getOrElseUpdate((dir, threshold), {
+      val sets = shingleSets(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+      verifiedPairs(candidatePairs(sets, "s", bands = 16, rowsPerBand = 4),
+        sets, "s", threshold).persist()
+    })
 
   /** Exact-verify candidate (doc1, doc2) pairs: attach both token sets,
     * apply the size-ratio bound implied by `jaccard >= threshold` (free

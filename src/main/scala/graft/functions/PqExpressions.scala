@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * the codebook; one byte per subspace.
   */
 case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   override def prettyName: String = "pq_encode"
   override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = BinaryType
@@ -44,6 +44,31 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
     }
     out
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebook", codebook, "float[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |float[][][] cb = $cb;
+         |int nSub = cb.length;
+         |int subDim = cb[0][0].length;
+         |byte[] out = new byte[nSub];
+         |for (int s = 0; s < nSub; s++) {
+         |  int best = 0; float bestD = Float.MAX_VALUE;
+         |  float[][] cs = cb[s];
+         |  for (int c = 0; c < cs.length; c++) {
+         |    float[] cent = cs[c];
+         |    float acc = 0.0f;
+         |    for (int i = 0; i < subDim; i++) {
+         |      float d = $v.getFloat(s * subDim + i) - cent[i];
+         |      acc += d * d;
+         |    }
+         |    if (acc < bestD) { bestD = acc; best = c; }
+         |  }
+         |  out[s] = (byte) best;
+         |}
+         |${ev.value} = out;
+       """.stripMargin)
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -52,7 +77,7 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
   * instead of 64 multiply-adds.
   */
 case class PqAdcDistance(child: Expression, table: Array[Array[Float]])
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   override def prettyName: String = "pq_adc"
   override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = DoubleType
@@ -63,6 +88,21 @@ case class PqAdcDistance(child: Expression, table: Array[Array[Float]])
     var s = 0
     while (s < code.length) { acc += table(s)(code(s) & 0xff); s += 1 }
     acc
+  }
+  // ADC IS the innermost loop of the PQ scan — per-row interpreted eval
+  // with boxing would undercut the 32×-fewer-bytes argument entirely
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("adcTable", table, "float[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |float[][] tbl = $tbl;
+         |byte[] code = $v;
+         |double acc = 0.0;
+         |for (int s = 0; s < code.length; s++) {
+         |  acc += (double) tbl[s][code[s] & 0xff];
+         |}
+         |${ev.value} = acc;
+       """.stripMargin)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

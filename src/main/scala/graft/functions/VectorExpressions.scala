@@ -159,8 +159,7 @@ case class VectorNorm(child: Expression) extends UnaryExpression with ExpectsInp
   * plans (streaming can't chain an argmin aggregation under a count).
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
-    extends UnaryExpression with ExpectsInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   override def prettyName: String = "nearest_centroid"
   override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = IntegerType
@@ -179,6 +178,29 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
       c += 1
     }
     best
+  }
+  // the centroid matrix rides along as a codegen reference object — the
+  // argmin loop stays inside WholeStageCodegen (this expression sits in
+  // the scan stage of every IVF build/search plan)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |float[][] cents = $cents;
+         |int dim = $v.numElements();
+         |int best = 0; double bestD = Double.MAX_VALUE;
+         |for (int c = 0; c < cents.length; c++) {
+         |  float[] cent = cents[c];
+         |  int n = Math.min(dim, cent.length);
+         |  double s = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double d = (double) $v.getFloat(i) - (double) cent[i];
+         |    s += d * d;
+         |  }
+         |  if (s < bestD) { bestD = s; best = c; }
+         |}
+         |${ev.value} = best;
+       """.stripMargin)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

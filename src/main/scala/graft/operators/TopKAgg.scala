@@ -17,42 +17,50 @@ import org.apache.spark.sql.types._
   * `ORDER BY score, id LIMIT k`.
   */
 final class TopKBuffer(val k: Int) {
+  // (score, id) kept as their own primitive types — an id stored
+  // through a Double silently loses precision past 2⁵³
+  final class Entry(val score: Double, val id: Long)
+
   // head = largest (score, id) among the kept k
-  val heap = new PriorityQueue[Array[Double]](math.max(k, 1),
-    new Comparator[Array[Double]] {
-      override def compare(a: Array[Double], b: Array[Double]): Int = {
-        val c = java.lang.Double.compare(b(0), a(0))
-        if (c != 0) c else java.lang.Long.compare(b(1).toLong, a(1).toLong)
+  val heap = new PriorityQueue[Entry](math.max(k, 1),
+    new Comparator[Entry] {
+      override def compare(a: Entry, b: Entry): Int = {
+        val c = java.lang.Double.compare(b.score, a.score)
+        if (c != 0) c else java.lang.Long.compare(b.id, a.id)
       }
     })
 
   def add(score: Double, id: Long): Unit = {
     if (heap.size() < k) {
-      heap.offer(Array(score, id.toDouble))
+      heap.offer(new Entry(score, id))
     } else {
       val worst = heap.peek()
-      if (score < worst(0) || (score == worst(0) && id < worst(1).toLong)) {
+      if (score < worst.score || (score == worst.score && id < worst.id)) {
         heap.poll()
-        heap.offer(Array(score, id.toDouble))
+        heap.offer(new Entry(score, id))
       }
     }
   }
 
+  /** kth-smallest score kept so far; +∞ while the heap holds < k. */
+  def kthScore: Double =
+    if (heap.size() < k) Double.PositiveInfinity else heap.peek().score
+
   def mergeFrom(other: TopKBuffer): Unit = {
     val it = other.heap.iterator()
-    while (it.hasNext) { val e = it.next(); add(e(0), e(1).toLong) }
+    while (it.hasNext) { val e = it.next(); add(e.score, e.id) }
   }
 
   /** ids sorted by (score asc, id asc). */
   def sortedIds: Array[Long] = {
-    val arr = heap.toArray(new Array[Array[Double]](heap.size()))
-    java.util.Arrays.sort(arr, new Comparator[Array[Double]] {
-      override def compare(a: Array[Double], b: Array[Double]): Int = {
-        val c = java.lang.Double.compare(a(0), b(0))
-        if (c != 0) c else java.lang.Long.compare(a(1).toLong, b(1).toLong)
+    val arr = heap.toArray(new Array[Entry](heap.size()))
+    java.util.Arrays.sort(arr, new Comparator[Entry] {
+      override def compare(a: Entry, b: Entry): Int = {
+        val c = java.lang.Double.compare(a.score, b.score)
+        if (c != 0) c else java.lang.Long.compare(a.id, b.id)
       }
     })
-    arr.map(_(1).toLong)
+    arr.map(_.id)
   }
 }
 
@@ -104,7 +112,7 @@ case class TopKByScore(
     val it = buf.heap.iterator()
     while (it.hasNext) {
       val e = it.next()
-      bb.putDouble(e(0)); bb.putLong(e(1).toLong)
+      bb.putDouble(e.score); bb.putLong(e.id)
     }
     bb.array()
   }
@@ -126,11 +134,84 @@ case class TopKByScore(
     copy(score = cs(0), id = cs(1))
 }
 
+/** `topk_kth(score, id, k)` — the kth-smallest score per group, +∞ when
+  * the group holds fewer than k rows. Same bounded-heap buffer as
+  * `topk_ids`; used as the per-group pruning radius in two-phase exact
+  * kNN (phase 1 establishes the bound from probed cells, phase 2 prunes
+  * the remaining cells against it losslessly).
+  */
+case class KthSmallestScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "topk_kth"
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = buf.kthScore
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val n = buf.heap.size()
+    val bb = ByteBuffer.allocate(4 + n * 16)
+    bb.putInt(n)
+    val it = buf.heap.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putDouble(e.score); bb.putLong(e.id)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKBuffer(k)
+    var i = 0
+    while (i < n) { buf.add(bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KthSmallestScore =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KthSmallestScore =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(score = cs(0), id = cs(1))
+}
+
 object TopKAgg {
   /** Column facade: `groupBy(g).agg(topk_ids($"dist", $"block_id", 10))`. */
   def topk_ids(score: Column, id: Column, k: Int): Column =
     ExpressionUtils.column(
       TopKByScore(
+        ExpressionUtils.expression(score.cast("double")),
+        ExpressionUtils.expression(id.cast("bigint")),
+        k).toAggregateExpression())
+
+  /** kth-smallest score per group (+∞ below k rows). */
+  def topk_kth(score: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KthSmallestScore(
         ExpressionUtils.expression(score.cast("double")),
         ExpressionUtils.expression(id.cast("bigint")),
         k).toAggregateExpression())

@@ -38,9 +38,14 @@ object Partitioned {
       .select(col("role_id").as("partition_role"))
     roleLayout(spark, dir)
       .join(broadcast(ur), Seq("partition_role"), "left_semi") // partition prune
-      .select("block_id", "document_id", "embedding").distinct() // merge-dedup
       .crossJoin(broadcast(Rbac.queryVector(spark, dir)))
       .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      // merge-dedup: a block granted via 2 user roles sits in 2 role
+      // partitions with IDENTICAL distance — dedup the slim
+      // (block_id, document_id, dist) rows (map-side combined), never
+      // keying an Exchange on the 64-float embedding array
+      .groupBy("block_id", "document_id")
+      .agg(min("dist").as("dist"))
       .orderBy(col("dist"), col("block_id"))
       .limit(k)
       .select("block_id", "document_id")

@@ -144,9 +144,13 @@ object Rbac {
       .groupBy("user_id")
       .agg(concat_ws(",", sort_array(collect_set(col("role_id")))).as("comb_key"),
         collect_set(col("role_id")).as("rs"))
-    val combos = userCombos.select("comb_key", "rs").distinct()
-    val comboCounts = combos
-      .join(roleBlocks, expr("array_contains(rs, role_id)"))
+    // (comb_key, role_id) exploded → EQUI-join with the grant rows. The
+    // array_contains formulation is a BroadcastNestedLoopJoin evaluating
+    // |combos| predicates per grant row — the equi-join hashes once.
+    val combRoles = userCombos.select("comb_key", "rs").distinct()
+      .select(col("comb_key"), explode(col("rs")).as("role_id"))
+    val comboCounts = broadcast(combRoles)
+      .join(roleBlocks, "role_id")
       .groupBy("comb_key")
       .agg(countDistinct("document_id").as("accessible_blocks"))
     userCombos.select("user_id", "comb_key")

@@ -47,9 +47,12 @@ object Layouts {
       .collect().map(_.getLong(1)) // tiny: the user's 1-2 roles
     spark.read.parquet(layoutPath)
       .filter(col("partition_role").isin(roleIds: _*)) // partition pruning
-      .select("block_id", "document_id", "embedding").distinct()
       .crossJoin(broadcast(Rbac.queryVector(spark, dir)))
       .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      // dedup blocks duplicated across role partitions on slim columns
+      // (distance is identical per block), not on the embedding array
+      .groupBy("block_id", "document_id")
+      .agg(min("dist").as("dist"))
       .orderBy(col("dist"), col("block_id"))
       .limit(k)
       .select("block_id", "document_id")
