@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 import graft.functions.vector._
-import graft.operators.TopKAgg.topk_ids
+import graft.operators.TopKAgg.{topk_ids, topk_kth}
 
 /** ANN / vector-search operators over `embeddings` (SURVEY.md §2.B).
   *
@@ -80,18 +80,44 @@ object Ann {
       .limit(k)
       .select("vec_id")
 
-  /** B11: k-NN graph over the corpus — every vector's k nearest
-    * neighbors in one pass (crossJoin never materializes beyond the
-    * per-group bounded heaps). This is the batch primitive graph-ANN
-    * indexes (HNSW/NSG — the reference's other index family) bootstrap
-    * from; on Spark the graph build IS the index build.
+  /** B11: EXACT k-NN graph over the corpus, cell-bucketed — the batch
+    * primitive graph-ANN indexes (HNSW/NSG — the reference's other
+    * index family) bootstrap from; on Spark the graph build IS the
+    * index build.
+    *
+    * Two-phase, never broadcasting (or crossJoining) the corpus:
+    *   1. same-IVF-cell self-join → per-src kth-NN distance UPPER BOUND
+    *      (`topk_kth` bounded heap; +∞ for cells with < k+1 members);
+    *   2. lossless cell pruning: cell c can hold a true neighbor of
+    *      src only if d(src, centroid_c) − radius_c ≤ bound, so src is
+    *      replicated only into surviving cells, joined by cell id, and
+    *      re-ranked exactly.
+    * Every join is a shuffle equi-join on cell id (at 100 TB the member
+    * side is cell-partitioned parquet written by the index build, so
+    * only the pruned src fan-out moves); the result is exactly the
+    * brute-force graph — the oracle stays the quadratic SQL.
     */
-  def knnGraph(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  def knnGraph(spark: SparkSession, dir: String, k: Int, cells: Int = 16): DataFrame = {
+    val idx = IvfIndex.getOrBuild(spark, dir, cells)
+    val radiiDf = broadcast(spark.createDataFrame(
+      IvfIndex.cellRadii(spark, dir, cells).toSeq).toDF("cell", "radius"))
     val e = corpus(spark, dir)
-    val a = e.repartition(spark.sparkContext.defaultParallelism)
-      .select(col("vec_id").as("src"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("dst"), col("embedding").as("eb"))
-    a.crossJoin(broadcast(b))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("cell", nearest_centroid(col("embedding"), idx.centroids))
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("cell"))
+    val b = e.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("cell"))
+    val bound = a.join(b, "cell")
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src")
+      .agg(topk_kth(l2_dist(col("ea"), col("eb")), col("dst"), k).as("ub"))
+    val srcCells = a.join(bound, "src")
+      .select(col("src"), col("ea"), col("ub"),
+        posexplode(centroid_dists(col("ea"), idx.centroids)))
+      .withColumnRenamed("pos", "cell").withColumnRenamed("col", "dqc")
+      .join(radiiDf, "cell")
+      .filter(col("dqc") - col("radius") <= col("ub") + lit(1e-9)) // lossless
+      .select(col("src"), col("ea"), col("cell"))
+    srcCells.join(b, "cell")
       .filter(col("src") =!= col("dst"))
       .groupBy("src")
       .agg(topk_ids(l2_dist(col("ea"), col("eb")), col("dst"), k).as("ids"))

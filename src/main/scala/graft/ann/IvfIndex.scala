@@ -64,6 +64,45 @@ object IvfIndex {
         .persist() // the assignment IS the index; reused across searches
     })
 
+  private val radiiCache = TrieMap.empty[(String, Int, Boolean), Map[Int, Double]]
+
+  /** Per-cell covering radius max‖v − c‖ — index metadata for lossless
+    * triangle-inequality pruning: a cell can hold a vector within
+    * distance t of q only if d(q, c) − radius ≤ t. Computed once per
+    * index in one scan+agg (k tiny rows), cached like the centroids.
+    */
+  def cellRadii(spark: SparkSession, dir: String, k: Int,
+                unit: Boolean = false): Map[Int, Double] =
+    radiiCache.getOrElseUpdate((dir, k, unit), {
+      val idx = if (unit) getOrBuildUnit(spark, dir, k) else getOrBuild(spark, dir, k)
+      val cents = spark.createDataFrame(
+        idx.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c) })
+        .toDF("list_id", "centroid")
+      val vec = if (unit) vec_normalize(col("embedding")) else col("embedding")
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), vec.as("v"),
+          nearest_centroid(vec, idx.centroids).as("list_id"))
+        .join(broadcast(cents), "list_id")
+        .groupBy("list_id")
+        .agg(max(l2_dist(col("v"), col("centroid"))).as("r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    })
+
+  private val unitCache = TrieMap.empty[(String, Int), Index]
+
+  /** Unit-sphere index: KMeans over NORMALIZED vectors — the blocking
+    * structure for cosine-threshold joins (cos ≥ τ ⇔ unit-L2 ≤ √(2−2τ)).
+    */
+  def getOrBuildUnit(spark: SparkSession, dir: String, k: Int): Index =
+    unitCache.getOrElseUpdate((dir, k), {
+      val emb = Tables.embeddings(spark, dir)
+        .select(array_to_vector(
+          vec_normalize(col("embedding")).cast("array<double>")).as("features"))
+      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+        .setInitMode("random").setFeaturesCol("features").fit(emb)
+      Index(k, model.clusterCenters.map(_.toArray.map(_.toFloat)))
+    })
+
   /** B3: index-build report — list sizes (the reference's `CREATE INDEX`
     * observable). Rows-only: k-means is engine-specific.
     */

@@ -183,16 +183,48 @@ object Dedup {
       .select("doc1", "doc2").distinct()
   }
 
-  /** C5: embedding-cosine similar-pair mining (cos ≥ tau). Exact
-    * pairwise here; the IVF/LSH ANN paths (§2.B) are the blocking
-    * strategy at scale.
+  /** C5: embedding-cosine similar-pair mining (cos ≥ tau) — exact
+    * SEMANTICS (the oracle stays the quadratic pairwise SQL), blocked
+    * EXECUTION: cos(x,y) ≥ τ iff the unit-normalized vectors satisfy
+    * ‖x̂−ŷ‖ ≤ √(2−2τ), so a pair can only cross the threshold when its
+    * two unit-sphere IVF cells satisfy d(c_a,c_b) ≤ r_a + r_b + √(2−2τ)
+    * (triangle inequality — lossless). Candidate CELL pairs are decided
+    * driver-side over the tiny centroid set; the corpus joins cell-to-
+    * cell (shuffle equi-join on cell id, no crossJoin anywhere in the
+    * plan) and survivors are verified with exact cosine on the RAW
+    * embeddings. Mirrors what C2/C4 do for token sets, in vector space.
     */
-  def embeddingPairs(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val a = e.repartition(spark.sparkContext.defaultParallelism)
-      .select(col("vec_id").as("vec1"), col("embedding").as("e1"))
-    val b = e.select(col("vec_id").as("vec2"), col("embedding").as("e2"))
-    a.crossJoin(b)
+  def embeddingPairs(spark: SparkSession, dir: String, tau: Double = 0.45,
+                     cells: Int = 8): DataFrame = {
+    import graft.ann.IvfIndex
+    val idx = IvfIndex.getOrBuildUnit(spark, dir, cells)
+    val radii = IvfIndex.cellRadii(spark, dir, cells, unit = true)
+    val tauDist = math.sqrt(math.max(2.0 - 2.0 * tau, 0.0))
+    def d(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
+      math.sqrt(s)
+    }
+    // candidate cell pairs (both directions for a≠b, once for a=b):
+    // an unordered vec pair in cells {x,y} then survives exactly once
+    // after the vec1 < vec2 filter
+    val cellPairs = for {
+      ca <- idx.centroids.indices
+      cb <- idx.centroids.indices
+      if d(idx.centroids(ca), idx.centroids(cb)) <=
+        radii.getOrElse(ca, 0.0) + radii.getOrElse(cb, 0.0) + tauDist + 1e-9
+    } yield (ca, cb)
+    val pairsDf = broadcast(spark.createDataFrame(cellPairs).toDF("cell_a", "cell_b"))
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
+        nearest_centroid(vec_normalize(col("embedding")), idx.centroids).as("cell"))
+    val a = e.select(col("vec_id").as("vec1"), col("embedding").as("e1"),
+      col("cell").as("cell_a"))
+    val b = e.select(col("vec_id").as("vec2"), col("embedding").as("e2"),
+      col("cell").as("cell_b"))
+    a.join(pairsDf, "cell_a")
+      .join(b, "cell_b")
       .filter(col("vec1") < col("vec2"))
       .withColumn("cos_sim", round(cosine_sim(col("e1"), col("e2")), 4))
       .filter(col("cos_sim") >= tau)

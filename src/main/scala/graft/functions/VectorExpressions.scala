@@ -205,6 +205,92 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** L2 distance to EVERY centroid of a small baked-in matrix —
+  * `array<double>` indexed by centroid id. The per-cell companion of
+  * NearestCentroid: posexplode(centroid_dists(v)) yields the
+  * (cell, d(v, cell)) rows that triangle-inequality cell pruning runs
+  * on, without any join against a centroid table.
+  */
+case class CentroidDistances(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "centroid_dists"
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val out = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var s = 0.0; var i = 0
+      val n = math.min(dim, cent.length)
+      while (i < n) { val d = v.getFloat(i) - cent(i); s += d * d; i += 1 }
+      out(c) = math.sqrt(s)
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |float[][] cents = $cents;
+         |int dim = $v.numElements();
+         |double[] out = new double[cents.length];
+         |for (int c = 0; c < cents.length; c++) {
+         |  float[] cent = cents[c];
+         |  int n = Math.min(dim, cent.length);
+         |  double s = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double d = (double) $v.getFloat(i) - (double) cent[i];
+         |    s += d * d;
+         |  }
+         |  out[c] = Math.sqrt(s);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray(out);
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Unit-normalize a float vector (zero vector stays zero). Cosine
+  * geometry becomes L2 geometry on the output: cos(x,y) ≥ τ iff
+  * ‖x̂−ŷ‖ ≤ √(2−2τ) — which is what lets the IVF cell machinery block
+  * cosine near-dup joins losslessly.
+  */
+case class VectorNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "vec_normalize"
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; s += x * x; i += 1 }
+    val inv = if (s == 0.0) 0.0 else 1.0 / math.sqrt(s)
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) { out(i) = (v.getFloat(i) * inv).toFloat; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |int n = $v.numElements();
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) { double x = (double) $v.getFloat(i); s += x * x; }
+         |double inv = (s == 0.0) ? 0.0 : 1.0 / Math.sqrt(s);
+         |float[] out = new float[n];
+         |for (int i = 0; i < n; i++) { out[i] = (float) ($v.getFloat(i) * inv); }
+         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray(out);
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API facade, mirroring `org.apache.spark.sql.functions`. */
 object vector {
   private def col(e: Expression): Column = ExpressionUtils.column(e)
@@ -217,4 +303,7 @@ object vector {
   def vec_norm(a: Column): Column              = col(VectorNorm(ex(a)))
   def nearest_centroid(v: Column, cents: Array[Array[Float]]): Column =
     col(NearestCentroid(ex(v), cents))
+  def centroid_dists(v: Column, cents: Array[Array[Float]]): Column =
+    col(CentroidDistances(ex(v), cents))
+  def vec_normalize(v: Column): Column = col(VectorNormalize(ex(v)))
 }

@@ -408,6 +408,62 @@ class ResizePlanSpec extends AnyFunSuite {
   }
 }
 
+class BlockedSimilaritySpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.ann.Ann
+  import graft.dedup.Dedup
+
+  private def l2(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  private lazy val vecs: Array[(Long, Array[Float])] =
+    graft.Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+  test("bucketed knn graph equals brute force, no crossJoin/corpus broadcast") {
+    val expect = vecs.flatMap { case (src, ea) =>
+      vecs.iterator.filter(_._1 != src)
+        .map { case (dst, eb) => (l2(ea, eb), dst) }
+        .toSeq.sorted.take(5).map { case (_, dst) => (src, dst) }
+    }.toSet
+    val df = Ann.knnGraph(spark, sf, 5)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus must join by cell, not crossJoin/broadcast:\n$plan")
+  }
+
+  test("blocked embedding near-dup equals the exact quadratic result") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dp += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else dp / den
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (for {
+      (v1, e1) <- vecs; (v2, e2) <- vecs if v1 < v2
+      c = r4(cos(e1, e2)) if c >= 0.45
+    } yield (v1, v2, c)).toSet
+    val df = Dedup.embeddingPairs(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairs must come from cell-pair equi-joins:\n$plan")
+  }
+}
+
 class TrianglePruneSpec extends AnyFunSuite {
   import SparkTest._
   import graft.ann.{Ann, IvfIndex}
