@@ -33,6 +33,9 @@ object Bench {
       SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
       graft.ann.IvfIndex.assignments(spark, sfDir, 16).count()
       graft.ann.IvfIndex.assignments(spark, sfDir, 8).count()
+      graft.ann.IvfIndex.cellRadii(spark, sfDir, 16)       // knn-graph pruning bound
+      graft.ann.IvfIndex.getOrBuildUnit(spark, sfDir, 8)   // cosine-blocking index
+      graft.ann.IvfIndex.cellRadii(spark, sfDir, 8, unit = true)
       graft.ann.PqIndex.getOrBuild(spark, sfDir)
     } catch { case _: Throwable => () }
     // Overlap queries on a small pool: a single local session leaves

@@ -33,6 +33,7 @@ object SparkEntry {
     "rbac_role_partition_topk" -> ((s, d) => Partitioned.rolePartitionTopK(s, d, 1, 10)),
     "rbac_comb_partition_topk" -> ((s, d) => Partitioned.combPartitionTopK(s, d, 1, 10)),
     "rbac_dynamic_partition_topk" -> ((s, d) => Partitioned.dynamicPartitionTopK(s, d, 1, 10)),
+    "rbac_costmodel_layout" -> ((s, d) => Partitioned.costModelLayout(s, d)),
     "rbac_batch_ground_truth" -> ((s, d) => Partitioned.batchGroundTruth(s, d, 8, 5)),
     "rbac_space_report" -> ((s, d) => Partitioned.spaceReport(s, d)),
     "rbac_recall_report" -> ((s, d) => Partitioned.recallReport(s, d)),
@@ -119,6 +120,50 @@ object SparkEntry {
   private val acc = "acc AS (SELECT DISTINCT document_id FROM perm JOIN ur USING (role_id))"
   private val qv = "q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)"
 
+  // Cost-model layout replay (mirrors Partitioned.costModelLayout with
+  // α = 2.0, workload users ≤ 20 — SURVEY.md §2 A17). Requires ur_all
+  // and perm CTEs in scope.
+  private val costLayout =
+    """ucomb AS (
+      |  SELECT user_id, string_agg(role_id, ',' ORDER BY role_id) AS comb_key
+      |  FROM ur_all GROUP BY user_id
+      |),
+      |combroles AS (SELECT DISTINCT comb_key, role_id FROM ur_all JOIN ucomb USING (user_id)),
+      |n0 AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+      |combdocs AS (
+      |  SELECT cr.comb_key, count(DISTINCT p.document_id)::BIGINT AS n_docs
+      |  FROM combroles cr JOIN perm p USING (role_id)
+      |  JOIN embeddings e ON p.document_id = e.vec_id
+      |  GROUP BY cr.comb_key
+      |),
+      |wcount AS (
+      |  SELECT u.comb_key, count(*) AS n_queries
+      |  FROM customer c JOIN ucomb u ON u.user_id = c.c_custkey
+      |  WHERE c.c_custkey <= 20 GROUP BY u.comb_key
+      |),
+      |scored AS (
+      |  SELECT d.comb_key,
+      |         round(coalesce(w.n_queries, 0) * d.n_docs / n0.n, 4) AS weight,
+      |         d.n_docs, n0.n AS n0
+      |  FROM combdocs d LEFT JOIN wcount w USING (comb_key), n0
+      |),
+      |benef AS (
+      |  SELECT *, round(weight * (ln(n0) - ln(n_docs)) / n_docs, 10) AS benefit
+      |  FROM scored
+      |),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY benefit DESC, comb_key) AS rnk,
+      |         sum(n_docs) OVER (ORDER BY benefit DESC, comb_key
+      |                           ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM benef
+      |),
+      |layout AS (
+      |  SELECT comb_key, weight, n_docs,
+      |         (CASE WHEN benefit > 0 AND cum <= 1.0 * n0
+      |               THEN rnk ELSE 0 END)::INT AS partition_id
+      |  FROM ranked
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "rbac_accessible_docs" ->
       s"""WITH $ur1, $perm
@@ -178,25 +223,29 @@ object SparkEntry {
          |JOIN comb c ON c.document_id = e.vec_id, q
          |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
          |LIMIT 10""".stripMargin,
+    "rbac_costmodel_layout" ->
+      s"""WITH $urAll, $perm, $costLayout
+         |SELECT comb_key, weight, n_docs, partition_id
+         |FROM layout ORDER BY comb_key""".stripMargin,
     "rbac_dynamic_partition_topk" ->
-      s"""WITH $ur1, $perm, $acc, $qv,
-         |comb AS (
-         |  SELECT document_id, string_agg(role_id, ',' ORDER BY role_id) AS comb_key
-         |  FROM perm GROUP BY document_id
+      s"""WITH $urAll, $ur1, $perm, $acc, $qv, $costLayout,
+         |user_pid AS (
+         |  SELECT l.partition_id FROM layout l
+         |  JOIN ucomb u ON u.comb_key = l.comb_key
+         |  WHERE u.user_id = 1
          |),
-         |layout AS (
-         |  SELECT document_id, ord(substr(md5(comb_key), 1, 1)) % 8 AS partition_id
-         |  FROM comb
+         |partdocs AS (
+         |  SELECT DISTINCT l.partition_id, p.document_id
+         |  FROM combroles cr JOIN perm p USING (role_id)
+         |  JOIN layout l ON l.comb_key = cr.comb_key
          |),
-         |role_partitions AS (
-         |  SELECT DISTINCT p.role_id, l.partition_id
-         |  FROM perm p JOIN layout l USING (document_id)
-         |),
-         |routed AS (SELECT DISTINCT partition_id FROM role_partitions JOIN ur USING (role_id))
-         |SELECT e.vec_id AS block_id, e.vec_id AS document_id, l.partition_id
+         |scandocs AS (
+         |  SELECT pd.partition_id, pd.document_id
+         |  FROM partdocs pd JOIN user_pid up ON pd.partition_id = up.partition_id
+         |)
+         |SELECT e.vec_id AS block_id, e.vec_id AS document_id, sd.partition_id
          |FROM embeddings e
-         |JOIN layout l ON l.document_id = e.vec_id
-         |JOIN routed r ON l.partition_id = r.partition_id
+         |JOIN scandocs sd ON e.vec_id = sd.document_id
          |JOIN acc ON e.vec_id = acc.document_id, q
          |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
          |LIMIT 10""".stripMargin,
@@ -351,6 +400,13 @@ object SparkEntry {
          |SELECT e.vec_id FROM embeddings e, q
          |WHERE e.vec_id <> 0 AND list_distance(e.embedding::DOUBLE[], q.v) < 1.3
          |ORDER BY e.vec_id""".stripMargin,
+    // signature routing is lossless: same oracle as prefilter (SURVEY §2 B10)
+    "qdtree_routed_topk" ->
+      s"""WITH $ur1, $perm, $acc, $qv
+         |SELECT e.vec_id AS block_id, e.vec_id AS document_id
+         |FROM embeddings e JOIN acc ON e.vec_id = acc.document_id, q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
     // triangle pruning is lossless: same oracle as the brute-force range scan
     "ann_range_triangle" ->
       s"""WITH $qv

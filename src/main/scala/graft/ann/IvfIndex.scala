@@ -236,58 +236,62 @@ object IvfIndex {
       .orderBy("vec_id")
   }
 
-  /** B9: qd-tree-style layout (HQI baseline, qd_tree.py:508): leaves
-    * are (k-means cell × role-bucket) — vector locality AND permission
-    * locality in one partitioning key. Output: per-leaf block counts.
+  /** B9: qd-tree layout (HQI baseline, qd_tree.py:508): leaf =
+    * (k-means cell × granting-role-set signature) — vector locality AND
+    * permission locality in one partitioning key. The signature is the
+    * doc's FULL granting role set (`combKeys`), i.e. the fully-split
+    * flat form of the role-predicate splits `find_best_split`
+    * (qd_tree.py:420) applies recursively — which is what makes routing
+    * over these leaves lossless (see qdTreeSearch). Output: per-leaf
+    * block counts.
     */
   def qdTreeAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val assigned = assignments(spark, dir, k)
-    val roleBucket = graft.rbac.Rbac.permissions(spark, dir)
-      .groupBy("document_id")
-      .agg(min("role_id").as("role_bucket"))
+    val sigs = graft.rbac.Partitioned.combKeys(spark, dir)
     assigned
-      .join(roleBucket, assigned("vec_id") === roleBucket("document_id"), "left")
-      .na.fill(-1, Seq("role_bucket"))
-      .groupBy("list_id", "role_bucket")
+      .join(sigs, assigned("vec_id") === sigs("document_id"))
+      .groupBy("list_id", "comb_key")
       .agg(count(lit(1)).as("n_blocks"))
-      .orderBy("list_id", "role_bucket")
+      .orderBy("list_id", "comb_key")
   }
 
-  /** B10: qd-tree routed search — prune BOTH by vector cell (nprobe)
-    * and by the user's role buckets before any distance math
-    * (qd_tree.py:644 find_relevant_partitions). Routing by min-role
-    * bucket is deliberately lossy (a doc whose bucket role isn't among
-    * the user's roles is skipped even if another role grants it) —
-    * that's the recall/pruning tradeoff the qd-tree leaf predicate
-    * makes; the ScalaTest asserts precision (only accessible blocks),
-    * recall is governed by the layout.
+  /** B10: qd-tree routed search (qd_tree.py:644
+    * find_relevant_partitions): route to exactly the leaves whose
+    * role-set signature INTERSECTS the user's roles. A doc is
+    * accessible iff its granting set intersects the user's roles, so
+    * signature routing is LOSSLESS — the routed scan holds exactly the
+    * accessible blocks and the result equals the prefilter answer
+    * (shared DuckDB oracle). `nprobe > 0` additionally prunes the
+    * vector dimension of the leaf key (the recall/latency knob the
+    * qd-tree layout offers at scale — asserted ≥ recall floor in
+    * ScalaTest); 0 scans all routed cells = exact.
     */
   def qdTreeSearch(spark: SparkSession, dir: String, userId: Long, k: Int = 8,
-                   nprobe: Int = 4, topk: Int = 10): DataFrame = {
-    val idx = getOrBuild(spark, dir, k)
-    val lists = probeLists(idx, queryVec(spark, dir, 0), nprobe)
-    val userRoles = graft.rbac.Rbac.userRoles(spark, dir)
+                   nprobe: Int = 0, topk: Int = 10): DataFrame = {
+    val ur = graft.rbac.Rbac.userRoles(spark, dir)
       .filter(col("user_id") === userId).select("role_id")
-    val docBuckets = graft.rbac.Rbac.permissions(spark, dir)
-      .groupBy("document_id").agg(min("role_id").as("role_bucket"))
-    // leaves whose role_bucket belongs to one of the user's roles
-    val routedDocs = docBuckets
-      .join(broadcast(userRoles), docBuckets("role_bucket") === userRoles("role_id"), "left_semi")
-    val acc = graft.rbac.Rbac.accessibleDocs(spark, dir, userId)
-    Tables.embeddings(spark, dir).select("vec_id", "embedding")
-      .join(assignments(spark, dir, k).filter(col("list_id").isin(lists: _*)), "vec_id")
-      .join(broadcast(routedDocs.select(col("document_id"))),
-        col("vec_id") === col("document_id"), "left_semi")
-      // exact permission check on the routed candidates (reference keeps
-      // the permission filter in the merge step, search.py:114)
-      .join(broadcast(acc.withColumnRenamed("document_id", "acc_doc")),
-        col("vec_id") === col("acc_doc"), "left_semi")
+    // leaf signatures intersecting the user's roles (tiny: ≤ #combs)
+    val routedSigs = graft.rbac.Rbac.permissions(spark, dir)
+      .join(graft.rbac.Partitioned.combKeys(spark, dir), "document_id")
+      .select("comb_key", "role_id").distinct()
+      .join(broadcast(ur), "role_id")
+      .select("comb_key").distinct()
+    val base = graft.rbac.Rbac.blocks(spark, dir)
+      .join(graft.rbac.Partitioned.combKeys(spark, dir), "document_id")
+      .join(broadcast(routedSigs), Seq("comb_key"), "left_semi") // leaf routing
+    val routed = if (nprobe > 0) {
+      val lists = probeLists(getOrBuild(spark, dir, k), queryVec(spark, dir, 0), nprobe)
+      base.join(
+        assignments(spark, dir, k).filter(col("list_id").isin(lists: _*)),
+        col("block_id") === col("vec_id"), "left_semi")
+    } else base
+    routed
       .crossJoin(broadcast(
         Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
           .select(col("embedding").as("qvec"))))
       .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
-      .orderBy(col("dist"), col("vec_id"))
+      .orderBy(col("dist"), col("block_id"))
       .limit(topk)
-      .select("vec_id", "list_id")
+      .select("block_id", "document_id")
   }
 }

@@ -45,28 +45,36 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
     out
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cb = ctx.addReferenceObj("codebook", codebook, "float[][][]")
+    val cbRef = ctx.addReferenceObj("codebook", codebook, "float[][][]")
+    // all locals fresh-named: janino block-scopes for-init declarations,
+    // so fixed names collide when two kernels share a projection
+    val (cb, nSub, subDim, out) = (ctx.freshName("cb"), ctx.freshName("nSub"),
+      ctx.freshName("subDim"), ctx.freshName("out"))
+    val (s, best, bestD, cs, c, cent, acc, i, d) = (ctx.freshName("s"),
+      ctx.freshName("best"), ctx.freshName("bestD"), ctx.freshName("cs"),
+      ctx.freshName("c"), ctx.freshName("cent"), ctx.freshName("acc"),
+      ctx.freshName("i"), ctx.freshName("d"))
     nullSafeCodeGen(ctx, ev, v =>
       s"""
-         |float[][][] cb = $cb;
-         |int nSub = cb.length;
-         |int subDim = cb[0][0].length;
-         |byte[] out = new byte[nSub];
-         |for (int s = 0; s < nSub; s++) {
-         |  int best = 0; float bestD = Float.MAX_VALUE;
-         |  float[][] cs = cb[s];
-         |  for (int c = 0; c < cs.length; c++) {
-         |    float[] cent = cs[c];
-         |    float acc = 0.0f;
-         |    for (int i = 0; i < subDim; i++) {
-         |      float d = $v.getFloat(s * subDim + i) - cent[i];
-         |      acc += d * d;
+         |float[][][] $cb = $cbRef;
+         |int $nSub = $cb.length;
+         |int $subDim = $cb[0][0].length;
+         |byte[] $out = new byte[$nSub];
+         |for (int $s = 0; $s < $nSub; $s++) {
+         |  int $best = 0; float $bestD = Float.MAX_VALUE;
+         |  float[][] $cs = $cb[$s];
+         |  for (int $c = 0; $c < $cs.length; $c++) {
+         |    float[] $cent = $cs[$c];
+         |    float $acc = 0.0f;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      float $d = $v.getFloat($s * $subDim + $i) - $cent[$i];
+         |      $acc += $d * $d;
          |    }
-         |    if (acc < bestD) { bestD = acc; best = c; }
+         |    if ($acc < $bestD) { $bestD = $acc; $best = $c; }
          |  }
-         |  out[s] = (byte) best;
+         |  $out[$s] = (byte) $best;
          |}
-         |${ev.value} = out;
+         |${ev.value} = $out;
        """.stripMargin)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -92,16 +100,18 @@ case class PqAdcDistance(child: Expression, table: Array[Array[Float]])
   // ADC IS the innermost loop of the PQ scan — per-row interpreted eval
   // with boxing would undercut the 32×-fewer-bytes argument entirely
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val tbl = ctx.addReferenceObj("adcTable", table, "float[][]")
+    val tblRef = ctx.addReferenceObj("adcTable", table, "float[][]")
+    val (tbl, code, acc, s) = (ctx.freshName("tbl"), ctx.freshName("code"),
+      ctx.freshName("acc"), ctx.freshName("s"))
     nullSafeCodeGen(ctx, ev, v =>
       s"""
-         |float[][] tbl = $tbl;
-         |byte[] code = $v;
-         |double acc = 0.0;
-         |for (int s = 0; s < code.length; s++) {
-         |  acc += (double) tbl[s][code[s] & 0xff];
+         |float[][] $tbl = $tblRef;
+         |byte[] $code = $v;
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $code.length; $s++) {
+         |  $acc += (double) $tbl[$s][$code[$s] & 0xff];
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -16,6 +16,11 @@ import org.apache.spark.sql.types._
   * tight primitive loop over `ArrayData`, no boxing, no UDF serialization —
   * this is the hot inner loop of every ANN scan, so it must stay inside
   * WholeStageCodegen at 100 TB scale.
+  *
+  * All generated locals come from `ctx.freshName`: janino scopes
+  * for-init declarations to the enclosing block, so two kernel instances
+  * in one projection would otherwise collide ("redefinition of local
+  * variable") and silently fall back to interpreted eval.
   */
 abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInputTypes {
   // return type inferred — AbstractDataType is private[sql]
@@ -26,14 +31,14 @@ abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInput
   /** Scalar kernel over two equal-length float arrays. */
   protected def kernel(x: ArrayData, y: ArrayData): Double
 
-  /** Java source for the loop body; `x`/`y` are ArrayData, result into `ev`. */
-  protected def genLoop(x: String, y: String, result: String): String
+  /** Java source for the loop body; `x`/`y` are ArrayData, result into `result`. */
+  protected def genLoop(ctx: CodegenContext, x: String, y: String, result: String): String
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => genLoop(x, y, ev.value.toString))
+    nullSafeCodeGen(ctx, ev, (x, y) => genLoop(ctx, x, y, ev.value.toString))
 }
 
 /** Euclidean distance — pgvector `<->`. */
@@ -44,16 +49,18 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
     while (i < n) { val d = x.getFloat(i) - y.getFloat(i); s += d * d; i += 1 }
     math.sqrt(s)
   }
-  protected def genLoop(x: String, y: String, result: String): String =
+  protected def genLoop(ctx: CodegenContext, x: String, y: String, result: String): String = {
+    val (n, s, i, d) = (ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("i"), ctx.freshName("d"))
     s"""
-       |int n = $x.numElements();
-       |double s = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double d = (double) $x.getFloat(i) - (double) $y.getFloat(i);
-       |  s += d * d;
+       |int $n = $x.numElements();
+       |double $s = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
+       |  $s += $d * $d;
        |}
-       |$result = Math.sqrt(s);
+       |$result = Math.sqrt($s);
      """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -66,16 +73,18 @@ case class L2DistanceSq(left: Expression, right: Expression) extends VectorBinar
     while (i < n) { val d = x.getFloat(i) - y.getFloat(i); s += d * d; i += 1 }
     s
   }
-  protected def genLoop(x: String, y: String, result: String): String =
+  protected def genLoop(ctx: CodegenContext, x: String, y: String, result: String): String = {
+    val (n, s, i, d) = (ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("i"), ctx.freshName("d"))
     s"""
-       |int n = $x.numElements();
-       |double s = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double d = (double) $x.getFloat(i) - (double) $y.getFloat(i);
-       |  s += d * d;
+       |int $n = $x.numElements();
+       |double $s = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
+       |  $s += $d * $d;
        |}
-       |$result = s;
+       |$result = $s;
      """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -88,15 +97,17 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
     s
   }
-  protected def genLoop(x: String, y: String, result: String): String =
+  protected def genLoop(ctx: CodegenContext, x: String, y: String, result: String): String = {
+    val (n, s, i) = (ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("i"))
     s"""
-       |int n = $x.numElements();
-       |double s = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  s += (double) $x.getFloat(i) * (double) $y.getFloat(i);
+       |int $n = $x.numElements();
+       |double $s = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
        |}
-       |$result = s;
+       |$result = $s;
      """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -114,18 +125,22 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     val denom = math.sqrt(nx) * math.sqrt(ny)
     if (denom == 0.0) 0.0 else dot / denom
   }
-  protected def genLoop(x: String, y: String, result: String): String =
+  protected def genLoop(ctx: CodegenContext, x: String, y: String, result: String): String = {
+    val (n, i) = (ctx.freshName("n"), ctx.freshName("i"))
+    val (dot, nx, ny) = (ctx.freshName("dot"), ctx.freshName("nx"), ctx.freshName("ny"))
+    val (a, b, denom) = (ctx.freshName("a"), ctx.freshName("b"), ctx.freshName("denom"))
     s"""
-       |int n = $x.numElements();
-       |double dot = 0.0, nx = 0.0, ny = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double a = (double) $x.getFloat(i);
-       |  double b = (double) $y.getFloat(i);
-       |  dot += a * b; nx += a * a; ny += b * b;
+       |int $n = $x.numElements();
+       |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $a = (double) $x.getFloat($i);
+       |  double $b = (double) $y.getFloat($i);
+       |  $dot += $a * $b; $nx += $a * $a; $ny += $b * $b;
        |}
-       |double denom = Math.sqrt(nx) * Math.sqrt(ny);
-       |$result = (denom == 0.0) ? 0.0 : dot / denom;
+       |double $denom = Math.sqrt($nx) * Math.sqrt($ny);
+       |$result = ($denom == 0.0) ? 0.0 : $dot / $denom;
      """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -142,14 +157,16 @@ case class VectorNorm(child: Expression) extends UnaryExpression with ExpectsInp
     while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
     math.sqrt(s)
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (n, s, i, v) = (ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("i"), ctx.freshName("v"))
     nullSafeCodeGen(ctx, ev, x =>
       s"""
-         |int n = $x.numElements();
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) { double v = (double) $x.getFloat(i); s += v * v; }
-         |${ev.value} = Math.sqrt(s);
+         |int $n = $x.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { double $v = (double) $x.getFloat($i); $s += $v * $v; }
+         |${ev.value} = Math.sqrt($s);
        """.stripMargin)
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -184,22 +201,26 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   // the scan stage of every IVF build/search plan)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val (cm, dim) = (ctx.freshName("cents"), ctx.freshName("dim"))
+    val (best, bestD) = (ctx.freshName("best"), ctx.freshName("bestD"))
+    val (c, cent, n, s, i, d) = (ctx.freshName("c"), ctx.freshName("cent"),
+      ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("i"), ctx.freshName("d"))
     nullSafeCodeGen(ctx, ev, v =>
       s"""
-         |float[][] cents = $cents;
-         |int dim = $v.numElements();
-         |int best = 0; double bestD = Double.MAX_VALUE;
-         |for (int c = 0; c < cents.length; c++) {
-         |  float[] cent = cents[c];
-         |  int n = Math.min(dim, cent.length);
-         |  double s = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double d = (double) $v.getFloat(i) - (double) cent[i];
-         |    s += d * d;
+         |float[][] $cm = $cents;
+         |int $dim = $v.numElements();
+         |int $best = 0; double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cm.length; $c++) {
+         |  float[] $cent = $cm[$c];
+         |  int $n = Math.min($dim, $cent.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $v.getFloat($i) - (double) $cent[$i];
+         |    $s += $d * $d;
          |  }
-         |  if (s < bestD) { bestD = s; best = c; }
+         |  if ($s < $bestD) { $bestD = $s; $best = $c; }
          |}
-         |${ev.value} = best;
+         |${ev.value} = $best;
        """.stripMargin)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -234,22 +255,25 @@ case class CentroidDistances(child: Expression, centroids: Array[Array[Float]])
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val (cm, dim, out) = (ctx.freshName("cents"), ctx.freshName("dim"), ctx.freshName("out"))
+    val (c, cent, n, s, i, d) = (ctx.freshName("c"), ctx.freshName("cent"),
+      ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("i"), ctx.freshName("d"))
     nullSafeCodeGen(ctx, ev, v =>
       s"""
-         |float[][] cents = $cents;
-         |int dim = $v.numElements();
-         |double[] out = new double[cents.length];
-         |for (int c = 0; c < cents.length; c++) {
-         |  float[] cent = cents[c];
-         |  int n = Math.min(dim, cent.length);
-         |  double s = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double d = (double) $v.getFloat(i) - (double) cent[i];
-         |    s += d * d;
+         |float[][] $cm = $cents;
+         |int $dim = $v.numElements();
+         |double[] $out = new double[$cm.length];
+         |for (int $c = 0; $c < $cm.length; $c++) {
+         |  float[] $cent = $cm[$c];
+         |  int $n = Math.min($dim, $cent.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $v.getFloat($i) - (double) $cent[$i];
+         |    $s += $d * $d;
          |  }
-         |  out[c] = Math.sqrt(s);
+         |  $out[$c] = Math.sqrt($s);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray(out);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -277,17 +301,21 @@ case class VectorNormalize(child: Expression)
     while (i < n) { out(i) = (v.getFloat(i) * inv).toFloat; i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (n, s, i, j, x, inv, out) = (ctx.freshName("n"), ctx.freshName("s"),
+      ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("x"),
+      ctx.freshName("inv"), ctx.freshName("out"))
     nullSafeCodeGen(ctx, ev, v =>
       s"""
-         |int n = $v.numElements();
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) { double x = (double) $v.getFloat(i); s += x * x; }
-         |double inv = (s == 0.0) ? 0.0 : 1.0 / Math.sqrt(s);
-         |float[] out = new float[n];
-         |for (int i = 0; i < n; i++) { out[i] = (float) ($v.getFloat(i) * inv); }
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray(out);
+         |int $n = $v.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { double $x = (double) $v.getFloat($i); $s += $x * $x; }
+         |double $inv = ($s == 0.0) ? 0.0 : 1.0 / Math.sqrt($s);
+         |float[] $out = new float[$n];
+         |for (int $j = 0; $j < $n; $j++) { $out[$j] = (float) ($v.getFloat($j) * $inv); }
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin)
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

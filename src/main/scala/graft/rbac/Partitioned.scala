@@ -82,38 +82,118 @@ object Partitioned {
       .select("block_id", "document_id", "comb_key")
   }
 
-  /** Dynamic layout: comb-key-hashed partition id, engine-portable
-    * (ascii of first md5 hex char, mod nParts — reproducible in any
-    * SQL engine; stands in for the reference's cost-model assignment,
-    * hnsw/AnonySys_dynamic_partition.py).
+  /** Hash layout: comb-key-hashed partition id, engine-portable (ascii
+    * of first md5 hex char, mod nParts). Kept as the load-refinement
+    * substrate for A14 (heavy_partition_refine); A7 routing now runs on
+    * the cost-model layout below.
     */
   def dynamicLayout(spark: SparkSession, dir: String, nParts: Int): DataFrame =
     combKeys(spark, dir)
       .withColumn("partition_id",
         ascii(substring(md5(col("comb_key")), 1, 1)) % nParts)
 
-  /** A7: dynamic-partition search (search.py:31): user roles →
-    * RolePartitions routing table → scan routed partitions → merge with
-    * permission post-filter (merge_results_with_filter, search.py:114).
+  /** USER role combinations (user-side, ≤ #role-pairs — distinct from
+    * `combKeys` which is the DOC-side granting-set signature): each
+    * user's sorted role set, the unit the reference's cost model
+    * assigns to partitions (init_user_role_combination_data,
+    * AnonySys_dynamic_partition.py:38).
+    */
+  def userCombs(spark: SparkSession, dir: String): DataFrame =
+    Rbac.userRoles(spark, dir)
+      .groupBy("user_id")
+      .agg(concat_ws(",", sort_array(collect_set(col("role_id")))).as("comb_key"))
+
+  /** A17: cost-model dynamic partition assignment — the reference's
+    * research contribution (AnonySys_dynamic_partition.py), as a batch
+    * Spark job with a deterministic, DuckDB-replayable result.
+    *
+    *  - role weights FROM THE QUERY WORKLOAD (:69
+    *    calculate_role_weights_from_queries): weight(comb) = Σ over
+    *    workload queries by the comb's users of the user's block
+    *    selectivity (= n_docs(comb)/N — users of a comb share it);
+    *  - query-cost model (:114 compute_query_time): a comb scanning a
+    *    partition of n docs costs weight·log(n)·(a·ef+b), so splitting
+    *    comb c out of the shared partition (N docs) into its own
+    *    (n_docs(c)) saves weight·(log N − log n_docs) at a storage cost
+    *    of n_docs — the greedy split order (:425 split_comb_roles pops
+    *    the best delta-per-storage from a priority queue) becomes
+    *    benefit = weight·(ln N − ln n_docs)/n_docs, descending;
+    *  - storage budget (:440 `while Σ loads ≤ α·N`): dedicate
+    *    partitions down the benefit ranking while the duplicated bytes
+    *    fit, i.e. cumulative n_docs ≤ (α−1)·N; everything after shares
+    *    partition 0 — the split/merge equilibrium the reference's loop
+    *    converges to, computed here as one ranking + one running sum
+    *    (two window functions — no iteration, same greedy order).
+    */
+  def costModelLayout(spark: SparkSession, dir: String, alpha: Double = 2.0,
+                      nQueries: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = Rbac.blocks(spark, dir).select("document_id")
+    val total = blocks.agg(count(lit(1)).as("n0"))
+    val combRoles = Rbac.userRoles(spark, dir)
+      .join(userCombs(spark, dir), "user_id")
+      .select("comb_key", "role_id").distinct()
+    val combDocs = combRoles
+      .join(Rbac.permissions(spark, dir), "role_id")
+      .join(blocks, "document_id")
+      .select("comb_key", "document_id").distinct()
+      .groupBy("comb_key").agg(countDistinct("document_id").as("n_docs"))
+    val weights = Maintenance.workloadGen(spark, dir, nQueries)
+      .select("user_id")
+      .join(userCombs(spark, dir), "user_id")
+      .groupBy("comb_key").agg(count(lit(1)).as("n_queries"))
+    val scored = combDocs
+      .join(weights, Seq("comb_key"), "left")
+      .na.fill(0L, Seq("n_queries"))
+      .crossJoin(broadcast(total))
+      .withColumn("weight",
+        round(col("n_queries") * col("n_docs") / col("n0").cast("double"), 4))
+      .withColumn("benefit",
+        round(col("weight") * (log(col("n0")) - log(col("n_docs"))) / col("n_docs"), 10))
+    val byBenefit = Window.orderBy(col("benefit").desc, col("comb_key"))
+    scored
+      .withColumn("rnk", row_number().over(byBenefit))
+      .withColumn("cum", sum(col("n_docs")).over(
+        byBenefit.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("partition_id",
+        when(col("benefit") > 0 && col("cum") <= (lit(alpha) - 1) * col("n0"),
+          col("rnk")).otherwise(lit(0)))
+      .select("comb_key", "weight", "n_docs", "partition_id")
+      .orderBy("comb_key")
+  }
+
+  /** A7: dynamic-partition search over the COST-MODEL layout
+    * (search.py:31): the user's role combination routes to its
+    * partition (dedicated if split, else the shared partition 0); only
+    * that partition's doc set is scanned; permission filter at merge
+    * time (merge_results_with_filter, search.py:114). Exact: a split
+    * comb's partition holds exactly its accessible docs, and partition
+    * 0 holds every unsplit comb's docs.
     */
   def dynamicPartitionTopK(spark: SparkSession, dir: String, userId: Long, k: Int,
-                           nParts: Int = 8): DataFrame = {
-    val layout = dynamicLayout(spark, dir, nParts)
-    val ur = Rbac.userRoles(spark, dir).filter(col("user_id") === userId).select("role_id")
-    // RolePartitions: role → partitions holding ≥1 doc granted to it
-    val rolePartitions = Rbac.permissions(spark, dir)
-      .join(layout, "document_id")
-      .select("role_id", "partition_id").distinct()
-    val routed = rolePartitions.join(broadcast(ur), "role_id")
-      .select("partition_id").distinct()
+                           alpha: Double = 2.0): DataFrame = {
+    val layout = costModelLayout(spark, dir, alpha)
+    val routedPid = layout
+      .join(userCombs(spark, dir).filter(col("user_id") === userId), "comb_key")
+      .select("partition_id")
+    // partition → doc set (docs duplicated across partitions: the
+    // storage the α budget pays for)
+    val combRoles = Rbac.userRoles(spark, dir)
+      .join(userCombs(spark, dir), "user_id")
+      .select("comb_key", "role_id").distinct()
+    val partDocs = combRoles
+      .join(Rbac.permissions(spark, dir), "role_id")
+      .join(layout.select("comb_key", "partition_id"), "comb_key")
+      .select("partition_id", "document_id").distinct()
+    val scanDocs = partDocs
+      .join(broadcast(routedPid), Seq("partition_id"), "left_semi")
     val acc = Rbac.accessibleDocs(spark, dir, userId)
     Rbac.blocks(spark, dir)
-      .join(layout.select("document_id", "partition_id"), "document_id")
-      .join(broadcast(routed), Seq("partition_id"), "left_semi") // routed scan
+      .join(broadcast(scanDocs), "document_id") // routed-partition scan
       .crossJoin(broadcast(Rbac.queryVector(spark, dir)))
       .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
-      // permission filter at merge time — routed partitions may hold
-      // blocks the user cannot read
+      // permission filter at merge time — the shared partition holds
+      // blocks of other combs the user cannot read
       .join(broadcast(acc), Seq("document_id"), "left_semi")
       .orderBy(col("dist"), col("block_id"))
       .limit(k)

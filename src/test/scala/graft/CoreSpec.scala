@@ -161,11 +161,20 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(role == expect && comb == expect && dyn == expect)
   }
 
-  test("qd-tree routed search returns only accessible blocks") {
+  test("qd-tree signature routing is lossless: routed search = prefilter") {
+    import graft.rbac.Rbac
+    val expect = Rbac.prefilterTopK(spark, sf, 1, 10).collect().map(_.getLong(0)).toSeq
+    val got = IvfIndex.qdTreeSearch(spark, sf, 1).collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+  }
+
+  test("qd-tree nprobe vector pruning keeps precision and decent recall") {
     import graft.rbac.Rbac
     val acc = Rbac.accessibleDocs(spark, sf, 1).collect().map(_.getLong(0)).toSet
-    val got = IvfIndex.qdTreeSearch(spark, sf, 1).collect().map(_.getLong(0))
-    assert(got.nonEmpty && got.forall(acc.contains))
+    val exact = IvfIndex.qdTreeSearch(spark, sf, 1).collect().map(_.getLong(0)).toSet
+    val probed = IvfIndex.qdTreeSearch(spark, sf, 1, nprobe = 4).collect().map(_.getLong(0)).toSet
+    assert(probed.nonEmpty && probed.forall(acc.contains)) // precision: only accessible
+    assert(probed.intersect(exact).size >= 2, s"recall too low: ${probed.intersect(exact).size}/10")
   }
 }
 
@@ -404,6 +413,34 @@ class ResizePlanSpec extends AnyFunSuite {
       assert(ow <= 224 && oh <= 224)
       assert(ow == math.floor(w * scale).toInt && oh == math.floor(h * scale).toInt)
       assert(scale > 0)
+    }
+  }
+}
+
+class CostModelSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.rbac.{Partitioned, Rbac}
+
+  test("cost-model layout: unique combs, budget respected, benefit-ordered prefix") {
+    val rows = Partitioned.costModelLayout(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    val n0 = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._1).distinct.length == rows.length) // one partition per comb
+    val split = rows.filter(_._4 > 0)
+    assert(split.nonEmpty, "at least one comb should earn a dedicated partition")
+    assert(split.map(_._3).sum <= n0, "dedicated storage exceeds the (α−1)·N budget")
+    assert(split.map(_._4).sorted.toSeq == (1 to split.length), "pids must be the ranking prefix")
+    val ben = split.sortBy(_._4)
+      .map(t => t._2 * (math.log(n0.toDouble) - math.log(t._3.toDouble)) / t._3)
+    assert(ben.zip(ben.tail).forall { case (a, b) => a >= b - 1e-12 },
+      "split order must follow the cost-model benefit")
+  }
+
+  test("cost-model routed search equals prefilter for several users") {
+    for (u <- Seq(1L, 2L, 7L)) {
+      val expect = Rbac.prefilterTopK(spark, sf, u, 10).collect().map(_.getLong(0)).toSeq
+      val got = Partitioned.dynamicPartitionTopK(spark, sf, u, 10).collect().map(_.getLong(0)).toSeq
+      assert(got == expect, s"user $u: routed result diverged from prefilter")
     }
   }
 }
