@@ -34,6 +34,7 @@ object SparkEntry {
     "rbac_comb_partition_topk" -> ((s, d) => Partitioned.combPartitionTopK(s, d, 1, 10)),
     "rbac_dynamic_partition_topk" -> ((s, d) => Partitioned.dynamicPartitionTopK(s, d, 1, 10)),
     "rbac_costmodel_layout" -> ((s, d) => Partitioned.costModelLayout(s, d)),
+    "rbac_user_partition_topk" -> ((s, d) => Partitioned.userPartitionTopK(s, d, 1, 10)),
     "rbac_batch_ground_truth" -> ((s, d) => Partitioned.batchGroundTruth(s, d, 8, 5)),
     "rbac_space_report" -> ((s, d) => Partitioned.spaceReport(s, d)),
     "rbac_recall_report" -> ((s, d) => Partitioned.recallReport(s, d)),
@@ -206,6 +207,13 @@ object SparkEntry {
          |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
          |LIMIT 10""".stripMargin,
     "rbac_role_partition_topk" ->
+      s"""WITH $ur1, $perm, $acc, $qv
+         |SELECT e.vec_id AS block_id, e.vec_id AS document_id
+         |FROM embeddings e JOIN acc ON e.vec_id = acc.document_id, q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
+    // the per-user partition holds exactly the accessible set → prefilter oracle
+    "rbac_user_partition_topk" ->
       s"""WITH $ur1, $perm, $acc, $qv
          |SELECT e.vec_id AS block_id, e.vec_id AS document_id
          |FROM embeddings e JOIN acc ON e.vec_id = acc.document_id, q

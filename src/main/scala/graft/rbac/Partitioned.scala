@@ -200,6 +200,37 @@ object Partitioned {
       .select("block_id", "document_id", "partition_id")
   }
 
+  /** Per-user layout (initialize_partitions.py:103
+    * initialize_user_partitions, `documentblocks_user_%`): one
+    * partition per user holding exactly that user's accessible blocks —
+    * the paper's strawman layout: zero query-time filtering, maximal
+    * duplication (storage ∝ Σ per-user selectivity, which is why it
+    * only ever materializes a bounded user set).
+    */
+  def userLayout(spark: SparkSession, dir: String, maxUsers: Int = 32): DataFrame = {
+    val ud = Rbac.userRoles(spark, dir)
+      .filter(col("user_id") <= maxUsers)
+      .join(Rbac.permissions(spark, dir), "role_id")
+      .select("user_id", "document_id").distinct()
+    Rbac.blocks(spark, dir)
+      .join(ud, "document_id")
+      .select(col("user_id").as("partition_user"), col("block_id"),
+        col("document_id"), col("embedding"))
+  }
+
+  /** A18: per-user-partition search — scan ONLY the user's partition;
+    * no permission work at query time (the layout prepaid it). At scale
+    * the partition_user filter is parquet directory pruning.
+    */
+  def userPartitionTopK(spark: SparkSession, dir: String, userId: Long, k: Int): DataFrame =
+    userLayout(spark, dir)
+      .filter(col("partition_user") === userId)
+      .crossJoin(broadcast(Rbac.queryVector(spark, dir)))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("block_id"))
+      .limit(k)
+      .select("block_id", "document_id")
+
   /** A8: batch ground truth (compute_ground_truth.py): exact top-k per
     * (user u, query vector u-1) pair for users 1..nUsers, in ONE
     * distributed pass — queries and grants broadcast, corpus scanned

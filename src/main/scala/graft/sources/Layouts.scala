@@ -24,10 +24,17 @@ import graft.rbac.Rbac
 object Layouts {
 
   /** Write the role-partitioned layout; returns the layout path. */
-  def materializeRoleLayout(spark: SparkSession, dir: String, outDir: String): String = {
+  def materializeRoleLayout(spark: SparkSession, dir: String, outDir: String): String =
+    materializeRoleLayoutFrom(spark, dir, Rbac.blocks(spark, dir), outDir)
+
+  /** Same, from an explicit block set (lets tests hold out an "insert"
+    * batch to compact in later).
+    */
+  def materializeRoleLayoutFrom(spark: SparkSession, dir: String,
+                                blocks: DataFrame, outDir: String): String = {
     val path = s"$outDir/blocks_by_role"
     if (!Files.exists(Paths.get(path))) {
-      Rbac.blocks(spark, dir)
+      blocks
         .join(Rbac.permissions(spark, dir), "document_id")
         .select(col("role_id").as("partition_role"), col("block_id"),
           col("document_id"), col("embedding"))
@@ -35,6 +42,37 @@ object Layouts {
         .write.partitionBy("partition_role").mode("overwrite").parquet(path)
     }
     path
+  }
+
+  /** Incremental layout maintenance — the batch half of the insertion
+    * story (reference: hnsw/insertion.py routes new blocks into
+    * existing partitions and updates their indexes; G3/VectorStream is
+    * the arrival half). Merges a batch of inserted blocks into the
+    * materialized role layout:
+    *   - each insert is routed to the partitions of its granting roles
+    *     (same duplication rule the original build used);
+    *   - an anti-join against the layout's existing (partition, block)
+    *     keys makes the job IDEMPOTENT — re-running the same batch
+    *     appends nothing;
+    *   - only affected partition directories receive files (append of
+    *     the delta — at 100 TB you periodically rewrite a partition
+    *     when its delta-file count grows, which is this same job with
+    *     an overwrite of that partition).
+    * Search over the compacted layout needs no special handling:
+    * `prunedRoleSearch` already dedups blocks per partition.
+    */
+  def compactInserts(spark: SparkSession, dir: String, layoutPath: String,
+                     inserts: DataFrame): Unit = {
+    val routed = inserts
+      .join(Rbac.permissions(spark, dir), "document_id")
+      .select(col("role_id").as("partition_role"), col("block_id"),
+        col("document_id"), col("embedding"))
+    val existing = spark.read.parquet(layoutPath)
+      .select("partition_role", "block_id")
+    routed
+      .join(existing, Seq("partition_role", "block_id"), "left_anti") // idempotent
+      .repartition(col("partition_role"))
+      .write.partitionBy("partition_role").mode("append").parquet(layoutPath)
   }
 
   /** Top-k over the materialized layout: the role predicate is a

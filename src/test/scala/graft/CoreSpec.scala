@@ -277,6 +277,26 @@ class LayoutStreamSpec extends AnyFunSuite {
       plan.contains("partition_role"), "expected partition pruning in scan")
   }
 
+  test("incremental compaction merges inserts idempotently, search matches rebuild") {
+    import graft.rbac.Rbac
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val all = Rbac.blocks(spark, sf)
+    val holdout = all.filter(col("block_id") % 13 === 0) // "arriving" batch
+    val path = Layouts.materializeRoleLayoutFrom(spark, sf,
+      all.filter(col("block_id") % 13 =!= 0), out)
+    Layouts.compactInserts(spark, sf, path, holdout)
+    Layouts.compactInserts(spark, sf, path, holdout) // re-run: must be a no-op
+    // storage idempotency: compacted layout = full-rebuild cardinality
+    val fullCount = all.join(Rbac.permissions(spark, sf), "document_id").count()
+    assert(spark.read.parquet(path).count() == fullCount)
+    // post-compaction pruned search ≡ search over a batch-rebuilt layout
+    val expect = Rbac.prefilterTopK(spark, sf, 1, 10).collect().map(_.getLong(0)).toSeq
+    val got = Layouts.prunedRoleSearch(spark, sf, path, 1, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+  }
+
   test("streaming IVF assignment converges to the batch build report") {
     import graft.ann.IvfIndex
     val q = EventStream.runToMemory(spark,
