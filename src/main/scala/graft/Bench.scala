@@ -34,6 +34,7 @@ object Bench {
       graft.ann.IvfIndex.assignments(spark, sfDir, 16).count()
       graft.ann.IvfIndex.assignments(spark, sfDir, 8).count()
       graft.ann.IvfIndex.cellRadii(spark, sfDir, 16)       // knn-graph pruning bound
+      graft.ann.IvfIndex.withCells(spark, sfDir, 16).count()
       graft.ann.IvfIndex.getOrBuildUnit(spark, sfDir, 8)   // cosine-blocking index
       graft.ann.IvfIndex.cellRadii(spark, sfDir, 8, unit = true)
       graft.ann.PqIndex.getOrBuild(spark, sfDir)

@@ -273,7 +273,7 @@ object SparkEntry {
          |  ORDER BY list_distance(e.embedding::DOUBLE[], qs.v), e.vec_id) <= 5
          |ORDER BY ud.user_id, block_id""".stripMargin,
     "rbac_space_report" ->
-      s"""WITH $perm
+      s"""WITH $urAll, $perm, $costLayout
          |SELECT 'base' AS layout, count(*)::BIGINT AS n_rows,
          |       (count(*) * 272)::BIGINT AS est_bytes FROM embeddings
          |UNION ALL
@@ -282,6 +282,16 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'role_partition', count(*)::BIGINT, (count(*) * 272)::BIGINT
          |FROM embeddings e JOIN perm p ON e.vec_id = p.document_id
+         |UNION ALL
+         |SELECT 'user_partition', count(*)::BIGINT, (count(*) * 272)::BIGINT
+         |FROM (SELECT DISTINCT u.user_id, p.document_id
+         |      FROM ur_all u JOIN perm p USING (role_id) WHERE u.user_id <= 32) x
+         |JOIN embeddings e ON x.document_id = e.vec_id
+         |UNION ALL
+         |SELECT 'costmodel_partition', count(*)::BIGINT, (count(*) * 272)::BIGINT
+         |FROM (SELECT DISTINCT l.partition_id, p.document_id
+         |      FROM combroles cr JOIN perm p USING (role_id)
+         |      JOIN layout l ON l.comb_key = cr.comb_key)
          |ORDER BY layout""".stripMargin,
     "rbac_recall_report" ->
       s"""WITH $urAll, $perm,

@@ -101,9 +101,7 @@ object Ann {
     val idx = IvfIndex.getOrBuild(spark, dir, cells)
     val radiiDf = broadcast(spark.createDataFrame(
       IvfIndex.cellRadii(spark, dir, cells).toSeq).toDF("cell", "radius"))
-    val e = corpus(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("cell", nearest_centroid(col("embedding"), idx.centroids))
+    val e = IvfIndex.withCells(spark, dir, cells)
     val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("cell"))
     val b = e.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("cell"))
     val bound = a.join(b, "cell")

@@ -64,6 +64,23 @@ object IvfIndex {
         .persist() // the assignment IS the index; reused across searches
     })
 
+  private val withCellsCache = TrieMap.empty[(String, Int), DataFrame]
+
+  /** Corpus with its cell id attached, persisted — the in-memory mirror
+    * of the cell-partitioned parquet the index build writes at scale.
+    * The bucketed self-joins (kNN graph) read it on both sides instead
+    * of re-scanning + re-assigning per branch.
+    */
+  def withCells(spark: SparkSession, dir: String, k: Int): DataFrame =
+    withCellsCache.getOrElseUpdate((dir, k), {
+      val idx = getOrBuild(spark, dir, k)
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("cell", nearest_centroid(col("embedding"), idx.centroids))
+        .persist()
+    })
+
   private val radiiCache = TrieMap.empty[(String, Int, Boolean), Map[Int, Double]]
 
   /** Per-cell covering radius max‖v − c‖ — index metadata for lossless

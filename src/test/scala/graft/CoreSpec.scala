@@ -493,6 +493,16 @@ class BlockedSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"corpus must join by cell, not crossJoin/broadcast:\n$plan")
+    // 100 TB regime: with auto-broadcast off, nothing in the plan
+    // REQUIRES broadcasting the corpus — every cell join degrades to a
+    // shuffle equi-join (only the 16-row radii table keeps its hint)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = Ann.knnGraph(spark, sf, 5).queryExecution.executedPlan.toString
+      assert(!big.contains("BroadcastNestedLoopJoin") && !big.contains("CartesianProduct"))
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+        s"expected shuffle equi-joins without broadcast:\n$big")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
   }
 
   test("blocked embedding near-dup equals the exact quadratic result") {
