@@ -43,6 +43,7 @@ object GraftExtensions {
     "dot_product" -> two(DotProduct),
     "cosine_sim" -> two(CosineSimilarity),
     "vec_norm" -> one(VectorNorm),
+    "vec_normalize" -> one(VectorNormalize),
     "simhash64" -> one(SimHash64),
     "rolling_hash" -> one(RollingHash),
     "char_ngrams_5" -> one(CharNGrams(_, 5)),

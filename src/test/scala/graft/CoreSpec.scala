@@ -36,6 +36,21 @@ class CoreSpec extends AnyFunSuite {
     assert(row.getDouble(3) == 3.0)
   }
 
+  test("normalize / centroid kernels compute known values") {
+    import spark.implicits._
+    val df = Seq((Array(3f, 4f), Array(0f, 0f))).toDF("a", "z")
+    val cents = Array(Array(0f, 0f), Array(3f, 4f))
+    val row = df.select(
+      vec_normalize(col("a")).as("u"),
+      centroid_dists(col("a"), cents).as("ds"),
+      nearest_centroid(col("a"), cents).as("nc"),
+      vec_normalize(col("z")).as("zu")).head()
+    assert(row.getSeq[Float](0) == Seq(0.6f, 0.8f))
+    assert(row.getSeq[Double](1) == Seq(5.0, 0.0))
+    assert(row.getInt(2) == 1)
+    assert(row.getSeq[Float](3) == Seq(0f, 0f)) // zero vector stays zero
+  }
+
   test("topk_ids matches ORDER BY score, id LIMIT k per group") {
     import spark.implicits._
     val data = (1L to 1000L).map(i => (i % 7, (i * 37 % 101).toDouble, i))

@@ -43,6 +43,31 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKBuffer preserves ids beyond 2^53 exactly, including through serde") {
+    // a Double-typed id slot silently collapses 2^53+1 and 2^53+2
+    val base = 1L << 53
+    val ids = Seq(base + 1, base + 2, base + 3, base + 5, base + 8)
+    val buf = new TopKBuffer(4)
+    ids.foreach(id => buf.add(1.0, id)) // equal scores → pure id tiebreak
+    assert(buf.sortedIds.toSeq == ids.sorted.take(4))
+    val agg = graft.operators.TopKByScore(null, null, 4)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.sortedIds.toSeq == ids.sorted.take(4))
+  }
+
+  test("kthScore equals the kth smallest score, +inf below k rows") {
+    val rnd = new Random(21)
+    (1 to trials).foreach { _ =>
+      val k = 1 + rnd.nextInt(6)
+      val rows = Seq.fill(rnd.nextInt(20))((rnd.nextInt(9).toDouble, rnd.nextInt(50).toLong))
+      val buf = new TopKBuffer(k)
+      rows.foreach { case (s, i) => buf.add(s, i) }
+      val expect =
+        if (rows.length < k) Double.PositiveInfinity else rows.map(_._1).sorted.apply(k - 1)
+      assert(buf.kthScore == expect, s"k=$k rows=$rows")
+    }
+  }
+
   test("sortedHashes output is sorted, deduped, set-equal to input") {
     val rnd = new Random(9)
     (1 to trials).foreach { _ =>
