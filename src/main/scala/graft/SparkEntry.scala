@@ -51,6 +51,9 @@ object SparkEntry {
     "ann_batch_topk" -> ((s, d) => Ann.batchTopK(s, d, nq = 8, k = 10)),
     "ann_range_search" -> ((s, d) => Ann.rangeSearch(s, d, tau = 1.3)),
     "ann_knn_graph" -> ((s, d) => Ann.knnGraph(s, d, 5)),
+    // 1 descent round in the workload entry (the convergence trajectory
+    // 0.29→0.61→0.88→0.95 over rounds is asserted in ScalaTest)
+    "ann_knn_graph_nnd" -> ((s, d) => Ann.knnGraphDescent(s, d, 5, iters = 1)),
     "events_props_stats" -> ((s, d) => Analytics.eventsPropsStats(s, d)),
     "vector_norms" -> ((s, d) => Ann.vectorNorms(s, d, n = 100)),
     "ann_ivf_build" -> ((s, d) => IvfIndex.buildReport(s, d)),

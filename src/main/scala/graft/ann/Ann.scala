@@ -123,6 +123,70 @@ object Ann {
       .orderBy("src", "nbr")
   }
 
+  /** B17: NN-Descent approximate k-NN graph — the regime where the
+    * exact build (B11) is too expensive: very large k·N. Standard
+    * local-join iteration (Dong et al., WWW'11): a node's candidates
+    * are the pairs sharing a neighborhood (neighbors + reverse
+    * neighbors, capped at 2k for bounded fan-out), re-ranked with the
+    * bounded-heap aggregate; candidates always include the current
+    * edges, so per-src recall is monotone non-decreasing per round.
+    * Initialized from the same-IVF-cell graph. Fixed iteration count
+    * keeps it deterministic; at scale each round is two vec_id equi-
+    * joins + one aggregate over |E| ≈ k·N slim rows (checkpoint the
+    * graph between rounds to cut lineage).
+    */
+  def knnGraphDescent(spark: SparkSession, dir: String, k: Int = 5,
+                      iters: Int = 2, cells: Int = 16): DataFrame = {
+    // descend with a LARGER working neighborhood than the requested k:
+    // sparse graphs barely propagate (few shared owners), so the
+    // standard move is K ≈ 3k during descent, top-k projection at the
+    // end. Candidate volume per round is |V|·(2K)² — the knob that
+    // trades convergence speed for work.
+    val bigK = math.max(3 * k, 10)
+    val e = IvfIndex.withCells(spark, dir, cells)
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("cell"))
+    val b = e.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("cell"))
+    // Init MUST mix locality with diverse long-range links: a pure
+    // same-cell init is CLOSED under neighbor-of-neighbor (every
+    // candidate stays inside the cell) and descent can never escape
+    // it. Long-range links are hash-derived — deterministic stand-ins
+    // for NN-Descent's random init.
+    val n = e.count()
+    val sameCell = a.join(b, "cell")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+    val longRange = e.select(col("vec_id").as("src"))
+      .select(col("src"), explode(array((1 to bigK).map(j =>
+        pmod(xxhash64(col("src"), lit(j)), lit(n))): _*)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    def rerank(cand: DataFrame, kk: Int): DataFrame = cand
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("ea")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("eb")), "dst")
+      .groupBy("src")
+      .agg(topk_ids(l2_dist(col("ea"), col("eb")), col("dst"), kk).as("ids"))
+      .select(col("src"), explode(col("ids")).as("dst"))
+    var graph = rerank(sameCell.union(longRange).distinct(), bigK)
+    for (_ <- 1 to iters) {
+      val undirected = graph
+        .union(graph.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val adj = undirected.groupBy("src")
+        .agg(slice(sort_array(collect_set(col("dst"))), 1, 2 * bigK).as("nbrs"))
+      val cand = adj
+        .select(explode(col("nbrs")).as("src"), col("nbrs"))
+        .select(col("src"), explode(col("nbrs")).as("dst")) // share an owner
+        .filter(col("src") =!= col("dst"))
+        .union(undirected) // never drop current edges → monotone recall
+        .distinct()
+      // persist each round's edge list: it feeds the next round twice
+      // (forward + reverse) and would otherwise re-execute the whole
+      // prefix per use; on a cluster this is a checkpoint of the edges
+      graph = rerank(cand, bigK).persist()
+    }
+    rerank(graph, k) // project the working graph down to top-k
+      .select(col("src"), col("dst").as("nbr")).orderBy("src", "nbr")
+  }
+
   /** Range search: all vectors within L2 distance tau of the query.
     * The distance predicate is evaluated inside the scan stage (codegen),
     * no top-k state at all — fully parallel.

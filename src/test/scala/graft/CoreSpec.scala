@@ -520,6 +520,19 @@ class BlockedSimilaritySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
   }
 
+  test("NN-Descent converges toward the exact graph, monotonically") {
+    val exact = Ann.knnGraph(spark, sf, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(iters: Int): Double = {
+      val got = Ann.knnGraphDescent(spark, sf, 5, iters).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r0 = recall(0); val r2 = recall(2)
+    assert(r2 >= r0, s"descent degraded recall: $r0 -> $r2")
+    assert(r2 >= 0.7, s"recall after 2 rounds too low: $r2 (init $r0)")
+  }
+
   test("blocked embedding near-dup equals the exact quadratic result") {
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
