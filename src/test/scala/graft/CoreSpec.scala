@@ -312,6 +312,18 @@ class LayoutStreamSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("streaming permission-aware topk state converges to batch prefilter") {
+    import graft.rbac.Rbac
+    val q = EventStream.runToMemory(spark,
+      VectorStream.topkStream(spark, sf), "g5topk",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    val rows = spark.sql("SELECT topk_ids FROM g5topk").collect()
+    assert(rows.nonEmpty)
+    val finalIds = rows.last.getSeq[Long](0)
+    val expect = Rbac.prefilterTopK(spark, sf, 1, 10).collect().map(_.getLong(0)).toSeq
+    assert(finalIds == expect)
+  }
+
   test("streaming IVF assignment converges to the batch build report") {
     import graft.ann.IvfIndex
     val q = EventStream.runToMemory(spark,
