@@ -152,7 +152,7 @@ object SparkEntry {
       |  FROM combdocs d LEFT JOIN wcount w USING (comb_key), n0
       |),
       |benef AS (
-      |  SELECT *, round(weight * (ln(n0) - ln(n_docs)) / n_docs, 10) AS benefit
+      |  SELECT *, round(weight * (ln(n0) - ln(n_docs)) / n_docs, 6) AS benefit
       |  FROM scored
       |),
       |ranked AS (

@@ -159,8 +159,11 @@ object Partitioned {
       .crossJoin(broadcast(total))
       .withColumn("weight",
         round(col("n_queries") * col("n_docs") / col("n0").cast("double"), 4))
+      // 6dp: coarse enough that a last-ulp ln() difference between
+      // engines cannot flip the rounding, fine enough that distinct
+      // combs never tie (their benefits differ in the 4th decimal)
       .withColumn("benefit",
-        round(col("weight") * (log(col("n0")) - log(col("n_docs"))) / col("n_docs"), 10))
+        round(col("weight") * (log(col("n0")) - log(col("n_docs"))) / col("n_docs"), 6))
     val byBenefit = Window.orderBy(col("benefit").desc, col("comb_key"))
     scored
       .withColumn("rnk", row_number().over(byBenefit))
