@@ -65,6 +65,8 @@ object SparkEntry {
     "ann_range_triangle" -> ((s, d) => IvfIndex.rangeSearchTriangle(s, d, tau = 1.3)),
     "ann_pq_build" -> ((s, d) => PqIndex.buildReport(s, d)),
     "ann_pq_search" -> ((s, d) => PqIndex.search(s, d)),
+    "ann_ivfpq_search" -> ((s, d) => PqIndex.ivfAdcSearch(s, d)),
+    "rbac_ivfpq_topk" -> ((s, d) => PqIndex.ivfAdcSearch(s, d, userId = Some(1))),
     // --- F. Multimodal plumbing ---
     "mm_binary_features" -> ((s, d) => Multimodal.features(s, d).toDF().orderBy("media_id")),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),

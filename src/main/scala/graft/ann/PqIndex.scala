@@ -77,33 +77,24 @@ object PqIndex {
       .groupBy("code0").agg(count(lit(1)).as("n"))
       .orderBy("code0")
 
-  /** B16: ADC search — approximate top-`overfetch` via table lookups
-    * over the 8-byte codes, exact re-rank of that short list to
-    * top-`topk`. Only the short list ever touches the full vectors.
-    */
-  def search(spark: SparkSession, dir: String, topk: Int = 10,
-             overfetch: Int = 50, qid: Long = 0): DataFrame = {
-    val cb = getOrBuild(spark, dir)
-    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
-      .select("embedding").head().getSeq[Float](0).toArray
-    // per-query distance table [sub][code] = ||q_sub - centroid||²
+  /** Per-query ADC distance table [sub][code] = ‖q_sub − centroid‖². */
+  private def adcTable(cb: Codebook, q: Array[Float]): Array[Array[Float]] = {
     val subDim = Dim / NumSub
-    val table = Array.tabulate(NumSub, CodesPerSub) { (s, c) =>
+    Array.tabulate(NumSub, CodesPerSub) { (s, c) =>
       var acc = 0.0f; var i = 0
       while (i < subDim) {
         val d = q(s * subDim + i) - cb.centroids(s)(c)(i); acc += d * d; i += 1
       }
       acc
     }
-    val adc = (code: Column) =>
-      ExpressionUtils.column(PqAdcDistance(ExpressionUtils.expression(code), table))
-    val shortList = codes(spark, dir)
-      .filter(col("vec_id") =!= qid)
-      .withColumn("adc", adc(col("code")))
-      .orderBy(col("adc"), col("vec_id"))
-      .limit(overfetch)
-      .select("vec_id")
-    // exact re-rank of the short list only
+  }
+
+  private def queryVec(spark: SparkSession, dir: String, qid: Long): Array[Float] =
+    Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  private def rerank(spark: SparkSession, dir: String, shortList: DataFrame,
+                     topk: Int, qid: Long): DataFrame =
     Tables.embeddings(spark, dir)
       .join(broadcast(shortList), "vec_id")
       .crossJoin(broadcast(
@@ -113,5 +104,57 @@ object PqIndex {
       .orderBy(col("dist"), col("vec_id"))
       .limit(topk)
       .select("vec_id")
+
+  /** B16: ADC search — approximate top-`overfetch` via table lookups
+    * over the 8-byte codes, exact re-rank of that short list to
+    * top-`topk`. Only the short list ever touches the full vectors.
+    */
+  def search(spark: SparkSession, dir: String, topk: Int = 10,
+             overfetch: Int = 50, qid: Long = 0): DataFrame = {
+    val cb = getOrBuild(spark, dir)
+    val adc = (code: Column) => ExpressionUtils.column(
+      PqAdcDistance(ExpressionUtils.expression(code), adcTable(cb, queryVec(spark, dir, qid))))
+    val shortList = codes(spark, dir)
+      .filter(col("vec_id") =!= qid)
+      .withColumn("adc", adc(col("code")))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(overfetch)
+      .select("vec_id")
+    rerank(spark, dir, shortList, topk, qid)
+  }
+
+  /** B18: IVFADC — the canonical billion-scale ANN layout (IVF cell
+    * pruning × PQ byte compression, Jégou et al. TPAMI 2011): probe the
+    * nprobe nearest cells, ADC-scan ONLY those cells' 8-byte codes,
+    * exact re-rank of the short list. Scan bytes drop by
+    * (nprobe/cells)·(1/32) of the raw corpus — the two pruning axes the
+    * reference gets from IVFFlat indexes and we compose declaratively.
+    * With `userId`, the accessible-doc semi-join makes it the
+    * compressed RBAC serving path (prefilter semantics on the probe
+    * set).
+    */
+  def ivfAdcSearch(spark: SparkSession, dir: String, topk: Int = 10,
+                   overfetch: Int = 50, nprobe: Int = 4, cells: Int = 16,
+                   userId: Option[Long] = None, qid: Long = 0): DataFrame = {
+    val cb = getOrBuild(spark, dir)
+    val q = queryVec(spark, dir, qid)
+    val lists = IvfIndex.probeLists(IvfIndex.getOrBuild(spark, dir, cells), q, nprobe)
+    val adc = (code: Column) => ExpressionUtils.column(
+      PqAdcDistance(ExpressionUtils.expression(code), adcTable(cb, q)))
+    val probed = codes(spark, dir)
+      .join(IvfIndex.assignments(spark, dir, cells)
+        .filter(col("list_id").isin(lists: _*)), "vec_id") // cell pruning
+      .filter(col("vec_id") =!= qid)
+    val filtered = userId.fold(probed) { u =>
+      probed.join(broadcast(graft.rbac.Rbac.accessibleDocs(spark, dir, u)
+        .withColumnRenamed("document_id", "acc_doc")),
+        col("vec_id") === col("acc_doc"), "left_semi")
+    }
+    val shortList = filtered
+      .withColumn("adc", adc(col("code")))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(overfetch)
+      .select("vec_id")
+    rerank(spark, dir, shortList, topk, qid)
   }
 }

@@ -592,6 +592,16 @@ class PqSpec extends AnyFunSuite {
     assert(c.forall(_.getAs[Array[Byte]](1).length == PqIndex.NumSub))
   }
 
+  test("IVFADC search: decent recall, and the RBAC variant stays accessible-only") {
+    val exact = Ann.bruteForceL2TopK(spark, sf, 10).collect().map(_.getLong(0)).toSet
+    val ivfpq = PqIndex.ivfAdcSearch(spark, sf, nprobe = 8).collect().map(_.getLong(0)).toSet
+    assert(ivfpq.intersect(exact).size >= 3, s"IVFADC recall too low: ${ivfpq.intersect(exact).size}/10")
+    val acc = graft.rbac.Rbac.accessibleDocs(spark, sf, 1).collect().map(_.getLong(0)).toSet
+    val filtered = PqIndex.ivfAdcSearch(spark, sf, nprobe = 8, userId = Some(1))
+      .collect().map(_.getLong(0))
+    assert(filtered.nonEmpty && filtered.forall(acc.contains))
+  }
+
   test("PQ ADC search with exact re-rank has high recall vs brute force") {
     val exact = Ann.bruteForceL2TopK(spark, sf, 10).collect().map(_.getLong(0)).toSet
     val pq = PqIndex.search(spark, sf).collect().map(_.getLong(0)).toSet
