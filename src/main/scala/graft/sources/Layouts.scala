@@ -75,6 +75,43 @@ object Layouts {
       .write.partitionBy("partition_role").mode("append").parquet(layoutPath)
   }
 
+  /** Partition rewrite — the maintenance sweep `compactInserts` defers
+    * to (reference: hnsw/helper.py reorganize_partitions /
+    * clean_empty_partitions): once a partition directory accumulates
+    * delta files from appended insert batches, rewrite JUST that
+    * partition into one compacted file (dynamic partition overwrite —
+    * sibling partitions untouched). Returns (files_before,
+    * files_after). Idempotent; search results unchanged.
+    */
+  def rewritePartition(spark: SparkSession, layoutPath: String, role: Long): (Int, Int) = {
+    val partDir = Paths.get(layoutPath, s"partition_role=$role")
+    def fileCount: Int =
+      if (!Files.exists(partDir)) 0
+      else {
+        val s = Files.list(partDir)
+        try s.filter(_.toString.endsWith(".parquet")).count().toInt finally s.close()
+      }
+    val before = fileCount
+    // distributed rewrite into a staging dir, then a directory swap —
+    // no driver-side collect; the swap is the file-level analogue of a
+    // table format's atomic metadata commit
+    val staging = Paths.get(layoutPath + s"_rewrite_$role")
+    spark.read.parquet(layoutPath)
+      .filter(col("partition_role") === role) // partition pruning: one dir read
+      .drop("partition_role")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    val olds = Files.list(partDir)
+    try olds.forEach(p => Files.delete(p)) finally olds.close()
+    val news = Files.list(staging)
+    try news.filter(p => !p.getFileName.toString.startsWith("_"))
+      .forEach(p => Files.move(p, partDir.resolve(p.getFileName)))
+    finally news.close()
+    val rest = Files.walk(staging).sorted(java.util.Comparator.reverseOrder())
+    try rest.forEach(p => Files.delete(p)) finally rest.close()
+    (before, fileCount)
+  }
+
   /** Top-k over the materialized layout: the role predicate is a
     * PARTITION filter (directory pruning), not a row filter.
     */

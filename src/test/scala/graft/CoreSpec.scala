@@ -310,6 +310,14 @@ class LayoutStreamSpec extends AnyFunSuite {
     val got = Layouts.prunedRoleSearch(spark, sf, path, 1, 10)
       .collect().map(_.getLong(0)).toSeq
     assert(got == expect)
+    // maintenance sweep: compacting delta files into one, same answers
+    val role = Rbac.userRoles(spark, sf).filter(col("user_id") === 1)
+      .head().getLong(1)
+    val (before, after) = Layouts.rewritePartition(spark, path, role)
+    assert(before > 1 && after == 1, s"expected delta files to compact: $before -> $after")
+    val got2 = Layouts.prunedRoleSearch(spark, sf, path, 1, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got2 == expect)
   }
 
   test("streaming permission-aware topk state converges to batch prefilter") {
