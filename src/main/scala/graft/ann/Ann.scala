@@ -108,7 +108,12 @@ object Ann {
       .filter(col("src") =!= col("dst"))
       .groupBy("src")
       .agg(topk_kth(l2_dist(col("ea"), col("eb")), col("dst"), k).as("ub"))
-    val srcCells = a.join(bound, "src")
+    // LEFT join + ∞ default: a src alone in its cell produces no bound
+    // group (the self-join has no src≠dst pair), and an inner join here
+    // would silently drop it from the graph — with no bound it must keep
+    // every cell as a candidate
+    val srcCells = a.join(bound, Seq("src"), "left")
+      .withColumn("ub", coalesce(col("ub"), lit(Double.PositiveInfinity)))
       .select(col("src"), col("ea"), col("ub"),
         posexplode(centroid_dists(col("ea"), idx.centroids)))
       .withColumnRenamed("pos", "cell").withColumnRenamed("col", "dqc")

@@ -149,14 +149,21 @@ object IvfIndex {
 
   /** B4: IVF probe search — scan only the nprobe lists, exact re-rank
     * inside them. Approximate overall (recall checked in ScalaTest).
+    *
+    * Plan shape: the probe predicate is a FILTER on the cell-attached
+    * corpus (`withCells`, the in-memory mirror of the cell-partitioned
+    * parquet the index build writes at scale) — the corpus is never
+    * joined, shuffled, or broadcast. At 100 TB the same filter is a
+    * partition predicate on the `cell=` directories, so the scan reads
+    * ~nprobe/k of the bytes (pgvector `SET ivfflat.probes` semantics,
+    * common_function.py:83). Asserted Exchange-free in ProbePlanSpec.
     */
   def search(spark: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
              topk: Int = 10, qid: Long = 0): DataFrame = {
     val idx = getOrBuild(spark, dir, k)
     val lists = probeLists(idx, queryVec(spark, dir, qid), nprobe)
-    val assigned = assignments(spark, dir, k)
-    Tables.embeddings(spark, dir).select("vec_id", "embedding")
-      .join(assigned.filter(col("list_id").isin(lists: _*)), "vec_id")
+    withCells(spark, dir, k)
+      .filter(col("cell").isin(lists: _*)) // partition pruning at scale
       .filter(col("vec_id") =!= qid)
       .crossJoin(broadcast(
         Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
@@ -164,7 +171,7 @@ object IvfIndex {
       .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
       .orderBy(col("dist"), col("vec_id"))
       .limit(topk)
-      .select("vec_id", "list_id")
+      .select(col("vec_id"), col("cell").as("list_id"))
   }
 
   /** B12: predicate-aware probe search — the ACORN/dynamic-partition
@@ -201,8 +208,11 @@ object IvfIndex {
       ordered.take(probes).map(accPerList.getOrElse(_, 0L)).sum < topk) probes += 1
     val lists = ordered.take(probes)
 
-    Tables.embeddings(spark, dir).select("vec_id", "embedding")
-      .join(assigned.filter(col("list_id").isin(lists: _*)), "vec_id")
+    // search job: probe predicate = filter on the cell-attached corpus
+    // (partition pruning at scale), permission = explicit broadcast
+    // semi-join — the corpus side has no Exchange (ProbePlanSpec)
+    withCells(spark, dir, k)
+      .filter(col("cell").isin(lists: _*))
       .join(broadcast(acc.withColumnRenamed("document_id", "acc_doc")),
         col("vec_id") === col("acc_doc"), "left_semi")
       .crossJoin(broadcast(
@@ -211,7 +221,7 @@ object IvfIndex {
       .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
       .orderBy(col("dist"), col("vec_id"))
       .limit(topk)
-      .select("vec_id", "list_id")
+      .select(col("vec_id"), col("cell").as("list_id"))
   }
 
   /** B14: triangle-inequality-pruned EXACT range search. With per-vector
@@ -297,10 +307,14 @@ object IvfIndex {
       .join(graft.rbac.Partitioned.combKeys(spark, dir), "document_id")
       .join(broadcast(routedSigs), Seq("comb_key"), "left_semi") // leaf routing
     val routed = if (nprobe > 0) {
-      val lists = probeLists(getOrBuild(spark, dir, k), queryVec(spark, dir, 0), nprobe)
-      base.join(
-        assignments(spark, dir, k).filter(col("list_id").isin(lists: _*)),
-        col("block_id") === col("vec_id"), "left_semi")
+      // vector-side leaf pruning: cell computed inside the scan (no join
+      // against the assignment — a corpus-sized semi-join at scale); at
+      // 100 TB the leaf key (cell, comb_key) is the partition directory
+      // and both predicates are partition pruning
+      val idx = getOrBuild(spark, dir, k)
+      val lists = probeLists(idx, queryVec(spark, dir, 0), nprobe)
+      base.withColumn("cell", nearest_centroid(col("embedding"), idx.centroids))
+        .filter(col("cell").isin(lists: _*)).drop("cell")
     } else base
     routed
       .crossJoin(broadcast(

@@ -67,6 +67,25 @@ object PqIndex {
       .select(col("vec_id"), encodeCol(col("embedding"), cb).as("code"))
   }
 
+  private val codesCellCache = TrieMap.empty[(String, Int), DataFrame]
+
+  /** (vec_id, list_id, code) — the compressed corpus WITH its IVF cell,
+    * persisted: the in-memory mirror of the cell-partitioned compressed
+    * index IVFADC stores at scale (codes written under `list_id=`
+    * directories). Probing is then a filter (→ partition pruning), never
+    * a join against the corpus — encode and assign happen in ONE scan.
+    */
+  def codesWithCells(spark: SparkSession, dir: String, cells: Int): DataFrame =
+    codesCellCache.getOrElseUpdate((dir, cells), {
+      val cb = getOrBuild(spark, dir)
+      val ivf = IvfIndex.getOrBuild(spark, dir, cells)
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          nearest_centroid(col("embedding"), ivf.centroids).as("list_id"),
+          encodeCol(col("embedding"), cb).as("code"))
+        .persist()
+    })
+
   /** B15 build observable: code-usage histogram per subspace 0 (shows
     * quantizer balance), rows-only.
     */
@@ -141,9 +160,10 @@ object PqIndex {
     val lists = IvfIndex.probeLists(IvfIndex.getOrBuild(spark, dir, cells), q, nprobe)
     val adc = (code: Column) => ExpressionUtils.column(
       PqAdcDistance(ExpressionUtils.expression(code), adcTable(cb, q)))
-    val probed = codes(spark, dir)
-      .join(IvfIndex.assignments(spark, dir, cells)
-        .filter(col("list_id").isin(lists: _*)), "vec_id") // cell pruning
+    // cell pruning = filter on the cell-attached code table (partition
+    // pruning over `list_id=` dirs at scale) — no corpus-side join
+    val probed = codesWithCells(spark, dir, cells)
+      .filter(col("list_id").isin(lists: _*))
       .filter(col("vec_id") =!= qid)
     val filtered = userId.fold(probed) { u =>
       probed.join(broadcast(graft.rbac.Rbac.accessibleDocs(spark, dir, u)

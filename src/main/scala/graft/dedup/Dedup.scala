@@ -199,7 +199,11 @@ object Dedup {
     import graft.ann.IvfIndex
     val idx = IvfIndex.getOrBuildUnit(spark, dir, cells)
     val radii = IvfIndex.cellRadii(spark, dir, cells, unit = true)
-    val tauDist = math.sqrt(math.max(2.0 - 2.0 * tau, 0.0))
+    // blocking must cover the ROUNDING band, not just cos ≥ τ: the final
+    // filter accepts round(cos,4) ≥ τ, i.e. raw cosine down to τ − 5e-5,
+    // whose unit distance slightly exceeds √(2−2τ) — block for the
+    // widened threshold so those pairs can't be cell-pruned
+    val tauDist = math.sqrt(math.max(2.0 - 2.0 * (tau - 0.00005), 0.0))
     def d(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }

@@ -190,7 +190,10 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
       val cent = centroids(c)
       var s = 0.0; var i = 0
       val n = math.min(dim, cent.length)
-      while (i < n) { val d = v.getFloat(i) - cent(i); s += d * d; i += 1 }
+      // subtract in Double exactly like the generated code — a Float
+      // subtraction here can differ in the last ulp and flip argmin
+      // cell assignments near ties between this path and codegen
+      while (i < n) { val d = v.getFloat(i).toDouble - cent(i).toDouble; s += d * d; i += 1 }
       if (s < bestD) { bestD = s; best = c }
       c += 1
     }
@@ -247,7 +250,8 @@ case class CentroidDistances(child: Expression, centroids: Array[Array[Float]])
       val cent = centroids(c)
       var s = 0.0; var i = 0
       val n = math.min(dim, cent.length)
-      while (i < n) { val d = v.getFloat(i) - cent(i); s += d * d; i += 1 }
+      // Double subtraction to match codegen bit-for-bit (see NearestCentroid)
+      while (i < n) { val d = v.getFloat(i).toDouble - cent(i).toDouble; s += d * d; i += 1 }
       out(c) = math.sqrt(s)
       c += 1
     }

@@ -579,6 +579,36 @@ class BlockedSimilaritySpec extends AnyFunSuite {
   }
 }
 
+class ProbePlanSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.ann.{IvfIndex, PqIndex}
+
+  // The IVF probe family must prune by FILTERING the cell-attached
+  // corpus (partition pruning at scale), never by joining assignments
+  // back on vec_id — that join becomes a full-corpus shuffle at 100 TB.
+  // With auto-broadcast disabled, nothing may force a corpus-side
+  // Exchange: the only joins left are the explicitly-broadcast tiny
+  // sides (query vector, accessible-doc set, short list).
+  test("IVF/predicate/IVFADC probe plans have no corpus-side shuffle join") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plans = Seq(
+        "ann_ivf_search" -> IvfIndex.search(spark, sf, k = 16, nprobe = 4),
+        "ann_predicate_probe" -> IvfIndex.predicateAwareSearch(spark, sf, 1),
+        "ann_ivfpq_search" -> PqIndex.ivfAdcSearch(spark, sf, nprobe = 8),
+        "rbac_ivfpq_topk" -> PqIndex.ivfAdcSearch(spark, sf, nprobe = 8, userId = Some(1)))
+      plans.foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+          !plan.contains("CartesianProduct") &&
+          !plan.contains("Exchange hashpartitioning(vec_id"),
+          s"$name: corpus side must not shuffle:\n$plan")
+        assert(df.count() > 0, s"$name returned no rows")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+  }
+}
+
 class TrianglePruneSpec extends AnyFunSuite {
   import SparkTest._
   import graft.ann.{Ann, IvfIndex}
