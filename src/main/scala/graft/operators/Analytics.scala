@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.Tables
 
@@ -224,17 +224,41 @@ object Analytics {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("k_bucket")
 
-  /** Exact quantiles of order value per event type (percentile with
-    * linear interpolation — matches DuckDB quantile_cont).
+  /** Exact quantiles of order value per event type, with the same
+    * linear interpolation as DuckDB quantile_cont / Spark percentile:
+    * pos = p·(n−1), result = v[⌊pos⌋]·(1−frac) + v[⌊pos⌋+1]·frac.
+    *
+    * Distributed two-pass instead of the `percentile` aggregate: that
+    * aggregate's per-group buffer holds EVERY distinct value (at 100 TB
+    * an executor would ingest terabytes per group). Here pass 1 is a
+    * tiny per-group count, pass 2 ranks values with a window sort
+    * (external, spillable — one shuffle keyed on the group) and only
+    * the two bracketing ranks per quantile contribute to the final
+    * per-group sum, so aggregation state is 3 doubles per group.
     */
-  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy("event_type")
-      .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_type", "value")
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("value")))
+      .join(broadcast(counts), "event_type")
+    def q(p: Double): Column = {
+      val pos = lit(p) * (col("n") - 1) // 0-indexed fractional position
+      val lo = floor(pos)
+      val frac = pos - lo
+      // lower + (upper − lower)·frac, the exact arithmetic form both
+      // Spark's percentile and DuckDB's quantile_cont use — a
+      // rearranged-but-equal form can drift an ulp and flip the 4dp
+      // rounding against the oracle
+      val vlo = sum(when(col("rn") === lo + 1, col("value")))
+      val vhi = sum(when(col("rn") === lo + 2, col("value")))
+      round(vlo + (coalesce(vhi, vlo) - vlo) * max(frac), 4)
+    }
+    ranked.groupBy("event_type")
+      .agg(q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"))
       .orderBy("event_type")
+  }
 
   /** Revenue ROLLUP over (nation, market segment) — multi-level
     * aggregate surface (grouping sets).

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -38,6 +39,7 @@ object Layouts {
         .join(Rbac.permissions(spark, dir), "document_id")
         .select(col("role_id").as("partition_role"), col("block_id"),
           col("document_id"), col("embedding"))
+        .withColumn("batch_id", lit(0L)) // base build = batch 0
         .repartition(col("partition_role")) // one writer per partition dir
         .write.partitionBy("partition_role").mode("overwrite").parquet(path)
     }
@@ -62,7 +64,7 @@ object Layouts {
     * `prunedRoleSearch` already dedups blocks per partition.
     */
   def compactInserts(spark: SparkSession, dir: String, layoutPath: String,
-                     inserts: DataFrame): Unit = {
+                     inserts: DataFrame, batchId: Long = 1L): Unit = {
     val routed = inserts
       .join(Rbac.permissions(spark, dir), "document_id")
       .select(col("role_id").as("partition_role"), col("block_id"),
@@ -71,8 +73,32 @@ object Layouts {
       .select("partition_role", "block_id")
     routed
       .join(existing, Seq("partition_role", "block_id"), "left_anti") // idempotent
+      .withColumn("batch_id", lit(batchId)) // provenance → rollbackBatch
       .repartition(col("partition_role"))
       .write.partitionBy("partition_role").mode("append").parquet(layoutPath)
+  }
+
+  /** Batch rollback — the inverse `compactInserts` needs (reference:
+    * hnsw/insertion_rolllback.py restores the pre-batch partition
+    * state): every appended row carries its `batch_id`, so undoing a
+    * batch = rewriting JUST the affected partitions without that
+    * batch's rows. Sibling partitions are untouched; repeated rollback
+    * of the same batch is a no-op. At 100 TB this is a per-partition
+    * staging-swap rewrite, not a layout rebuild.
+    */
+  def rollbackBatch(spark: SparkSession, layoutPath: String, batchId: Long): Unit = {
+    val affected = spark.read.parquet(layoutPath)
+      .filter(col("batch_id") === batchId)
+      // partition-column inference reads the directory key as int
+      .select(col("partition_role").cast("long")).distinct()
+      .collect().map(_.getLong(0)) // tiny: roles the batch touched
+    affected.foreach { role =>
+      swapPartition(spark, layoutPath, role,
+        spark.read.parquet(layoutPath)
+          .filter(col("partition_role") === role)
+          .filter(col("batch_id") =!= batchId)
+          .drop("partition_role"))
+    }
   }
 
   /** Partition rewrite — the maintenance sweep `compactInserts` defers
@@ -83,33 +109,52 @@ object Layouts {
     * sibling partitions untouched). Returns (files_before,
     * files_after). Idempotent; search results unchanged.
     */
-  def rewritePartition(spark: SparkSession, layoutPath: String, role: Long): (Int, Int) = {
-    val partDir = Paths.get(layoutPath, s"partition_role=$role")
-    def fileCount: Int =
-      if (!Files.exists(partDir)) 0
-      else {
-        val s = Files.list(partDir)
-        try s.filter(_.toString.endsWith(".parquet")).count().toInt finally s.close()
-      }
-    val before = fileCount
-    // distributed rewrite into a staging dir, then a directory swap —
-    // no driver-side collect; the swap is the file-level analogue of a
-    // table format's atomic metadata commit
-    val staging = Paths.get(layoutPath + s"_rewrite_$role")
-    spark.read.parquet(layoutPath)
-      .filter(col("partition_role") === role) // partition pruning: one dir read
-      .drop("partition_role")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(staging.toString)
-    val olds = Files.list(partDir)
-    try olds.forEach(p => Files.delete(p)) finally olds.close()
-    val news = Files.list(staging)
-    try news.filter(p => !p.getFileName.toString.startsWith("_"))
-      .forEach(p => Files.move(p, partDir.resolve(p.getFileName)))
-    finally news.close()
-    val rest = Files.walk(staging).sorted(java.util.Comparator.reverseOrder())
-    try rest.forEach(p => Files.delete(p)) finally rest.close()
-    (before, fileCount)
+  def rewritePartition(spark: SparkSession, layoutPath: String, role: Long,
+                       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    swapPartition(spark, layoutPath, role,
+      spark.read.parquet(layoutPath)
+        .filter(col("partition_role") === role) // partition pruning: one dir read
+        .drop("partition_role"),
+      targetBytes)
+
+  /** Replace one partition directory's contents with `data` (already
+    * filtered to the rows to keep, `partition_role` dropped). All file
+    * operations go through the Hadoop FileSystem API, so the same code
+    * runs on local FS, HDFS, or an S3 committer. Output file count is
+    * sized by `targetBytes` from the partition's CURRENT on-disk size —
+    * a TB-scale partition rewrites with hundreds of parallel writers,
+    * never a single funnel task.
+    *
+    * Swap order: staged files move IN under fresh names first, old
+    * files are deleted after — a crash mid-swap leaves a partition with
+    * duplicate rows (which `prunedRoleSearch`'s per-block dedup and the
+    * idempotent re-run both tolerate), never an empty one.
+    */
+  private def swapPartition(spark: SparkSession, layoutPath: String, role: Long,
+                            data: DataFrame,
+                            targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val partDir = new Path(layoutPath, s"partition_role=$role")
+    val fs: FileSystem = partDir.getFileSystem(spark.sessionState.newHadoopConf())
+    def parquetFiles: Array[Path] =
+      if (!fs.exists(partDir)) Array.empty
+      else fs.listStatus(partDir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    val olds = parquetFiles
+    if (olds.isEmpty) return (0, 0)
+    val partBytes = fs.listStatus(partDir).filter(_.isFile).map(_.getLen).sum
+    val nFiles = math.max(1L, (partBytes + targetBytes - 1) / targetBytes).toInt
+    val staging = new Path(layoutPath + s"_rewrite_$role")
+    data.repartition(nFiles).write.mode("overwrite").parquet(staging.toString)
+    val staged = fs.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    // move in first (fresh part-file names can't collide with olds)...
+    staged.foreach(p => fs.rename(p, new Path(partDir, p.getName)))
+    // ...then drop the superseded files and the staging dir
+    olds.foreach(p => fs.delete(p, false))
+    fs.delete(staging, true)
+    (olds.length, parquetFiles.length)
   }
 
   /** Top-k over the materialized layout: the role predicate is a

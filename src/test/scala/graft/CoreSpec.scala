@@ -318,6 +318,38 @@ class LayoutStreamSpec extends AnyFunSuite {
     val got2 = Layouts.prunedRoleSearch(spark, sf, path, 1, 10)
       .collect().map(_.getLong(0)).toSeq
     assert(got2 == expect)
+    // target-size output: a small byte target must fan out to >1 file
+    // (the 100 TB case — a rewrite is never a single-task funnel)
+    val (_, fanned) = Layouts.rewritePartition(spark, path, role, targetBytes = 8 * 1024)
+    assert(fanned > 1, s"expected multiple output files at 8 KiB target, got $fanned")
+    val got3 = Layouts.prunedRoleSearch(spark, sf, path, 1, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got3 == expect)
+  }
+
+  test("batch rollback restores the pre-insert layout rows and results") {
+    import graft.rbac.Rbac
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_rollback").toString
+    val all = Rbac.blocks(spark, sf)
+    val holdout = all.filter(col("block_id") % 17 === 0)
+    val path = Layouts.materializeRoleLayoutFrom(spark, sf,
+      all.filter(col("block_id") % 17 =!= 0), out)
+    def snapshot() = spark.read.parquet(path)
+      .select(col("partition_role").cast("long"), col("block_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val preRows = snapshot()
+    val preSearch = Layouts.prunedRoleSearch(spark, sf, path, 1, 10)
+      .collect().map(_.getLong(0)).toSeq
+    Layouts.compactInserts(spark, sf, path, holdout, batchId = 7L)
+    assert(snapshot() != preRows, "insert batch should have changed the layout")
+    Layouts.rollbackBatch(spark, path, 7L)
+    assert(snapshot() == preRows, "rollback must restore the pre-insert row set")
+    val postSearch = Layouts.prunedRoleSearch(spark, sf, path, 1, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(postSearch == preSearch)
+    Layouts.rollbackBatch(spark, path, 7L) // idempotent: no-op on re-run
+    assert(snapshot() == preRows)
   }
 
   test("streaming permission-aware topk state converges to batch prefilter") {
@@ -576,6 +608,30 @@ class BlockedSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"pairs must come from cell-pair equi-joins:\n$plan")
+  }
+}
+
+class QuantileSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.operators.Analytics
+
+  test("distributed quantiles equal the percentile aggregate, no Percentile in plan") {
+    val df = Analytics.valueQuantiles(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val exp = graft.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == exp)
+    // the whole point: no unbounded per-group Percentile buffer
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"percentile aggregate still in the plan:\n$plan")
   }
 }
 
