@@ -38,6 +38,7 @@ object Bench {
       graft.ann.IvfIndex.getOrBuildUnit(spark, sfDir, 8)   // cosine-blocking index
       graft.ann.IvfIndex.cellRadii(spark, sfDir, 8, unit = true)
       graft.ann.PqIndex.getOrBuild(spark, sfDir)
+      graft.ann.QdTree.getOrBuild(spark, sfDir) // greedy tree = index metadata
     } catch { case _: Throwable => () }
     // Overlap queries on a small pool: a single local session leaves
     // cores idle during per-query driver phases (planning, codegen,
@@ -65,12 +66,29 @@ object Bench {
       scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     val wall = (System.nanoTime() - w0) / 1e9
     pool.shutdown()
+    // the concurrent tail numbers are only comparable across rounds at
+    // similar machine load — record it so a reader can tell a
+    // regression from a loaded box (round-2 lesson), and optionally
+    // re-time the heaviest queries serially (no pool overlap)
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val serialHeavy = sys.env.get("SPARK_GRAFT_SERIAL").contains("heavy")
+    val serialJson = if (!serialHeavy) "" else {
+      val heavy = results.sortBy(-_._2).take(5).map(_._1)
+      val timed = heavy.map { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        "\"" + name + "\":" + (System.nanoTime() - t0) / 1e9
+      }
+      s""","serial_heavy":${timed.mkString("{", ",", "}")}"""
+    }
     val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"pool":$poolSize,"cpus":"$cpus"$serialJson,"sf":"$sfDir"}""")
     if (results.exists(_._3.isDefined)) System.err.println(
       s"BENCH ERRORS: ${results.count(_._3.isDefined)} queries failed")
     spark.stop()

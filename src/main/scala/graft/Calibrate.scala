@@ -81,7 +81,96 @@ object Calibrate {
     val (ga, gb, gr2) = fit(points.map(p => math.log(p._1.toDouble)), ys)
     val pts = points.map { case (n, t) => s"""{"n":$n,"ms":${math.round(t * 100) / 100.0}}""" }
       .mkString("[", ",", "]")
-    println(f"""{"points":$pts,"linear":{"a_ms_per_row":$la%.6f,"b_ms":$lb%.2f,"r2":$lr2%.4f},"log":{"a_ms":$ga%.2f,"b_ms":$gb%.2f,"r2":$gr2%.4f},"sf":"$sfDir"}""")
+
+    // --- layout validation: does the cost model's predicted benefit
+    // ranking match MEASURED per-partition query times? (the loop that
+    // makes a cost model trustworthy — reference:
+    // dynamic_partition/get_parameter.py + validate/modelqps_vs_realqps
+    // .py compare modeled QPS against live partition timings.)
+    // For each comb the model chose to split out, time the same top-k
+    // over its dedicated partition's doc set vs the full corpus; the
+    // measured benefit uses the model's own formula with measured times
+    // in place of the log term: weight·(t_full − t_comb)/n_docs.
+    def timeOver(docs: org.apache.spark.sql.DataFrame): Double = {
+      val reps = 3
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        blocks.join(broadcast(docs), Seq("document_id"), "left_semi")
+          .crossJoin(broadcast(queries))
+          .groupBy("query_id")
+          .agg(graft.operators.TopKAgg.topk_ids(
+            l2_dist(col("embedding"), col("qvec")), col("block_id"), 10).as("ids"))
+          .select(explode(col("ids"))).count()
+        (System.nanoTime() - t0) / 1e6
+      }
+      times.sorted.apply(reps / 2)
+    }
+    // validation set: the top of the model's benefit ranking (the order
+    // the greedy splits in), not just the α-budget prefix — two combs
+    // aren't enough points for a rank statistic
+    val layout = graft.rbac.Partitioned.costModelLayout(spark, sfDir)
+    val top = layout
+      .withColumn("benefit",
+        col("weight") * (log(lit(n0.toDouble)) - log(col("n_docs"))) / col("n_docs"))
+      .filter(col("weight") > 0)
+      .orderBy(col("benefit").desc, col("comb_key"))
+      .limit(10)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val combRoles = graft.rbac.Rbac.userRoles(spark, sfDir)
+      .join(graft.rbac.Partitioned.userCombs(spark, sfDir), "user_id")
+      .select("comb_key", "role_id").distinct()
+    val combDocAll = combRoles
+      .join(graft.rbac.Rbac.permissions(spark, sfDir), "role_id")
+      .select("comb_key", "document_id").distinct().persist()
+    combDocAll.count()
+    val allDocs = blocks.select("document_id").distinct()
+    val tFull = timeOver(allDocs)
+    val rows = top.map { case (comb, w, nd) =>
+      val t = timeOver(combDocAll.filter(col("comb_key") === comb).select("document_id"))
+      val predT = la * nd + lb // fitted linear scan model
+      val predicted = w * (math.log(n0.toDouble) - math.log(nd.toDouble)) / nd
+      val measured = w * (tFull - t) / nd
+      (comb, nd, predicted, measured, t, predT)
+    }
+    // Spearman with tied ranks (average-rank form, Pearson on ranks):
+    // the synthetic permission scheme makes many combs the same size,
+    // so predicted benefits tie in groups — the d²-formula would charge
+    // the model for its arbitrary tie order
+    def ranksAvg(xs: Seq[Double]): Seq[Double] = {
+      val sorted = xs.zipWithIndex.sortBy(-_._1)
+      val out = new Array[Double](xs.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+        val avg = (i + j + 1) / 2.0 // average of ranks i+1..j
+        (i until j).foreach(t => out(sorted(t)._2) = avg)
+        i = j
+      }
+      out.toSeq
+    }
+    def spearman(a: Seq[Double], b: Seq[Double]): Double = {
+      val m = a.length
+      if (m < 2) 1.0
+      else {
+        val (ra, rb) = (ranksAvg(a), ranksAvg(b))
+        val (ma, mb) = (ra.sum / m, rb.sum / m)
+        val cov = ra.zip(rb).map { case (x, y) => (x - ma) * (y - mb) }.sum
+        val (va, vb) = (ra.map(x => (x - ma) * (x - ma)).sum,
+          rb.map(y => (y - mb) * (y - mb)).sum)
+        if (va == 0 || vb == 0) 0.0 else cov / math.sqrt(va * vb)
+      }
+    }
+    // benefit ranking: the greedy's split ORDER vs its measured analogue;
+    // time model: does fitted t(n) order the partitions like reality?
+    val spBenefit = spearman(rows.map(_._3).toSeq, rows.map(_._4).toSeq)
+    val spTime = spearman(rows.map(_._6).toSeq, rows.map(_._5).toSeq)
+    val m = rows.length
+    val combJson = rows.map { case (c, nd, p, meas, t, pt) =>
+      f"""{"comb":"$c","n_docs":$nd,"pred_benefit":$p%.6f,"meas_benefit":$meas%.6f,"t_ms":$t%.1f,"pred_t_ms":$pt%.1f}"""
+    }.mkString("[", ",", "]")
+
+    println(f"""{"points":$pts,"linear":{"a_ms_per_row":$la%.6f,"b_ms":$lb%.2f,"r2":$lr2%.4f},"log":{"a_ms":$ga%.2f,"b_ms":$gb%.2f,"r2":$gr2%.4f},"validation":{"t_full_ms":$tFull%.1f,"n_combs":$m,"spearman_benefit":$spBenefit%.4f,"spearman_time":$spTime%.4f,"combs":$combJson},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

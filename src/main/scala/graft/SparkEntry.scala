@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ann.{Ann, IvfIndex, Lsh, PqIndex}
+import graft.ann.{Ann, IvfIndex, Lsh, PqIndex, QdTree}
 import graft.dedup.Dedup
 import graft.operators.Analytics
 import graft.multimodal.Multimodal
@@ -61,6 +61,8 @@ object SparkEntry {
     "ann_lsh_search" -> ((s, d) => Lsh.search(s, d)),
     "qdtree_partition_assign" -> ((s, d) => IvfIndex.qdTreeAssign(s, d)),
     "qdtree_routed_topk" -> ((s, d) => IvfIndex.qdTreeSearch(s, d, 1)),
+    "qdtree_greedy_build" -> ((s, d) => QdTree.leafReport(s, d)),
+    "qdtree_greedy_topk" -> ((s, d) => QdTree.routedTopK(s, d, 1)),
     "ann_predicate_probe" -> ((s, d) => IvfIndex.predicateAwareSearch(s, d, 1)),
     "ann_range_triangle" -> ((s, d) => IvfIndex.rangeSearchTriangle(s, d, tau = 1.3)),
     "ann_pq_build" -> ((s, d) => PqIndex.buildReport(s, d)),
@@ -425,6 +427,14 @@ object SparkEntry {
          |ORDER BY e.vec_id""".stripMargin,
     // signature routing is lossless: same oracle as prefilter (SURVEY §2 B10)
     "qdtree_routed_topk" ->
+      s"""WITH $ur1, $perm, $acc, $qv
+         |SELECT e.vec_id AS block_id, e.vec_id AS document_id
+         |FROM embeddings e JOIN acc ON e.vec_id = acc.document_id, q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
+    // greedy-tree leaf routing + in-scan permission filter is equally
+    // lossless: same oracle as prefilter (SURVEY §2 B19)
+    "qdtree_greedy_topk" ->
       s"""WITH $ur1, $perm, $acc, $qv
          |SELECT e.vec_id AS block_id, e.vec_id AS document_id
          |FROM embeddings e JOIN acc ON e.vec_id = acc.document_id, q

@@ -585,6 +585,22 @@ class BlockedSimilaritySpec extends AnyFunSuite {
     assert(r2 >= 0.7, s"recall after 2 rounds too low: $r2 (init $r0)")
   }
 
+  test("descent ρ-sampling cuts candidate volume, recall still converges") {
+    val exact = Ann.knnGraph(spark, sf, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(rho: Double): (Double, Long) = {
+      val got = Ann.knnGraphDescent(spark, sf, 5, iters = 2, rho = rho,
+        collectStats = true).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cands = Ann.descentCandStats((sf, 5, 2, 16, (rho * 100).toInt))
+      (got.intersect(exact).size.toDouble / exact.size, cands)
+    }
+    val (rFull, cFull) = run(1.0)
+    val (rSampled, cSampled) = run(0.5)
+    assert(cSampled < cFull,
+      s"ρ=0.5 should generate fewer candidates: $cSampled vs $cFull")
+    assert(rSampled >= 0.7, s"sampled recall too low: $rSampled (full $rFull)")
+  }
+
   test("blocked embedding near-dup equals the exact quadratic result") {
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -608,6 +624,40 @@ class BlockedSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"pairs must come from cell-pair equi-joins:\n$plan")
+  }
+}
+
+class QdTreeGreedySpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.ann.{IvfIndex, QdTree}
+  import graft.rbac.Rbac
+
+  test("greedy build respects the leaf budget and beats the flat leaf count") {
+    val tree = QdTree.getOrBuild(spark, sf)
+    assert(tree.nLeaves <= 24, s"leaf budget blown: ${tree.nLeaves}")
+    assert(tree.splits.nonEmpty, "greedy should choose at least one split")
+    // every group assigned to exactly one leaf; leaf ids = tree nodes
+    val leaves = QdTree.leafReport(spark, sf).collect()
+    assert(leaves.length == tree.nLeaves)
+    val flatLeaves = IvfIndex.qdTreeAssign(spark, sf).count()
+    assert(tree.nLeaves < flatLeaves,
+      s"greedy (${tree.nLeaves}) should need fewer leaves than flat ($flatLeaves)")
+    // no predicate repeats on a root-to-leaf path (remaining_preds)
+    def path(n: Long): Seq[Long] =
+      if (n == 0) Seq(0L) else path((n - 1) / 2) :+ n
+    val splitByNode = tree.splits.map(s => s.node -> ((s.ptype, s.pval))).toMap
+    leaves.map(_.getLong(0)).foreach { leaf =>
+      val preds = path(leaf).dropRight(1).flatMap(splitByNode.get)
+      assert(preds.distinct.length == preds.length, s"path to $leaf reuses a predicate")
+    }
+  }
+
+  test("greedy-tree routed search equals prefilter for several users") {
+    for (u <- Seq(1L, 2L, 7L)) {
+      val expect = Rbac.prefilterTopK(spark, sf, u, 10).collect().map(_.getLong(0)).toSeq
+      val got = QdTree.routedTopK(spark, sf, u).collect().map(_.getLong(0)).toSeq
+      assert(got == expect, s"user $u: greedy-routed diverged from prefilter")
+    }
   }
 }
 
