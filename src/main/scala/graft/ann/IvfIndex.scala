@@ -131,6 +131,14 @@ object IvfIndex {
 
   /** nprobe nearest list ids for a query vector — computed driver-side
     * over the (tiny) centroid set, exactly like pgvector's probe pick.
+    *
+    * ASSUMPTION (shared by `cellRadii`'s driver map): a coarse
+    * quantizer keeps cells ≈ √N, so the centroid matrix is index
+    * METADATA — even 10⁵ cells × 64 dims × 4 B is ~25 MB, comfortably
+    * driver-sized, and the argmin costs cells·dim flops per query.
+    * Past ~10⁵ cells use `probeListsDistributed`, which picks the same
+    * probe set as a distributed top-nprobe over a centroid table (at
+    * that scale the centroids live in a parquet sidecar anyway).
     */
   def probeLists(idx: Index, q: Array[Float], nprobe: Int): Seq[Int] = {
     def d2(a: Array[Float], b: Array[Float]): Double = {
@@ -141,6 +149,23 @@ object IvfIndex {
     idx.centroids.zipWithIndex
       .map { case (c, i) => (d2(c, q), i) }
       .sortBy(identity).take(nprobe).map(_._2).toSeq
+  }
+
+  /** The huge-quantizer path: same probe pick as `probeLists`, but as a
+    * distributed top-nprobe over a centroid FRAME (at 10⁶+ cells the
+    * centroid set is itself a table, not a driver array). nprobe ids
+    * come back to the driver — that part is always tiny.
+    */
+  def probeListsDistributed(spark: SparkSession, idx: Index, q: Array[Float],
+                            nprobe: Int): Seq[Int] = {
+    val cents = spark.createDataFrame(
+      idx.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c) })
+      .toDF("list_id", "centroid")
+    cents
+      .withColumn("d", l2_dist(col("centroid"), typedLit(q)))
+      .orderBy(col("d"), col("list_id"))
+      .limit(nprobe)
+      .collect().map(_.getInt(0)).toSeq
   }
 
   private def queryVec(spark: SparkSession, dir: String, qid: Long): Array[Float] =

@@ -157,6 +157,48 @@ object Layouts {
     (olds.length, parquetFiles.length)
   }
 
+  /** Write the corpus as cell-partitioned parquet — the AT-SCALE form
+    * of `IvfIndex.withCells`: the IVF index build's assignment becomes
+    * a `cell=` directory per inverted list, so a probe scan is
+    * directory pruning (reads nprobe/k of the bytes), exactly like the
+    * role layout above does for permissions. Returns the layout path.
+    */
+  def materializeCellLayout(spark: SparkSession, dir: String, outDir: String,
+                            cells: Int = 16): String = {
+    val path = s"$outDir/blocks_by_cell"
+    if (!Files.exists(Paths.get(path))) {
+      graft.ann.IvfIndex.withCells(spark, dir, cells)
+        .repartition(col("cell")) // one writer per list directory
+        .write.partitionBy("cell").mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** IVF probe search over the materialized cell layout: the probe list
+    * is a PARTITION predicate — `PartitionFilters` in the scan node
+    * (asserted in CellLayoutSpec), only the nprobe directories are
+    * read. Result is identical to `IvfIndex.search` at equal
+    * parameters (same index, same lists).
+    */
+  def prunedCellSearch(spark: SparkSession, dir: String, layoutPath: String,
+                       k: Int = 16, nprobe: Int = 4, topk: Int = 10,
+                       qid: Long = 0): DataFrame = {
+    val idx = graft.ann.IvfIndex.getOrBuild(spark, dir, k)
+    val q = graft.Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val lists = graft.ann.IvfIndex.probeLists(idx, q, nprobe)
+    spark.read.parquet(layoutPath)
+      .filter(col("cell").isin(lists: _*)) // directory pruning
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(
+        graft.Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
+          .select(col("embedding").as("qvec"))))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(topk)
+      .select(col("vec_id"), col("cell").cast("int").as("list_id"))
+  }
+
   /** Top-k over the materialized layout: the role predicate is a
     * PARTITION filter (directory pruning), not a row filter.
     */

@@ -161,6 +161,14 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rep.map(_.getLong(1)).sum == 500L)
   }
 
+  test("distributed probe pick equals the driver-side pick") {
+    val idx = IvfIndex.getOrBuild(spark, sf, 16)
+    val q = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    assert(IvfIndex.probeListsDistributed(spark, idx, q, 4) ==
+      IvfIndex.probeLists(idx, q, 4))
+  }
+
   test("LSH multiprobe search overlaps exact cosine topk") {
     val exact = Ann.bruteForceCosineTopK(spark, sf, 10).collect().map(_.getLong(0)).toSet
     val lsh = Lsh.search(spark, sf).collect().map(_.getLong(0)).toSet
@@ -235,6 +243,25 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     byMedia.values.foreach { g =>
       val idx = g.sortBy(_.getInt(2)).map(_.getInt(3))
       assert(idx.zipWithIndex.forall { case (f, i) => f == i * 10 })
+    }
+    // the frame count is parsed from the REAL container header
+    rows.foreach { r =>
+      assert(r.getInt(1) == 30 + (r.getLong(0) % 100).toInt,
+        s"media ${r.getLong(0)}: header frame count mismatch")
+    }
+  }
+
+  test("media payloads are real formats with valid magic bytes") {
+    val rows = Multimodal.mediaTable(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val magic = new String(r.payload.take(4), "US-ASCII")
+      r.kind match {
+        case "image" => assert(magic.startsWith("P5"), s"media ${r.media_id}")
+        case "audio" => assert(magic == "RIFF" &&
+          new String(r.payload.slice(8, 12), "US-ASCII") == "WAVE", s"media ${r.media_id}")
+        case _ => assert(magic == "GFV0", s"media ${r.media_id}")
+      }
     }
   }
 }
@@ -624,6 +651,29 @@ class BlockedSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"pairs must come from cell-pair equi-joins:\n$plan")
+  }
+}
+
+class CellLayoutSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.ann.IvfIndex
+  import graft.sources.Layouts
+
+  test("cell-partitioned layout probe search prunes directories, matches in-memory IVF") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cells").toString
+    val path = Layouts.materializeCellLayout(spark, sf, out)
+    val df = Layouts.prunedCellSearch(spark, sf, path, k = 16, nprobe = 4)
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val mem = IvfIndex.search(spark, sf, k = 16, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == mem, "partitioned probe must equal the in-memory probe")
+    // the probe predicate must prune directories, not filter rows
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition pruning in scan:\n$plan")
+    // and only nprobe of the 16 cell directories exist in the read
+    val dirs = new java.io.File(path).listFiles().count(_.getName.startsWith("cell="))
+    assert(dirs == 16, s"expected 16 cell directories, got $dirs")
   }
 }
 
