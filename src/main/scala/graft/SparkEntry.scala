@@ -84,6 +84,8 @@ object SparkEntry {
     "text_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "text_tokens" -> ((s, d) => TextOps.tokens(s, d)),
+    "text_pack_sequences" -> ((s, d) => TextOps.packSequences(s, d)),
+    "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "text_ngram_stats" -> ((s, d) => TextOps.ngramStats(s, d)),
     "text_hash_embedding" -> ((s, d) => TextOps.hashEmbedding(s, d)),
@@ -513,6 +515,23 @@ object SparkEntry {
         |       len(string_split(text, ' '))::BIGINT AS ws_tokens,
         |       len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // concat-and-chunk packing: running token sum in doc_id order; the
+    // Spark side computes it as a distributed prefix sum, the oracle as
+    // a plain window — bucketing must not change the answer
+    "text_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |         (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |          - n_tokens)::BIGINT AS tok_start
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens,
+        |       (tok_start // 512)::BIGINT AS window_id,
+        |       (tok_start % 512)::BIGINT AS tok_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),

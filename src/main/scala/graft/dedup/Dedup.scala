@@ -183,6 +183,37 @@ object Dedup {
       .select("doc1", "doc2").distinct()
   }
 
+  /** C7: decontamination — the cross-set containment check every
+    * training pipeline runs before a benchmark is trusted: a train doc
+    * is contaminated iff it shares ≥ `minHits` distinct word-`n`-gram
+    * shingles with ANY doc of the eval set (here: source = 'src0', the
+    * deterministic stand-in for a held-out benchmark).
+    *
+    * Shape at 100 TB: the eval set is always tiny relative to the
+    * training corpus, so its distinct shingle hashes BROADCAST and the
+    * corpus side is one scan + map-side-combined aggregation — no
+    * corpus shuffle keyed on shingles. Exact (no LSH) — a
+    * contamination gate must not have false negatives; hashes are the
+    * same codegen'd kernel the MinHash path uses, and the ScalaTest
+    * verifies against brute-force string-shingle intersection.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8,
+                    minHits: Long = 1L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalShingles = docs.filter(col("source") === "src0")
+      .select(explode(
+        graft.functions.ngrams.word_nshingle_hashes(col("text"), n)).as("h"))
+      .distinct()
+    docs.filter(col("source") =!= "src0")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(graft.functions.ngrams.word_nshingle_hashes(col("text"), n)).as("h"))
+      .join(broadcast(evalShingles), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits")) // hashes are distinct per doc
+      .filter(col("n_hits") >= minHits)
+      .orderBy("doc_id")
+  }
+
   /** C5: embedding-cosine similar-pair mining (cos ≥ tau) — exact
     * SEMANTICS (the oracle stays the quadratic pairwise SQL), blocked
     * EXECUTION: cos(x,y) ≥ τ iff the unit-normalized vectors satisfy

@@ -119,6 +119,41 @@ object TextOps {
       .orderBy("doc_id", "bucket")
   }
 
+  /** D8: sequence packing — the training-data step that assembles docs
+    * into fixed token-budget context windows (concat-and-chunk packing:
+    * docs concatenated in doc_id order, chopped every `budget` tokens;
+    * a doc's window is where its first token lands).
+    *
+    * The running token sum is a DISTRIBUTED prefix sum, not a global
+    * Window: a partition-less `Window.orderBy` would funnel the whole
+    * corpus through one task. Instead: range-bucket by doc_id, local
+    * running sums per bucket (bounded window state), bucket base
+    * offsets from the tiny per-bucket totals. The result is
+    * bucket-count-independent, so the DuckDB oracle replays it with a
+    * plain running sum.
+    */
+  def packSequences(spark: SparkSession, dir: String, budget: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(ws(col("text"))).cast("bigint").as("n_tokens"))
+    val nb = spark.sparkContext.defaultParallelism
+    val bucketed = docs.repartitionByRange(nb, col("doc_id"))
+      .withColumn("bucket", spark_partition_id())
+    val local = bucketed.withColumn("local_cum",
+      sum("n_tokens").over(Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bases = bucketed.groupBy("bucket").agg(sum("n_tokens").as("tot"))
+      .withColumn("base", coalesce(sum("tot").over(Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))) // ≤ nb rows
+      .select("bucket", "base")
+    local.join(broadcast(bases), "bucket")
+      .withColumn("tok_start", col("base") + col("local_cum") - col("n_tokens"))
+      .withColumn("window_id", floor(col("tok_start") / budget).cast("bigint"))
+      .withColumn("tok_offset", col("tok_start") % budget)
+      .select("doc_id", "n_tokens", "window_id", "tok_offset")
+      .orderBy("doc_id")
+  }
+
   /** D5: corpus-level top word-bigrams (explode → one shuffle with
     * map-side partial aggregation — the canonical n-gram count shape).
     */

@@ -135,6 +135,35 @@ class DedupTextSpec extends AnyFunSuite {
     val d = Dedup.exact(spark, sf).collect()
     assert(d.forall(r => r.getLong(2) == 1L && r.getLong(3) == r.getLong(0)))
   }
+
+  test("decontamination equals brute-force cross-set shingle intersection") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(t: String, n: Int): Set[String] =
+      t.split(" ").sliding(n).map(_.mkString(" ")).toSet
+    val evalSet = docs.filter(_._2 == "src0").flatMap(d => shingles(d._3, 8)).toSet
+    val expect = docs.filter(_._2 != "src0")
+      .map(d => d._1 -> shingles(d._3, 8).count(evalSet.contains))
+      .filter(_._2 >= 1).toMap
+    val got = Dedup.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == expect, s"contaminated-doc mismatch: got ${got.size}, expect ${expect.size}")
+    assert(got.nonEmpty, "seeded near-dups should cross the src0 boundary")
+  }
+
+  test("sequence packing is a consistent concat-and-chunk layout") {
+    import graft.text.TextOps
+    val rows = TextOps.packSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 500)
+    // replay the running sum serially: window/offset must match exactly
+    var cum = 0L
+    rows.sortBy(_._1).foreach { case (id, n, win, off) =>
+      assert(win == cum / 512 && off == cum % 512, s"doc $id misplaced")
+      cum += n
+    }
+  }
 }
 
 class AnnIndexSpec extends AnyFunSuite {
