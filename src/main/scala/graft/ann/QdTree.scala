@@ -108,15 +108,19 @@ object QdTree {
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Split]
     val usedOnPath = scala.collection.mutable.Map(0L -> Set.empty[(Int, Long)])
     var nLeaves = 1
+    // node block totals are derivable from the chosen splits' own
+    // (left_n, right_n) — no per-level aggregation job needed; frozen =
+    // nodes that produced no valid split (their candidates and data
+    // never change, so they never will)
+    val totals = scala.collection.mutable.Map(
+      0L -> groups.agg(sum("n_blocks")).head().getLong(0))
+    val frozen = scala.collection.mutable.Set.empty[Long]
 
     var depth = 0
     var done = false
     while (depth < maxDepth && !done) {
-      // splittable nodes and their block totals (tiny: ≤ leafBudget rows)
-      val nodeTotals = groups.groupBy("node")
-        .agg(sum("n_blocks").as("nd"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val splittable = nodeTotals.filter(_._2 > minLeaf).keys.toSeq.sorted
+      val splittable = totals
+        .filter { case (n, t) => t > minLeaf && !frozen(n) }.keys.toSeq.sorted
       // candidate (node, predicate) pairs: each predicate at most once
       // per root-to-leaf path (remaining_preds in build_qd_tree)
       val cand = splittable.flatMap { n =>
@@ -131,45 +135,55 @@ object QdTree {
           .withColumn("goes_left",
             when(col("ptype") === 0, array_contains(col("roles"), col("pval")))
               .otherwise(col("cell") === col("pval")))
-        // split sizes (find_best_split's min-size guard + balance score)
-        val sides = gp.groupBy("node", "ptype", "pval", "pord")
-          .agg(
-            sum(when(col("goes_left"), col("n_blocks")).otherwise(lit(0L))).as("left_n"),
-            sum(col("n_blocks")).as("tot_n"))
-          .withColumn("right_n", col("tot_n") - col("left_n"))
-          .filter(col("left_n") >= minLeaf && col("right_n") >= minLeaf)
-        // overlap cost (evaluate_split_cost): queries needing both sides
-        val costs = gp.crossJoin(wl)
+        // ONE two-level aggregation scores every candidate: level 1 at
+        // (node, pred, query) granularity carries the overlap bits AND
+        // the split sizes (sizes are query-invariant, so max() recovers
+        // them at level 2) — no separate sizes job, no join. Size guard
+        // = find_best_split's min-size check; overlap =
+        // evaluate_split_cost's both-sides query count.
+        val scored = gp.crossJoin(wl)
           .withColumn("qacc", arrays_overlap(col("roles"), col("qroles")))
-          .groupBy("node", "ptype", "pval", "query_id")
+          .groupBy("node", "ptype", "pval", "pord", "query_id")
           .agg(
             max(when(col("goes_left") && col("qacc"), 1L).otherwise(0L)).as("lneed"),
-            max(when(!col("goes_left") && col("qacc"), 1L).otherwise(0L)).as("rneed"))
-          .groupBy("node", "ptype", "pval")
-          .agg(sum(col("lneed") * col("rneed")).as("overlap"))
+            max(when(!col("goes_left") && col("qacc"), 1L).otherwise(0L)).as("rneed"),
+            sum(when(col("goes_left"), col("n_blocks")).otherwise(lit(0L))).as("left_nq"),
+            sum(col("n_blocks")).as("tot_nq"))
+          .groupBy("node", "ptype", "pval", "pord")
+          .agg(
+            sum(col("lneed") * col("rneed")).as("overlap"),
+            max(col("left_nq")).as("left_n"),
+            max(col("tot_nq")).as("tot_n"))
+          .withColumn("right_n", col("tot_n") - col("left_n"))
+          .filter(col("left_n") >= minLeaf && col("right_n") >= minLeaf)
         // best predicate per node: min overlap, then balance, then order
-        val best = sides.join(costs, Seq("node", "ptype", "pval"))
+        val best = scored
           .withColumn("balance",
             lit(1.0) - abs(lit(0.5) - col("left_n").cast("double") / col("tot_n")))
           .withColumn("rk", row_number().over(Window.partitionBy("node")
             .orderBy(col("overlap"), col("balance").desc, col("pord"))))
           .filter(col("rk") === 1)
-          .select("node", "ptype", "pval")
-          .collect().map(r => Split(r.getLong(0), r.getInt(1), r.getLong(2)))
+          .select("node", "ptype", "pval", "left_n", "right_n")
+          .collect().map(r =>
+            (Split(r.getLong(0), r.getInt(1), r.getLong(2)), r.getLong(3), r.getLong(4)))
+        frozen ++= splittable.toSet -- best.map(_._1.node) // no valid split, ever
         // leaf budget: each split adds one leaf; biggest nodes first
         val room = leafBudget - nLeaves
-        val take = best.sortBy(s => (-nodeTotals(s.node), s.node)).take(room)
+        val take = best.sortBy { case (s, _, _) => (-totals(s.node), s.node) }.take(room)
         if (take.isEmpty) done = true
         else {
-          chosen ++= take
+          chosen ++= take.map(_._1)
           nLeaves += take.length
-          take.foreach { s =>
+          take.foreach { case (s, leftN, rightN) =>
             val u = usedOnPath(s.node) + ((s.ptype, s.pval))
             usedOnPath(s.node * 2 + 1) = u
             usedOnPath(s.node * 2 + 2) = u
+            totals -= s.node
+            totals(s.node * 2 + 1) = leftN
+            totals(s.node * 2 + 2) = rightN
           }
           val splitDf = broadcast(spark.createDataFrame(
-            take.toSeq.map(s => (s.node, s.ptype, s.pval)))
+            take.toSeq.map { case (s, _, _) => (s.node, s.ptype, s.pval) })
             .toDF("node", "sptype", "spval"))
           val next = groups.join(splitDf, Seq("node"), "left")
             .withColumn("node",
