@@ -77,11 +77,18 @@ object Bench {
       val heavy = results.sortBy(-_._2).take(5).map(_._1)
       val timed = heavy.map { name =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
-        "\"" + name + "\":" + (System.nanoTime() - t0) / 1e9
+        // same rule as the concurrent pass: a failure must surface as a
+        // failure, never as a fast-looking number
+        val err = try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+        (name, (System.nanoTime() - t0) / 1e9, err)
       }
-      s""","serial_heavy":${timed.mkString("{", ",", "}")}"""
+      val ok = timed.collect { case (n, t, None) => "\"" + n + "\":" + t }
+        .mkString("{", ",", "}")
+      val serr = timed.collect { case (n, _, Some(e)) =>
+        "\"" + n + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+        .mkString("{", ",", "}")
+      s""","serial_heavy":$ok,"serial_errors":$serr"""
     }
     val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

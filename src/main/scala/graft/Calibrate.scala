@@ -116,12 +116,9 @@ object Calibrate {
       .orderBy(col("benefit").desc, col("comb_key"))
       .limit(10)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
-    val combRoles = graft.rbac.Rbac.userRoles(spark, sfDir)
-      .join(graft.rbac.Partitioned.userCombs(spark, sfDir), "user_id")
-      .select("comb_key", "role_id").distinct()
-    val combDocAll = combRoles
-      .join(graft.rbac.Rbac.permissions(spark, sfDir), "role_id")
-      .select("comb_key", "document_id").distinct().persist()
+    // the SAME comb→docs derivation the layout build uses — measured
+    // doc sets cannot drift from the model's
+    val combDocAll = graft.rbac.Partitioned.combAccessibleDocs(spark, sfDir).persist()
     combDocAll.count()
     val allDocs = blocks.select("document_id").distinct()
     val tFull = timeOver(allDocs)

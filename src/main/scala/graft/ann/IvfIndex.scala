@@ -141,9 +141,12 @@ object IvfIndex {
     * that scale the centroids live in a parquet sidecar anyway).
     */
   def probeLists(idx: Index, q: Array[Float], nprobe: Int): Seq[Int] = {
+    // Double subtraction, matching l2_dist/NearestCentroid exactly —
+    // a Float subtraction here could order near-tied centroids
+    // differently than probeListsDistributed
     def d2(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
       s
     }
     idx.centroids.zipWithIndex

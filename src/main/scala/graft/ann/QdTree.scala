@@ -55,10 +55,7 @@ object QdTree {
     * the flat layout uses.
     */
   private def groupStats(spark: SparkSession, dir: String, cells: Int): DataFrame = {
-    val combs = Rbac.permissions(spark, dir)
-      .groupBy("document_id")
-      .agg(sort_array(collect_set(col("role_id"))).as("roles"))
-      .withColumn("comb_key", concat_ws(",", col("roles")))
+    val combs = graft.rbac.Partitioned.combRoleSets(spark, dir)
     IvfIndex.withCells(spark, dir, cells)
       .select(col("vec_id").as("document_id"), col("cell"))
       .join(combs, "document_id")
@@ -118,7 +115,9 @@ object QdTree {
 
     var depth = 0
     var done = false
-    while (depth < maxDepth && !done) {
+    while (depth < maxDepth && !done && nLeaves < leafBudget) {
+      // (budget check up front: scoring a level only to discard every
+      // split because room == 0 would waste the most expensive job)
       val splittable = totals
         .filter { case (n, t) => t > minLeaf && !frozen(n) }.keys.toSeq.sorted
       // candidate (node, predicate) pairs: each predicate at most once

@@ -46,7 +46,9 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
   override def prettyName: String = "l2_distance"
   protected def kernel(x: ArrayData, y: ArrayData): Double = {
     val n = x.numElements(); var i = 0; var s = 0.0
-    while (i < n) { val d = x.getFloat(i) - y.getFloat(i); s += d * d; i += 1 }
+    // Double subtraction to match the generated code bit-for-bit (a
+    // Float subtraction can flip top-k ties between eval paths)
+    while (i < n) { val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble; s += d * d; i += 1 }
     math.sqrt(s)
   }
   protected def genLoop(ctx: CodegenContext, x: String, y: String, result: String): String = {
@@ -70,7 +72,8 @@ case class L2DistanceSq(left: Expression, right: Expression) extends VectorBinar
   override def prettyName: String = "l2_distance_sq"
   protected def kernel(x: ArrayData, y: ArrayData): Double = {
     val n = x.numElements(); var i = 0; var s = 0.0
-    while (i < n) { val d = x.getFloat(i) - y.getFloat(i); s += d * d; i += 1 }
+    // Double subtraction to match codegen (see L2Distance)
+    while (i < n) { val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble; s += d * d; i += 1 }
     s
   }
   protected def genLoop(ctx: CodegenContext, x: String, y: String, result: String): String = {

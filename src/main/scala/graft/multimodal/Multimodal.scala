@@ -33,8 +33,11 @@ object Multimodal {
 
   // --- payload synthesis (real formats, deterministic content) ---
 
-  private def pixels(seed: Array[Byte], n: Int): Array[Byte] =
-    Array.tabulate(n)(i => (seed(i % seed.length) * 31 + i).toByte)
+  private def pixels(seed: Array[Byte], n: Int): Array[Byte] = {
+    // empty text must still yield a valid payload, not a / by zero
+    val s = if (seed.isEmpty) Array[Byte](0) else seed
+    Array.tabulate(n)(i => (s(i % s.length) * 31 + i).toByte)
+  }
 
   /** Binary PGM (netpbm P5): ASCII header `P5\n<w> <h>\n255\n` + w·h
     * gray bytes.
@@ -134,7 +137,9 @@ object Multimodal {
     require(bitsPerSample == 8 && p.length >= 44 + n, "truncated WAV")
     var s = 0L; var j = 44
     while (j < 44 + n) { s += math.abs((p(j) & 0xff) - 128); j += 1 }
-    (n, 1, s.toDouble / n / 127.0)
+    // /128 keeps the mean in [0,1] (|sample−128| reaches 128); an empty
+    // data chunk is structurally valid → silence, not NaN
+    (n, 1, if (n == 0) 0.0 else s.toDouble / n / 128.0)
   }
 
   /** Parse the GFV0 container: validate magic, read frame geometry,

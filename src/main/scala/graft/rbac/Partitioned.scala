@@ -51,14 +51,22 @@ object Partitioned {
       .select("block_id", "document_id")
   }
 
+  /** DOC-side granting-role sets, array + key forms — THE single
+    * definition of a document's combination (the array feeds predicate
+    * evaluation in the qd-tree build, the key is the partition id).
+    */
+  def combRoleSets(spark: SparkSession, dir: String): DataFrame =
+    Rbac.permissions(spark, dir)
+      .groupBy("document_id")
+      .agg(sort_array(collect_set(col("role_id"))).as("roles"))
+      .withColumn("comb_key", concat_ws(",", col("roles")))
+
   /** Combination key of a document: its full sorted granting-role set
     * (initialize_combination_role_partition_tables.py) — each doc lives
     * in exactly ONE combination partition (no duplication).
     */
   def combKeys(spark: SparkSession, dir: String): DataFrame =
-    Rbac.permissions(spark, dir)
-      .groupBy("document_id")
-      .agg(concat_ws(",", sort_array(collect_set(col("role_id")))).as("comb_key"))
+    combRoleSets(spark, dir).select("document_id", "comb_key")
 
   /** A6: combination-partition search: route to the partitions whose
     * role-set intersects the user's roles, scan only those, top-k.
@@ -103,6 +111,23 @@ object Partitioned {
       .groupBy("user_id")
       .agg(concat_ws(",", sort_array(collect_set(col("role_id")))).as("comb_key"))
 
+  /** USER-side (comb_key, role_id) pairs of every user role-comb. */
+  def combRoles(spark: SparkSession, dir: String): DataFrame =
+    Rbac.userRoles(spark, dir)
+      .join(userCombs(spark, dir), "user_id")
+      .select("comb_key", "role_id").distinct()
+
+  /** (comb_key, document_id): the docs a user-comb can access — ONE
+    * derivation shared by the cost-model layout build, the routed
+    * search's partition doc sets, and the calibration validation, so
+    * the comb definition cannot drift between the model and its
+    * measurement.
+    */
+  def combAccessibleDocs(spark: SparkSession, dir: String): DataFrame =
+    combRoles(spark, dir)
+      .join(Rbac.permissions(spark, dir), "role_id")
+      .select("comb_key", "document_id").distinct()
+
   /** A17: cost-model dynamic partition assignment — the reference's
     * research contribution (AnonySys_dynamic_partition.py), as a batch
     * Spark job with a deterministic, DuckDB-replayable result.
@@ -141,13 +166,8 @@ object Partitioned {
     import org.apache.spark.sql.expressions.Window
     val blocks = Rbac.blocks(spark, dir).select("document_id")
     val total = blocks.agg(count(lit(1)).as("n0"))
-    val combRoles = Rbac.userRoles(spark, dir)
-      .join(userCombs(spark, dir), "user_id")
-      .select("comb_key", "role_id").distinct()
-    val combDocs = combRoles
-      .join(Rbac.permissions(spark, dir), "role_id")
+    val combDocs = combAccessibleDocs(spark, dir)
       .join(blocks, "document_id")
-      .select("comb_key", "document_id").distinct()
       .groupBy("comb_key").agg(countDistinct("document_id").as("n_docs"))
     val weights = Maintenance.workloadGen(spark, dir, nQueries)
       .select("user_id")
@@ -189,16 +209,11 @@ object Partitioned {
     * for. Shared by the routed search and the space report.
     */
   def costModelPartitionDocs(spark: SparkSession, dir: String,
-                             alpha: Double = 2.0): DataFrame = {
-    val combRoles = Rbac.userRoles(spark, dir)
-      .join(userCombs(spark, dir), "user_id")
-      .select("comb_key", "role_id").distinct()
-    combRoles
-      .join(Rbac.permissions(spark, dir), "role_id")
+                             alpha: Double = 2.0): DataFrame =
+    combAccessibleDocs(spark, dir)
       .join(costModelLayout(spark, dir, alpha).select("comb_key", "partition_id"),
         "comb_key")
       .select("partition_id", "document_id").distinct()
-  }
 
   def dynamicPartitionTopK(spark: SparkSession, dir: String, userId: Long, k: Int,
                            alpha: Double = 2.0): DataFrame = {

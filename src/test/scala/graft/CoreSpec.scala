@@ -140,8 +140,13 @@ class DedupTextSpec extends AnyFunSuite {
     val docs = graft.Tables.documents(spark, sf)
       .select("doc_id", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    def shingles(t: String, n: Int): Set[String] =
-      t.split(" ").sliding(n).map(_.mkString(" ")).toSet
+    def shingles(t: String, n: Int): Set[String] = {
+      val words = t.split(" ")
+      // kernel semantics: a doc with < n words has NO n-shingles
+      // (sliding would emit one partial window)
+      if (words.length < n) Set.empty
+      else words.sliding(n).map(_.mkString(" ")).toSet
+    }
     val evalSet = docs.filter(_._2 == "src0").flatMap(d => shingles(d._3, 8)).toSet
     val expect = docs.filter(_._2 != "src0")
       .map(d => d._1 -> shingles(d._3, 8).count(evalSet.contains))
