@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.ngrams
+
+/** G6: streaming ingest gate — the arrival half of the training-data
+  * pipeline: documents landing in the corpus pass the quality +
+  * decontamination gates IN-STREAM, so contaminated or junk docs never
+  * reach the training set (the batch halves are D2/C7).
+  *
+  * Stateless design: the eval set's distinct shingle hashes are a
+  * sorted array baked into the plan (like the IVF centroid matrix in
+  * VectorStream), so the contamination check is one codegen'd
+  * merge-scan per doc — no stream-side aggregation, no state store,
+  * append mode. At 100 TB/day the eval dictionary is index metadata
+  * refreshed with the benchmark set, not per-batch work.
+  */
+object DocStream {
+
+  val rawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def stageDir(dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val d = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_dstream_" + Integer.toHexString(dir.hashCode))
+    if (!java.nio.file.Files.exists(d.resolve("documents.parquet"))) {
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.copy(src, d.resolve("documents.parquet"))
+    }
+    d.toString
+  }
+
+  /** Distinct word-8-gram hashes of the eval set (source = 'src0'),
+    * sorted — the decontamination dictionary (same kernel as C7).
+    */
+  def evalShingleDict(spark: SparkSession, dir: String, n: Int = 8): Array[Long] =
+    Tables.documents(spark, dir)
+      .filter(col("source") === "src0")
+      .select(explode(ngrams.word_nshingle_hashes(col("text"), n)).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+
+  /** The gate itself — shared verbatim by the streaming path and its
+    * batch mirror (the test's equivalence oracle). `keep` is the
+    * decision a sink would route on.
+    */
+  private def gate(docs: DataFrame, evalHashes: Array[Long],
+                   n: Int, minTokens: Long): DataFrame =
+    docs.filter(col("source") =!= "src0")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        (ngrams.sorted_jaccard(
+          ngrams.word_nshingle_hashes(col("text"), n),
+          typedLit(evalHashes)) > 0).as("contaminated"))
+      .withColumn("keep", !col("contaminated") && col("n_tokens") >= minTokens)
+
+  def ingestGateStream(spark: SparkSession, dir: String, n: Int = 8,
+                       minTokens: Long = 5L): DataFrame =
+    gate(spark.readStream.schema(rawSchema).parquet(stageDir(dir)),
+      evalShingleDict(spark, dir, n), n, minTokens)
+
+  /** Batch mirror of the gate, for equivalence testing and backfills. */
+  def ingestGateBatch(spark: SparkSession, dir: String, n: Int = 8,
+                      minTokens: Long = 5L): DataFrame =
+    gate(Tables.documents(spark, dir), evalShingleDict(spark, dir, n), n, minTokens)
+}

@@ -464,6 +464,27 @@ class PredicateProbeSpec extends AnyFunSuite {
   }
 }
 
+class DocStreamSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.dedup.Dedup
+  import graft.streaming.{DocStream, EventStream}
+
+  test("streaming ingest gate matches the batch mirror and the C7 operator") {
+    val q = EventStream.runToMemory(spark, DocStream.ingestGateStream(spark, sf), "g6gate")
+    val streamed = spark.sql("SELECT doc_id, n_tokens, contaminated, keep FROM g6gate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toSet
+    val batch = DocStream.ingestGateBatch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toSet
+    assert(streamed == batch, "stream and batch gate must agree row-for-row")
+    // the in-stream contamination flag agrees with the batch C7 operator
+    val c7 = Dedup.decontaminate(spark, sf).collect().map(_.getLong(0)).toSet
+    val flagged = streamed.filter(_._3).map(_._1)
+    assert(flagged == c7, "streamed contamination set diverged from dedup_decontaminate")
+    assert(streamed.exists(_._4) && streamed.exists(!_._4),
+      "gate should both keep and reject docs in this corpus")
+  }
+}
+
 class StreamingDedupSpec extends AnyFunSuite {
   import SparkTest._
   import graft.streaming.EventStream
