@@ -145,7 +145,11 @@ object Layouts {
     val partBytes = fs.listStatus(partDir).filter(_.isFile).map(_.getLen).sum
     val nFiles = math.max(1L, (partBytes + targetBytes - 1) / targetBytes).toInt
     val staging = new Path(layoutPath + s"_rewrite_$role")
-    data.repartition(nFiles).write.mode("overwrite").parquet(staging.toString)
+    // a block appears once per partition by construction (the insert
+    // path anti-joins on it), so deduping here is a no-op in steady
+    // state — and it HEALS the duplicate rows a mid-swap crash leaves
+    data.dropDuplicates("block_id")
+      .repartition(nFiles).write.mode("overwrite").parquet(staging.toString)
     val staged = fs.listStatus(staging)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)

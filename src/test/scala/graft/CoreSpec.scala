@@ -388,6 +388,31 @@ class LayoutStreamSpec extends AnyFunSuite {
     assert(got3 == expect)
   }
 
+  test("a partition with duplicated files still answers correctly (mid-swap crash shape)") {
+    import graft.rbac.Rbac
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val path = Layouts.materializeRoleLayout(spark, sf, out)
+    val expect = Layouts.prunedRoleSearch(spark, sf, path, 1, 10)
+      .collect().map(_.getLong(0)).toSeq
+    // a crash between move-in and delete leaves BOTH old and new copies
+    // of the partition's rows — simulate by duplicating a data file
+    val role = Rbac.userRoles(spark, sf).filter(col("user_id") === 1).head().getLong(1)
+    val partDir = java.nio.file.Paths.get(path, s"partition_role=$role")
+    val f = java.nio.file.Files.list(partDir)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(f, partDir.resolve("dup-" + f.getFileName))
+    val got = Layouts.prunedRoleSearch(spark, sf, path, 1, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expect, "duplicate rows must dedup away in the search")
+    // and the next rewrite sweep collapses the duplicates again
+    val (_, after) = Layouts.rewritePartition(spark, path, role)
+    assert(after == 1)
+    assert(spark.read.parquet(path).filter(col("partition_role") === role)
+      .groupBy("block_id").count().filter(col("count") > 1).count() == 0,
+      "rewrite must deduplicate the crash remnants")
+  }
+
   test("batch rollback restores the pre-insert layout rows and results") {
     import graft.rbac.Rbac
     import org.apache.spark.sql.functions.col
