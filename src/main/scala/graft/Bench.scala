@@ -10,6 +10,17 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_ONLY=name1,name2 to bench a subset while iterating.
   */
 object Bench {
+  /** JSON string escape incl. control chars — an exception message with
+    * an embedded tab/CR must not break the one-line JSON contract.
+    */
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -86,14 +97,14 @@ object Bench {
       val ok = timed.collect { case (n, t, None) => "\"" + n + "\":" + t }
         .mkString("{", ",", "}")
       val serr = timed.collect { case (n, _, Some(e)) =>
-        "\"" + n + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+        "\"" + n + "\":\"" + jsonEscape(e) + "\"" }
         .mkString("{", ",", "}")
       s""","serial_heavy":$ok,"serial_errors":$serr"""
     }
     val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      "\"" + k + "\":\"" + jsonEscape(e) + "\"" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"pool":$poolSize,"cpus":"$cpus"$serialJson,"sf":"$sfDir"}""")
     if (results.exists(_._3.isDefined)) System.err.println(

@@ -145,10 +145,13 @@ object Layouts {
     val partBytes = fs.listStatus(partDir).filter(_.isFile).map(_.getLen).sum
     val nFiles = math.max(1L, (partBytes + targetBytes - 1) / targetBytes).toInt
     val staging = new Path(layoutPath + s"_rewrite_$role")
-    // a block appears once per partition by construction (the insert
-    // path anti-joins on it), so deduping here is a no-op in steady
-    // state — and it HEALS the duplicate rows a mid-swap crash leaves
-    data.dropDuplicates("block_id")
+    // a (block, batch) row appears once per partition by construction
+    // (the insert path anti-joins on block), so deduping here is a
+    // no-op in steady state — and it HEALS the exact-copy rows a
+    // mid-swap crash leaves. batch_id stays in the key: collapsing
+    // same-block rows of DIFFERENT batches would silently destroy the
+    // provenance rollbackBatch depends on.
+    data.dropDuplicates("block_id", "batch_id")
       .repartition(nFiles).write.mode("overwrite").parquet(staging.toString)
     val staged = fs.listStatus(staging)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))

@@ -28,25 +28,19 @@ object DocStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  private def stageDir(dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "documents.parquet")
-    val d = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_dstream_" + Integer.toHexString(dir.hashCode))
-    if (!java.nio.file.Files.exists(d.resolve("documents.parquet"))) {
-      java.nio.file.Files.createDirectories(d)
-      java.nio.file.Files.copy(src, d.resolve("documents.parquet"))
-    }
-    d.toString
-  }
+  private val dictCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Long]]
 
   /** Distinct word-8-gram hashes of the eval set (source = 'src0'),
-    * sorted — the decontamination dictionary (same kernel as C7).
+    * sorted — the decontamination dictionary (same kernel as C7),
+    * computed once per (dir, n) like the other index metadata.
     */
   def evalShingleDict(spark: SparkSession, dir: String, n: Int = 8): Array[Long] =
-    Tables.documents(spark, dir)
-      .filter(col("source") === "src0")
-      .select(explode(ngrams.word_nshingle_hashes(col("text"), n)).as("h"))
-      .distinct().collect().map(_.getLong(0)).sorted
+    dictCache.getOrElseUpdate((dir, n),
+      Tables.documents(spark, dir)
+        .filter(col("source") === "src0")
+        .select(explode(ngrams.word_nshingle_hashes(col("text"), n)).as("h"))
+        .distinct().collect().map(_.getLong(0)).sorted)
 
   /** The gate itself — shared verbatim by the streaming path and its
     * batch mirror (the test's equivalence oracle). `keep` is the
@@ -65,7 +59,8 @@ object DocStream {
 
   def ingestGateStream(spark: SparkSession, dir: String, n: Int = 8,
                        minTokens: Long = 5L): DataFrame =
-    gate(spark.readStream.schema(rawSchema).parquet(stageDir(dir)),
+    gate(spark.readStream.schema(rawSchema)
+      .parquet(Staging.stageFile(dir, "documents.parquet")),
       evalShingleDict(spark, dir, n), n, minTokens)
 
   /** Batch mirror of the gate, for equivalence testing and backfills. */

@@ -28,20 +28,8 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** FileStreamSource monitors a DIRECTORY (new files appear → new
-    * micro-batches); testdata ships a single file, so stage it into a
-    * stream-input dir once (in production the ingest dir exists anyway).
-    */
-  private def stageDir(dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val d = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_stream_" + Integer.toHexString(dir.hashCode))
-    if (!java.nio.file.Files.exists(d.resolve("events.parquet"))) {
-      java.nio.file.Files.createDirectories(d)
-      java.nio.file.Files.copy(src, d.resolve("events.parquet"))
-    }
-    d.toString
-  }
+  private def stageDir(dir: String): String =
+    Staging.stageFile(dir, "events.parquet")
 
   /** Unbounded read of the events parquet as a stream. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {

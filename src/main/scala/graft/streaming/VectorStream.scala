@@ -20,16 +20,8 @@ object VectorStream {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  private def stageDir(dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val d = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_vstream_" + Integer.toHexString(dir.hashCode))
-    if (!java.nio.file.Files.exists(d.resolve("embeddings.parquet"))) {
-      java.nio.file.Files.createDirectories(d)
-      java.nio.file.Files.copy(src, d.resolve("embeddings.parquet"))
-    }
-    d.toString
-  }
+  private def stageDir(dir: String): String =
+    Staging.stageFile(dir, "embeddings.parquet")
 
   /** Streaming nearest-centroid assignment: the `nearest_centroid`
     * expression (centroid matrix baked in at plan time, from the batch-

@@ -399,8 +399,9 @@ class LayoutStreamSpec extends AnyFunSuite {
     // of the partition's rows — simulate by duplicating a data file
     val role = Rbac.userRoles(spark, sf).filter(col("user_id") === 1).head().getLong(1)
     val partDir = java.nio.file.Paths.get(path, s"partition_role=$role")
-    val f = java.nio.file.Files.list(partDir)
-      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val ls = java.nio.file.Files.list(partDir)
+    val f = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+    finally ls.close()
     java.nio.file.Files.copy(f, partDir.resolve("dup-" + f.getFileName))
     val got = Layouts.prunedRoleSearch(spark, sf, path, 1, 10)
       .collect().map(_.getLong(0)).toSeq
