@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.vector._
+import graft.operators.TopKAgg.topk_ids
+
+/** Large-SF equivalence harness (`sbt "runMain graft.Equivalence"`) —
+  * re-proves, at whatever SF `SPARK_GRAFT_SF_DIR` points to, that the
+  * blocked/cell-pruned operators equal their quadratic formulations
+  * computed by INDEPENDENT plans (broadcast crossJoin + bounded-heap
+  * aggregate — no shared code path with the blocked builds). The
+  * ScalaTest suite asserts this at sf0.001 against driver-side brute
+  * force; this main is the scale evidence (sf0.01/sf0.1 runs recorded
+  * in SURVEY §7 per round). Prints one JSON line; exits non-zero on
+  * any inequality.
+  */
+object Equivalence {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+
+    // exact cell-bucketed kNN graph vs quadratic batch top-k
+    val g = graft.ann.Ann.knnGraph(spark, sfDir, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val gt = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(topk_ids(l2_dist(col("embedding"), col("qvec")), col("vec_id"), 5).as("ids"))
+      .select(col("query_id").as("src"), explode(col("ids")).as("nbr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val knnEqual = g == gt
+
+    // blocked cosine near-dup vs quadratic pair scan
+    val p = graft.dedup.Dedup.embeddingPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = e.select(col("vec_id").as("vec1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("vec2"), col("embedding").as("e2"))
+    val quad = a.crossJoin(b)
+      .filter(col("vec1") < col("vec2"))
+      .withColumn("cos_sim", round(cosine_sim(col("e1"), col("e2")), 4))
+      .filter(col("cos_sim") >= 0.45)
+      .select("vec1", "vec2", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pairsEqual = p == quad
+
+    // triangle-pruned range search vs plain range scan
+    val pruned = graft.ann.IvfIndex.rangeSearchTriangle(spark, sfDir, 1.3)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = graft.ann.Ann.rangeSearch(spark, sfDir, 1.3)
+      .collect().map(_.getLong(0)).toSeq
+    val rangeEqual = pruned == brute
+
+    println(s"""{"sf":"$sfDir","knn_graph_equal":$knnEqual,"knn_edges":${g.size},""" +
+      s""""embedding_pairs_equal":$pairsEqual,"pairs":${p.size},""" +
+      s""""range_triangle_equal":$rangeEqual,"range_rows":${brute.length}}""")
+    spark.stop()
+    if (!(knnEqual && pairsEqual && rangeEqual)) sys.exit(1)
+  }
+}
