@@ -10,16 +10,7 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_ONLY=name1,name2 to bench a subset while iterating.
   */
 object Bench {
-  /** JSON string escape incl. control chars — an exception message with
-    * an embedded tab/CR must not break the one-line JSON contract.
-    */
-  private def jsonEscape(s: String): String =
-    s.flatMap {
-      case '\\' => "\\\\"
-      case '"' => "\\\""
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+  private def jsonEscape(s: String): String = JsonOut.escape(s)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,7 +97,7 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"pool":$poolSize,"cpus":"$cpus"$serialJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialJson,"sf":"${jsonEscape(sfDir)}"}""")
     if (results.exists(_._3.isDefined)) System.err.println(
       s"BENCH ERRORS: ${results.count(_._3.isDefined)} queries failed")
     spark.stop()

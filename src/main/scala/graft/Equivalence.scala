@@ -61,7 +61,7 @@ object Equivalence {
       .collect().map(_.getLong(0)).toSeq
     val rangeEqual = pruned == brute
 
-    println(s"""{"sf":"$sfDir","knn_graph_equal":$knnEqual,"knn_edges":${g.size},""" +
+    println(s"""{"sf":"${JsonOut.escape(sfDir)}","knn_graph_equal":$knnEqual,"knn_edges":${g.size},""" +
       s""""embedding_pairs_equal":$pairsEqual,"pairs":${p.size},""" +
       s""""range_triangle_equal":$rangeEqual,"range_rows":${brute.length}}""")
     spark.stop()
