@@ -85,6 +85,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "text_tokens" -> ((s, d) => TextOps.tokens(s, d)),
     "text_pack_sequences" -> ((s, d) => TextOps.packSequences(s, d)),
+    "text_train_split" -> ((s, d) => TextOps.trainSplit(s, d)),
     "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "text_ngram_stats" -> ((s, d) => TextOps.ngramStats(s, d)),
@@ -532,6 +533,11 @@ object SparkEntry {
         |       (tok_start // 512)::BIGINT AS window_id,
         |       (tok_start % 512)::BIGINT AS tok_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_train_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN (doc_id * 2654435761) % 100 < 90
+        |            THEN 'train' ELSE 'val' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),

@@ -154,6 +154,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D9: deterministic train/validation split — the assignment step
+    * every training pipeline runs before packing. Multiplicative-hash
+    * of the DOC ID (Knuth's 2654435761), not of position or a random
+    * draw: a doc's split never changes when the corpus grows, reshards,
+    * or re-orders — the property that keeps eval sets stable across
+    * dataset versions. The arithmetic is plain BIGINT ops, so the
+    * DuckDB oracle replays it exactly (a production system would use a
+    * seeded 64-bit hash; the constant form is chosen for cross-engine
+    * replayability and has the same stability property).
+    */
+  def trainSplit(spark: SparkSession, dir: String, trainPct: Int = 90): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id") * lit(2654435761L), lit(100)) < trainPct, "train")
+          .otherwise("val").as("split"))
+      .orderBy("doc_id")
+
   /** D5: corpus-level top word-bigrams (explode → one shuffle with
     * map-side partial aggregation — the canonical n-gram count shape).
     */

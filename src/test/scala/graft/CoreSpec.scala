@@ -157,6 +157,23 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got.nonEmpty, "seeded near-dups should cross the src0 boundary")
   }
 
+  test("train split is proportional and stable under corpus growth") {
+    import graft.text.TextOps
+    val rows = TextOps.trainSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 500)
+    val trainFrac = rows.values.count(_ == "train").toDouble / rows.size
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"split skewed: $trainFrac")
+    // stability: a doc's split depends only on its id — the assignment
+    // over a SUBSET of the corpus must agree with the full corpus
+    val subset = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0).select("doc_id")
+      .withColumn("split",
+        when(pmod(col("doc_id") * lit(2654435761L), lit(100)) < 90, "train").otherwise("val"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    subset.foreach { case (id, s) => assert(rows(id) == s, s"doc $id reassigned") }
+  }
+
   test("sequence packing is a consistent concat-and-chunk layout") {
     import graft.text.TextOps
     val rows = TextOps.packSequences(spark, sf).collect()
