@@ -106,6 +106,16 @@ object SparkEntry {
     "q19_discounted_revenue" -> ((s, d) => Analytics.q19DiscountedRevenue(s, d)),
     "q_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
     "events_window_agg" -> ((s, d) => Analytics.eventsWindowAgg(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => Analytics.q6ForecastRevenue(s, d)),
+    "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(s, d)),
+    "q9_profit_by_nation" -> ((s, d) => Analytics.q9ProfitByNation(s, d)),
+    "q13_customer_distribution" -> ((s, d) => Analytics.q13CustomerDistribution(s, d)),
+    "q15_top_supplier" -> ((s, d) => Analytics.q15TopSupplier(s, d)),
+    "q17_small_quantity_revenue" -> ((s, d) => Analytics.q17SmallQuantityRevenue(s, d)),
+    "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
+    "q21_waiting_suppliers" -> ((s, d) => Analytics.q21WaitingSuppliers(s, d)),
+    "q22_dormant_customers" -> ((s, d) => Analytics.q22DormantCustomers(s, d)),
+    "events_asof_purchase" -> ((s, d) => graft.operators.AsofJoin.eventsAsofPurchase(s, d)),
   )
 
   // Shared oracle CTE fragments (must mirror graft.rbac.Rbac's derivation
@@ -535,7 +545,7 @@ object SparkEntry {
         |FROM c ORDER BY doc_id""".stripMargin,
     "text_train_split" ->
       """SELECT doc_id,
-        |       CASE WHEN (doc_id * 2654435761) % 100 < 90
+        |       CASE WHEN ((doc_id % 100) * (2654435761 % 100)) % 100 < 90
         |            THEN 'train' ELSE 'val' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
@@ -694,5 +704,97 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |       round(sum(CASE WHEN ns.n_name = 'NATION_3'
+        |                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation, year(l_shipdate) AS o_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)
+        |                 - p_retailprice * l_quantity * 0.1), 4) AS profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1
+        |) GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS s_suppkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s_name, total_revenue
+        |FROM supplier s JOIN rev USING (s_suppkey)
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q17_small_quantity_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#12'
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT o.o_custkey, o.o_orderkey, b.total_qty FROM (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+        |) b
+        |JOIN orders o ON o.o_orderkey = b.l_orderkey
+        |WHERE o.o_custkey IN (SELECT c_custkey FROM customer)
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
+    "q22_dormant_customers" ->
+      """WITH ab AS (SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+        |FROM customer c, ab
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= '1999-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_asof_purchase" ->
+      """WITH cand AS (
+        |  SELECT e.event_id, p.event_id AS pid,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        |  FROM events e JOIN events p
+        |    ON e.user_id = p.user_id AND p.event_type = 'purchase' AND p.ts < e.ts)
+        |SELECT e.event_id, c.pid AS prev_purchase_id
+        |FROM events e LEFT JOIN (SELECT event_id, pid FROM cand WHERE rn = 1) c
+        |  USING (event_id)
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

@@ -237,7 +237,11 @@ object Analytics {
     * per-group sum, so aggregation state is 3 doubles per group.
     */
   def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    // percentile / quantile_cont IGNORE nulls; an unfiltered count would
+    // include them in n and the window sort would rank them first,
+    // shifting every bracketing rank on a null-bearing column
     val ev = Tables.events(spark, dir).select("event_type", "value")
+      .filter(col("value").isNotNull)
     val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
     val ranked = ev
       .withColumn("rn", row_number().over(
@@ -287,4 +291,192 @@ object Analytics {
         count(lit(1)).as("n_events"),
         round(sum("value"), 4).as("sum_value"))
       .orderBy("window_start", "event_type")
+
+  /** TPC-H Q6 flavor: single-scan filtered aggregate — every predicate
+    * reaches the parquet scan (PushedFilters), 4 columns read.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_discount").between(0.05, 0.07))
+      .filter(col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+
+  /** TPC-H Q8 flavor: one nation's share of the volume shipped to a
+    * region, per year — conditional-ratio aggregate over a 6-way join
+    * (two roles for `nation`), all dimensions broadcast.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val natC = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("nc_key"), col("n_regionkey"))
+    val natS = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))
+    val eur = Tables.region(spark, dir)
+      .filter(col("r_name") === "EUROPE").select("r_regionkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(natC), col("c_nationkey") === col("nc_key"))
+      .join(broadcast(eur), col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("ns_key"))
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year")) // DuckDB year() is BIGINT
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", vol).otherwise(0.0)) / sum(vol), 4)
+        .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 flavor: profit by supplier nation and year. No partsupp
+    * table in the testdata, so supply cost is proxied as
+    * p_retailprice·quantity·0.1 — same join/aggregate shape.
+    */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").like("%widget%"))
+      .select("p_partkey", "p_retailprice")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("bigint").as("o_year"))
+      .agg(round(sum(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - col("p_retailprice") * col("l_quantity") * lit(0.1)), 4).as("profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** TPC-H Q13 flavor: order-count distribution over customers — LEFT
+    * OUTER join with a filtered right side (customers keep their zero),
+    * then a distribution re-aggregate.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count("o_orderkey").as("c_count")) // count(col) skips the null of order-less customers
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 flavor: supplier(s) with the maximum quarterly revenue —
+    * scalar-subquery-against-own-aggregate shape (the revenue view is
+    * computed once; its max is broadcast back as a one-row frame).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("total_revenue"))
+    val mx = rev.agg(max("total_revenue").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 flavor: revenue from small-quantity orders of one brand —
+    * correlated aggregate threshold (each part's own average quantity),
+    * decorrelated into a per-part aggregate + broadcast join.
+    */
+  def q17SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val brand = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#12").select("p_partkey")
+    // threshold over ALL lineitems of the part (not just the brand
+    // slice) — 0.2·avg, the exact arithmetic the oracle's correlated
+    // subquery computes (sums of integer-valued doubles are exact, so
+    // the average is order-independent)
+    val thresh = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(0.2) * avg("l_quantity")).as("qty_thresh"))
+    li.join(broadcast(brand), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(thresh), col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg(round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18 flavor: large orders (line-quantity sum above threshold)
+    * with their customers — HAVING-gated aggregate driving joins.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty")) // integer-valued doubles: exact
+      .filter(col("total_qty") > 300)
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_custkey", "o_orderkey", "total_qty")
+      .orderBy("o_orderkey")
+  }
+
+  /** TPC-H Q21 flavor: suppliers whose item shipped LAST in a
+    * multi-supplier finalized order — EXISTS + NOT-EXISTS as semi/anti
+    * self-joins on the order key (commit/receipt dates absent from the
+    * testdata, so lateness = latest ship date in the order).
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val fOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val others = li.select(col("l_orderkey").as("r_orderkey"),
+      col("l_suppkey").as("r_suppkey"), col("l_shipdate").as("r_shipdate"))
+    li.join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      // EXISTS: some other supplier in the same order
+      .join(others, col("l_orderkey") === col("r_orderkey")
+        && col("l_suppkey") =!= col("r_suppkey"), "left_semi")
+      // NOT EXISTS: no other supplier shipped later
+      .join(others, col("l_orderkey") === col("r_orderkey")
+        && col("l_suppkey") =!= col("r_suppkey")
+        && col("r_shipdate") > col("l_shipdate"), "left_anti")
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** TPC-H Q22 flavor: above-average-balance customers dormant since
+    * 1999 (every synthetic customer has SOME order, so "never ordered"
+    * becomes "no recent order") — scalar-average subquery + anti-join.
+    */
+  def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg("c_acctbal").as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 4).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
 }

@@ -71,12 +71,42 @@ object Layouts {
         col("document_id"), col("embedding"))
     val existing = spark.read.parquet(layoutPath)
       .select("partition_role", "block_id")
-    routed
+    val toAppend = routed
       .join(existing, Seq("partition_role", "block_id"), "left_anti") // idempotent
       .withColumn("batch_id", lit(batchId)) // provenance → rollbackBatch
+      .persist()
+    // record WHICH partitions this batch touches (tiny sidecar, one role
+    // id per line) so rollback never has to scan the whole layout to
+    // find them. Collected BEFORE the append: the write refreshes the
+    // layout path's file index and drops this cache, so a post-write
+    // recompute would anti-join against the already-appended rows and
+    // see an empty frame. Union with any prior manifest: an idempotent
+    // re-run appends nothing and must not erase the original record.
+    val touched = toAppend.select("partition_role").distinct()
+      .collect().map(_.getLong(0)).toSet
+    toAppend
       .repartition(col("partition_role"))
       .write.partitionBy("partition_role").mode("append").parquet(layoutPath)
+    toAppend.unpersist()
+    val mf = manifestPath(layoutPath, batchId)
+    val fs = mf.getFileSystem(spark.sessionState.newHadoopConf())
+    val all = (touched ++ readManifest(fs, mf).getOrElse(Set.empty)).toSeq.sorted
+    val out = fs.create(mf, true)
+    try out.write(all.mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
   }
+
+  private def manifestPath(layoutPath: String, batchId: Long): Path =
+    new Path(layoutPath, s"_batch_manifests/batch_$batchId")
+
+  private def readManifest(fs: FileSystem, mf: Path): Option[Set[Long]] =
+    if (!fs.exists(mf)) None
+    else {
+      val in = fs.open(mf)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).toSet)
+    }
 
   /** Batch rollback — the inverse `compactInserts` needs (reference:
     * hnsw/insertion_rolllback.py restores the pre-batch partition
@@ -87,11 +117,23 @@ object Layouts {
     * staging-swap rewrite, not a layout rebuild.
     */
   def rollbackBatch(spark: SparkSession, layoutPath: String, batchId: Long): Unit = {
-    val affected = spark.read.parquet(layoutPath)
-      .filter(col("batch_id") === batchId)
-      // partition-column inference reads the directory key as int
-      .select(col("partition_role").cast("long")).distinct()
-      .collect().map(_.getLong(0)) // tiny: roles the batch touched
+    val mf = manifestPath(layoutPath, batchId)
+    val fs = mf.getFileSystem(spark.sessionState.newHadoopConf())
+    // the manifest compactInserts wrote names the affected partitions
+    // directly — rollback opens ONLY those directories. The full-layout
+    // scan survives as a fallback for layouts whose manifest is lost
+    // (and no-ops cleanly on pre-provenance layouts with no batch_id).
+    val affected: Seq[Long] = readManifest(fs, mf) match {
+      case Some(roles) => roles.toSeq.sorted
+      case None =>
+        val layout = spark.read.parquet(layoutPath)
+        if (!layout.columns.contains("batch_id")) Seq.empty
+        else layout
+          .filter(col("batch_id") === batchId)
+          // partition-column inference reads the directory key as int
+          .select(col("partition_role").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq // tiny: roles the batch touched
+    }
     affected.foreach { role =>
       swapPartition(spark, layoutPath, role,
         spark.read.parquet(layoutPath)
@@ -99,6 +141,7 @@ object Layouts {
           .filter(col("batch_id") =!= batchId)
           .drop("partition_role"))
     }
+    fs.delete(mf, false) // batch gone; a re-rollback is a clean no-op
   }
 
   /** Partition rewrite — the maintenance sweep `compactInserts` defers
@@ -157,9 +200,20 @@ object Layouts {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
     // move in first (fresh part-file names can't collide with olds)...
-    staged.foreach(p => fs.rename(p, new Path(partDir, p.getName)))
-    // ...then drop the superseded files and the staging dir
-    olds.foreach(p => fs.delete(p, false))
+    // HDFS reports rename failure by RETURNING FALSE, not throwing — an
+    // unchecked rename here would fall through to the deletes below and
+    // silently drop the un-moved staged rows. Abort before any delete.
+    staged.foreach { p =>
+      val dst = new Path(partDir, p.getName)
+      require(fs.rename(p, dst), s"swapPartition: rename failed: $p -> $dst")
+    }
+    // ...then drop the superseded files and the staging dir (same false-
+    // means-failed contract; a missing file is fine, a stuck one is not —
+    // it would silently double the partition's rows forever)
+    olds.foreach { p =>
+      require(fs.delete(p, false) || !fs.exists(p),
+        s"swapPartition: delete failed: $p")
+    }
     fs.delete(staging, true)
     (olds.length, parquetFiles.length)
   }

@@ -159,16 +159,22 @@ object TextOps {
     * of the DOC ID (Knuth's 2654435761), not of position or a random
     * draw: a doc's split never changes when the corpus grows, reshards,
     * or re-orders — the property that keeps eval sets stable across
-    * dataset versions. The arithmetic is plain BIGINT ops, so the
-    * DuckDB oracle replays it exactly (a production system would use a
-    * seeded 64-bit hash; the constant form is chosen for cross-engine
-    * replayability and has the same stability property).
+    * dataset versions. Computed in overflow-free modular form:
+    * (id·C) mod 100 depends only on (id mod 100), so reducing BOTH
+    * factors first gives the identical assignment for every id while
+    * never exceeding 99·61 — a raw 64-bit multiply would silently wrap
+    * (or, under ANSI mode / the DuckDB oracle, raise) once doc_id
+    * passes ~3.5e9, i.e. exactly at corpus scale. The arithmetic is
+    * plain BIGINT ops, so the oracle replays it exactly (a production
+    * system would use a seeded 64-bit hash; the constant form is
+    * chosen for cross-engine replayability and has the same stability
+    * property).
     */
   def trainSplit(spark: SparkSession, dir: String, trainPct: Int = 90): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        when(pmod(col("doc_id") * lit(2654435761L), lit(100)) < trainPct, "train")
-          .otherwise("val").as("split"))
+        when(pmod(pmod(col("doc_id"), lit(100)) * lit(2654435761L % 100), lit(100)) < trainPct,
+          "train").otherwise("val").as("split"))
       .orderBy("doc_id")
 
   /** D5: corpus-level top word-bigrams (explode → one shuffle with

@@ -447,13 +447,25 @@ class LayoutStreamSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     Layouts.compactInserts(spark, sf, path, holdout, batchId = 7L)
     assert(snapshot() != preRows, "insert batch should have changed the layout")
+    // compaction records the touched partitions — rollback reads this
+    // instead of scanning the layout
+    val manifest = java.nio.file.Paths.get(path, "_batch_manifests", "batch_7")
+    assert(java.nio.file.Files.exists(manifest), "compactInserts must write a manifest")
     Layouts.rollbackBatch(spark, path, 7L)
     assert(snapshot() == preRows, "rollback must restore the pre-insert row set")
+    assert(!java.nio.file.Files.exists(manifest), "rollback must consume the manifest")
     val postSearch = Layouts.prunedRoleSearch(spark, sf, path, 1, 10)
       .collect().map(_.getLong(0)).toSeq
     assert(postSearch == preSearch)
     Layouts.rollbackBatch(spark, path, 7L) // idempotent: no-op on re-run
     assert(snapshot() == preRows)
+    // a LOST manifest must not strand a batch: the fallback full scan
+    // still finds and undoes it
+    Layouts.compactInserts(spark, sf, path, holdout, batchId = 8L)
+    assert(snapshot() != preRows)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_batch_manifests", "batch_8"))
+    Layouts.rollbackBatch(spark, path, 8L)
+    assert(snapshot() == preRows, "manifest-less rollback must fall back to the scan")
   }
 
   test("streaming permission-aware topk state converges to batch prefilter") {
@@ -899,5 +911,55 @@ class PqSpec extends AnyFunSuite {
     val pq = PqIndex.search(spark, sf).collect().map(_.getLong(0)).toSet
     val recall = pq.intersect(exact).size / 10.0
     assert(recall >= 0.5, s"PQ recall too low: $recall")
+  }
+}
+
+class AsofJoinSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.operators.AsofJoin
+
+  test("asof picks the latest prior right row per key; boundary obeys strictness") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 900L), (1L, 15L, 901L), (2L, 9L, 902L))
+      .toDF("k", "rt", "pid")
+    def run(strict: Boolean) =
+      AsofJoin.asof(left, right, "k", "t", "rt", Seq("pid"), strict)
+        .orderBy("lid").collect()
+        .map(r => (r.getAs[Long]("lid"), Option(r.getAs[Any]("pid")))).toSeq
+    // strict: the t=10 left row must NOT see the t=10 right row
+    assert(run(strict = true) ==
+      Seq((100L, None), (101L, Some(901L)), (102L, None)))
+    // at-or-before: it must
+    assert(run(strict = false) ==
+      Seq((100L, Some(900L)), (101L, Some(901L)), (102L, None)))
+    // ties on (key, time) resolve to the greatest payload, deterministically
+    val tied = Seq((1L, 10L, 900L), (1L, 10L, 903L)).toDF("k", "rt", "pid")
+    val got = AsofJoin.asof(left.filter(col("lid") === 101L), tied,
+      "k", "t", "rt", Seq("pid"), strict = true).head().getAs[Long]("pid")
+    assert(got == 903L)
+  }
+
+  test("events asof purchase: every match is the user's latest prior purchase") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime)).toSeq
+    val purchases = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime)).toSeq
+    val expect = ev.map { case (eid, uid, t) =>
+      val prior = purchases.filter(p => p._2 == uid && p._3 < t)
+      eid -> (if (prior.isEmpty) None
+              else Some(prior.maxBy(p => (p._3, p._1))._1))
+    }.toMap
+    val got = AsofJoin.eventsAsofPurchase(spark, sf).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("prev_purchase_id")
+        .asInstanceOf[java.lang.Long]).map(_.longValue)).toMap
+    assert(got.size == expect.size)
+    assert(got == expect)
   }
 }
