@@ -116,6 +116,8 @@ object SparkEntry {
     "q21_waiting_suppliers" -> ((s, d) => Analytics.q21WaitingSuppliers(s, d)),
     "q22_dormant_customers" -> ((s, d) => Analytics.q22DormantCustomers(s, d)),
     "events_asof_purchase" -> ((s, d) => graft.operators.AsofJoin.eventsAsofPurchase(s, d)),
+    "docs_stratified_sample" -> ((s, d) => graft.operators.Sampling.docsStratifiedSample(s, d)),
+    "docs_mixture_sample" -> ((s, d) => graft.operators.Sampling.docsMixtureSample(s, d)),
   )
 
   // Shared oracle CTE fragments (must mirror graft.rbac.Rbac's derivation
@@ -796,5 +798,19 @@ object SparkEntry {
         |FROM events e LEFT JOIN (SELECT event_id, pid FROM cand WHERE rn = 1) c
         |  USING (event_id)
         |ORDER BY e.event_id""".stripMargin,
+    "docs_stratified_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000007, doc_id) AS rn
+        |      FROM documents)
+        |SELECT r.doc_id, r.source FROM r JOIN c USING (source)
+        |WHERE rn <= (n * 20 + 99) // 100 ORDER BY doc_id""".stripMargin,
+    "docs_mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (((doc_id % 1000003) * 2654435761) % 1000000007) % 10000 <
+        |      CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500
+        |                  WHEN 'src2' THEN 1000 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
   )
 }

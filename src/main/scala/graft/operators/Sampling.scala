@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Stratified / mixture sampling — the data-mixing step every training
+  * pipeline runs before tokenization (pick X% of each source/language
+  * so the mixture matches a target recipe; reference analogue: the
+  * per-role workload draws in benchmark/initialize_dynamic_partition.py,
+  * which sample a fixed quota per stratum).
+  *
+  * Two paths, both DETERMINISTIC (a doc's membership never changes when
+  * the corpus grows, reshards, or re-orders — same property as
+  * `TextOps.trainSplit`, and the one that makes samples reproducible
+  * and auditable across dataset versions):
+  *
+  *  - `mixtureByHash`: per-stratum Bernoulli by multiplicative hash —
+  *    a pure FILTER, no shuffle at all, rate accurate to ±O(1/√n).
+  *    This is the 100 TB default: it composes with any downstream
+  *    shuffle and reads each row exactly once.
+  *  - `stratifiedExact`: exact per-stratum quota (ceil(n·pct/100)) —
+  *    per-stratum counts (one agg) + hash-ordered `row_number` ≤ quota
+  *    (one window). The window sort is per-stratum and spillable, the
+  *    same shape the exact-quantile operator uses; use it when the
+  *    quota must be exact (eval-set construction), the hash path when
+  *    it only has to be close (mixture weighting).
+  *
+  * The order/selection key is an overflow-free multiplicative hash:
+  * (doc_id mod 1000003)·2654435761 mod 1000000007 — max product
+  * ~2.65e15, far inside BIGINT for ANY doc id, so Spark, ANSI Spark and
+  * the DuckDB oracle compute bit-identical keys (a raw 64-bit multiply
+  * would wrap/raise past doc_id ≈ 3.5e9). Ties (ids congruent mod
+  * 1000003) are broken by doc_id, keeping the order total.
+  */
+object Sampling {
+
+  private val P1 = 1000003L      // order-key premodulus (keeps the product small)
+  private val KNUTH = 2654435761L
+  private val P2 = 1000000007L   // order-key range
+
+  /** The deterministic per-row sort/selection key. */
+  def hashKey(id: Column): Column =
+    pmod(pmod(id, lit(P1)) * lit(KNUTH), lit(P2))
+
+  /** Per-stratum Bernoulli sample: keep a row iff hashKey mod 10000
+    * falls under its stratum's rate (permil of 10000). Zero-shuffle
+    * scale path; unspecified strata are dropped (rate 0).
+    */
+  def mixtureByHash(df: DataFrame, idCol: String, stratumCol: String,
+                    ratesBp: Map[String, Int]): DataFrame = {
+    val rate = ratesBp.foldLeft(lit(0)) { case (acc, (s, bp)) =>
+      when(col(stratumCol) === s, lit(bp)).otherwise(acc)
+    }
+    df.filter(pmod(hashKey(col(idCol)), lit(10000L)) < rate)
+  }
+
+  /** Exact per-stratum quota sample: the ceil(n·pct/100) rows with the
+    * smallest hash keys in each stratum.
+    */
+  def stratifiedExact(df: DataFrame, idCol: String, stratumCol: String,
+                      pct: Int): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(hashKey(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      // counts is one row per stratum — always broadcast-sized
+      .join(broadcast(counts), Seq(stratumCol))
+      // `div`, not `/`: Spark's `/` is double division even on BIGINTs
+      .filter(col("__rn") <= expr(s"(__n * $pct + 99) div 100"))
+      .drop("__rn", "__n")
+  }
+
+  /** Query surface: exact 20% per source over documents. */
+  def docsStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedExact(
+      Tables.documents(spark, dir).select("doc_id", "source"),
+      "doc_id", "source", pct = 20)
+      .orderBy("doc_id")
+
+  /** Query surface: mixture recipe over sources — 50% of src0, 25% of
+    * src1, 10% of src2 (basis points of 10000), others dropped.
+    */
+  def docsMixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureByHash(
+      Tables.documents(spark, dir).select("doc_id", "source"),
+      "doc_id", "source",
+      Map("src0" -> 5000, "src1" -> 2500, "src2" -> 1000))
+      .orderBy("doc_id")
+}

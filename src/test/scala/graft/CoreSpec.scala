@@ -963,3 +963,49 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == expect)
   }
 }
+
+class SamplingSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.operators.Sampling
+
+  test("stratified exact sample hits ceil(n*pct/100) per stratum") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "source")
+    val n = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sampling.stratifiedExact(docs, "doc_id", "source", 20)
+      .groupBy("source").agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == n.keySet)
+    n.foreach { case (s, tot) =>
+      assert(got(s) == (tot * 20 + 99) / 100,
+        s"stratum $s: got ${got(s)} of $tot") }
+  }
+
+  test("hash mixture is subset-invariant and rate-accurate") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "source")
+    val rates = Map("src0" -> 5000, "src1" -> 2500, "src2" -> 1000)
+    val full = Sampling.mixtureByHash(docs, "doc_id", "source", rates)
+      .collect().map(_.getLong(0)).toSet
+    // a doc's membership must not depend on what else is in the corpus
+    val subset = docs.filter(col("doc_id") % 2 === 0)
+    val sub = Sampling.mixtureByHash(subset, "doc_id", "source", rates)
+      .collect().map(_.getLong(0)).toSet
+    assert(sub == full.filter(_ % 2 == 0))
+    // unlisted strata are dropped entirely
+    val bySrc = Sampling.mixtureByHash(docs, "doc_id", "source", rates)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet.subsetOf(rates.keySet))
+    // rate lands near the target (binomial tolerance at sf0.001 sizes)
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (s, bp) =>
+      val want = totals(s) * bp / 10000.0
+      val tol = 4 * math.sqrt(totals(s) * (bp / 10000.0)) + 1
+      assert(math.abs(bySrc.getOrElse(s, 0L) - want) <= tol,
+        s"stratum $s: got ${bySrc.getOrElse(s, 0L)}, want ~$want ± $tol")
+    }
+  }
+}
