@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ann.{Ann, IvfIndex, Lsh, PqIndex, QdTree}
+import graft.ann.{Ann, IvfIndex, Lsh, PqIndex, QdTree, SqIndex}
 import graft.dedup.Dedup
 import graft.operators.Analytics
 import graft.multimodal.Multimodal
@@ -66,6 +66,8 @@ object SparkEntry {
     "ann_predicate_probe" -> ((s, d) => IvfIndex.predicateAwareSearch(s, d, 1)),
     "ann_range_triangle" -> ((s, d) => IvfIndex.rangeSearchTriangle(s, d, tau = 1.3)),
     "ann_pq_build" -> ((s, d) => PqIndex.buildReport(s, d)),
+    "ann_sq_build" -> ((s, d) => SqIndex.buildReport(s, d)),
+    "ann_sq_search" -> ((s, d) => SqIndex.search(s, d)),
     "ann_pq_search" -> ((s, d) => PqIndex.search(s, d)),
     "ann_ivfpq_search" -> ((s, d) => PqIndex.ivfAdcSearch(s, d)),
     "rbac_ivfpq_topk" -> ((s, d) => PqIndex.ivfAdcSearch(s, d, userId = Some(1))),
@@ -91,6 +93,7 @@ object SparkEntry {
     "text_ngram_stats" -> ((s, d) => TextOps.ngramStats(s, d)),
     "text_hash_embedding" -> ((s, d) => TextOps.hashEmbedding(s, d)),
     "text_tfidf" -> ((s, d) => TextOps.tfidf(s, d)),
+    "text_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
     // --- E. Relational analytics ---
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Analytics.q3ShippingPriority(s, d)),
@@ -812,5 +815,32 @@ object SparkEntry {
         |      CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500
         |                  WHEN 'src2' THEN 1000 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS wd, generate_subscripts(w, 1) AS i FROM ws),
+        |n AS (SELECT doc_id, len(w)::BIGINT AS n_words FROM ws),
+        |wmax AS (SELECT doc_id, max(c) AS mw FROM (
+        |  SELECT doc_id, wd, count(*) AS c FROM tok GROUP BY 1, 2) GROUP BY 1),
+        |bmax AS (SELECT doc_id, max(c) AS mb FROM (
+        |  SELECT a.doc_id, a.wd || ' ' || b.wd AS g, count(*) AS c
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  GROUP BY 1, 2) GROUP BY 1),
+        |tdist AS (SELECT doc_id, count(DISTINCT g) AS dt FROM (
+        |  SELECT a.doc_id, a.wd || ' ' || b.wd || ' ' || c.wd AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |            JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2) GROUP BY 1)
+        |SELECT n.doc_id, n_words,
+        |  round(CASE WHEN n_words > 0 THEN mw::DOUBLE / n_words ELSE 0 END, 4) AS top_word_frac,
+        |  round(CASE WHEN n_words > 1 THEN mb::DOUBLE / (n_words - 1) ELSE 0 END, 4) AS top_bigram_frac,
+        |  round(CASE WHEN n_words > 2 THEN 1.0 - dt::DOUBLE / (n_words - 2) ELSE 0 END, 4) AS dup_trigram_frac
+        |FROM n JOIN wmax USING (doc_id)
+        |LEFT JOIN bmax USING (doc_id) LEFT JOIN tdist USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "ann_sq_build" ->
+      """SELECT i AS dim,
+        |       round(min(list_extract(embedding, (i + 1)::INT))::DOUBLE, 4) AS lo,
+        |       round(max(list_extract(embedding, (i + 1)::INT))::DOUBLE, 4) AS hi
+        |FROM embeddings, range(64) t(i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -177,6 +177,27 @@ object TextOps {
           "train").otherwise("val").as("split"))
       .orderBy("doc_id")
 
+  /** D10: Gopher-style repetition quality signals (Rae et al. 2021
+    * §A1.1) — top-word / top-bigram mass and duplicate-trigram
+    * fraction per document, one kernel pass per row
+    * (functions.RepetitionStats), zero shuffle. The standard
+    * "repetitious text" filter every pretraining pipeline applies
+    * before tokenization; thresholding is the caller's policy (the
+    * fractions are the operator).
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.repetition.repetition_stats
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), repetition_stats(col("text")).as("r"))
+      .select(col("doc_id"),
+        element_at(col("r"), 1).cast("bigint").as("n_words"),
+        round(element_at(col("r"), 2), 4).as("top_word_frac"),
+        round(element_at(col("r"), 3), 4).as("top_bigram_frac"),
+        round(element_at(col("r"), 4), 4).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** D5: corpus-level top word-bigrams (explode → one shuffle with
     * map-side partial aggregation — the canonical n-gram count shape).
     */

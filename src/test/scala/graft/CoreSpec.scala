@@ -1009,3 +1009,74 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 }
+
+class SqSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.ann.{Ann, SqIndex}
+
+  test("SQ8 codes are one byte per dimension and dequantize within a step") {
+    val g = SqIndex.getOrBuild(spark, sf)
+    val joined = SqIndex.codes(spark, sf)
+      .join(graft.Tables.embeddings(spark, sf), "vec_id")
+      .collect()
+    assert(joined.length == 500)
+    joined.foreach { r =>
+      val code = r.getAs[Array[Byte]]("code")
+      val v = r.getSeq[Float](r.fieldIndex("embedding"))
+      assert(code.length == SqIndex.Dim)
+      var i = 0
+      while (i < SqIndex.Dim) {
+        val deq = g.lo(i) + (code(i) & 0xff) * g.step(i)
+        // round-to-nearest: reconstruction is within half a step (+ulp)
+        assert(math.abs(deq - v(i)) <= g.step(i) * 0.5f + 1e-4f,
+          s"dim $i: |$deq - ${v(i)}| > step/2=${g.step(i) * 0.5f}")
+        i += 1
+      }
+    }
+  }
+
+  test("SQ8 ADC search with exact re-rank beats PQ-grade recall") {
+    val exact = Ann.bruteForceL2TopK(spark, sf, 10).collect().map(_.getLong(0)).toSet
+    val sq = SqIndex.search(spark, sf).collect().map(_.getLong(0)).toSet
+    val recall = sq.intersect(exact).size / 10.0
+    // 8 bits/dim is near-lossless at this data scale — expect ~1.0
+    assert(recall >= 0.9, s"SQ8 recall too low: $recall")
+  }
+}
+
+class RepetitionSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("repetition stats match hand-computed values on crafted docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.repetition.repetition_stats
+    val df = Seq(
+      ("a b a b a b",    1L), // 6 words: 'a'x3; bigrams: 'a b'x3,'b a'x2; trigrams 4, distinct 2
+      ("x",              2L), // 1 word: no bigrams/trigrams
+      ("p q r s",        3L)  // all distinct
+    ).toDF("text", "id")
+      .select(col("id"), repetition_stats(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(df(1L) == Seq(6.0, 3.0 / 6, 3.0 / 5, 1.0 - 2.0 / 4))
+    assert(df(2L) == Seq(1.0, 1.0, 0.0, 0.0))
+    assert(df(3L) == Seq(4.0, 1.0 / 4, 1.0 / 3, 0.0))
+  }
+
+  test("corpus repetition fracs are valid and word counts agree with split size") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val got = graft.text.TextOps.repetitionStats(spark, sf)
+    val joined = got.join(
+      graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("nw")),
+      "doc_id").collect()
+    assert(joined.length == 500)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_words") == r.getAs[Long]("nw"))
+      Seq("top_word_frac", "top_bigram_frac", "dup_trigram_frac").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
+      }
+    }
+  }
+}
