@@ -89,6 +89,9 @@ object SparkEntry {
     "text_pack_sequences" -> ((s, d) => TextOps.packSequences(s, d)),
     "text_train_split" -> ((s, d) => TextOps.trainSplit(s, d)),
     "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "dedup_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
+    "events_user_reach" -> ((s, d) => graft.operators.Sketches.userReach(s, d)),
+    "events_reach_sketch" -> ((s, d) => graft.operators.Sketches.reachSketch(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "text_ngram_stats" -> ((s, d) => TextOps.ngramStats(s, d)),
     "text_hash_embedding" -> ((s, d) => TextOps.hashEmbedding(s, d)),
@@ -815,6 +818,9 @@ object SparkEntry {
         |      CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500
         |                  WHEN 'src2' THEN 1000 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+    "events_user_reach" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_repetition" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |tok AS (SELECT doc_id, unnest(w) AS wd, generate_subscripts(w, 1) AS i FROM ws),

@@ -214,6 +214,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** C7b: decontamination with a Bloom pre-filter — the at-scale form
+    * of `decontaminate` for when the eval dictionary outgrows a
+    * comfortable broadcast. The exact distinct-hash set ships at
+    * 8 B/element + hash-table overhead; a 1%-fpp Bloom filter is
+    * ~1.2 B/element, and it rides INSIDE the corpus scan (a codegen'd
+    * plan-time-constant kernel, functions.BloomMightContain). Bloom
+    * has no false negatives, so exactness is preserved by re-verifying
+    * the surviving trickle against the true set — deliberately as a
+    * SHUFFLE equi-join here (the at-scale shape: post-bloom survivors
+    * are ~the true hits plus fpp·corpus, a tiny fraction of the
+    * corpus-shingle stream that would otherwise hit the shuffle).
+    * Asserted row-identical to `decontaminate` in DecontaminateSpec.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String, n: Int = 8,
+                         minHits: Long = 1L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val docs = Tables.documents(spark, dir)
+    val evalShingles = docs.filter(col("source") === "src0")
+      .select(explode(
+        graft.functions.ngrams.word_nshingle_hashes(col("text"), n)).as("h"))
+      .distinct()
+    val evalHashes = evalShingles.collect().map(_.getLong(0))
+    val bf = BloomFilter.create(math.max(evalHashes.length, 1L), fpp)
+    evalHashes.foreach(bf.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    docs.filter(col("source") =!= "src0")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(graft.functions.ngrams.word_nshingle_hashes(col("text"), n)).as("h"))
+      .filter(graft.functions.bloom.bloom_might_contain(col("h"), bos.toByteArray))
+      .join(evalShingles, Seq("h"), "left_semi") // exact verify of survivors
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .orderBy("doc_id")
+  }
+
   /** C5: embedding-cosine similar-pair mining (cos ≥ tau) — exact
     * SEMANTICS (the oracle stays the quadratic pairwise SQL), blocked
     * EXECUTION: cos(x,y) ≥ τ iff the unit-normalized vectors satisfy

@@ -1080,3 +1080,44 @@ class RepetitionSpec extends AnyFunSuite {
     }
   }
 }
+
+class SketchSpec extends AnyFunSuite {
+  import SparkTest._
+  import org.apache.spark.sql.functions._
+
+  test("union of daily HLL sketches is bit-identical to the whole-corpus sketch") {
+    val ev = graft.Tables.events(spark, sf)
+    val merged = graft.operators.Sketches.dailySketches(spark, sf)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == whole)
+  }
+
+  test("sketch estimate lands within 5% of the exact reach") {
+    val exact = graft.operators.Sketches.userReach(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = graft.operators.Sketches.reachSketch(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (t, n) =>
+      assert(math.abs(est(t) - n) <= math.max(0.05 * n, 2),
+        s"$t: est ${est(t)} vs exact $n") }
+  }
+
+  test("bloom-prefiltered decontamination is row-identical to the exact gate") {
+    val a = graft.dedup.Dedup.decontaminate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = graft.dedup.Dedup.decontaminateBloom(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // and with an aggressive fpp the verify join still removes every
+    // false positive the bloom lets through
+    val c = graft.dedup.Dedup.decontaminateBloom(spark, sf, fpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == c)
+  }
+}
