@@ -1121,3 +1121,57 @@ class SketchSpec extends AnyFunSuite {
     assert(a == c)
   }
 }
+
+class Round4PlanSpec extends AnyFunSuite {
+  import SparkTest._
+  import org.apache.spark.sql.functions.col
+
+  private def exec(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("zero-shuffle claims hold: repetition stats and mixture sample plans have no Exchange") {
+    Seq(
+      "text_repetition(pre-sort)" ->
+        graft.Tables.documents(spark, sf)
+          .select(col("doc_id"), graft.functions.repetition.repetition_stats(col("text"))),
+      "docs_mixture_sample(pre-sort)" ->
+        graft.operators.Sampling.mixtureByHash(
+          graft.Tables.documents(spark, sf).select("doc_id", "source"),
+          "doc_id", "source", Map("src0" -> 5000))
+    ).foreach { case (name, df) =>
+      val plan = exec(df)
+      assert(!plan.contains("Exchange"), s"$name must not shuffle:\n$plan")
+    }
+  }
+
+  test("asof join shuffles exactly once, on the key") {
+    val df = graft.operators.AsofJoin.asof(
+      graft.Tables.events(spark, sf).select("event_id", "user_id", "ts"),
+      graft.Tables.events(spark, sf).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("pid")),
+      "user_id", "ts", "p_ts", Seq("pid"))
+    val plan = exec(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"asof must shuffle exactly once, saw $shuffles:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"asof must not plan a join:\n$plan")
+  }
+
+  test("q8 market share joins every dimension by broadcast even with auto-broadcast off") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = exec(graft.operators.Analytics.q8MarketShare(spark, sf))
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"q8: lineitem side must never shuffle for a join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+  }
+
+  test("SQ8 encode scan stays inside whole-stage codegen") {
+    val plan = exec(graft.ann.SqIndex.codes(spark, sf))
+    // `*(n)` marks a WholeStageCodegen stage; the encode projection
+    // must sit inside one, not in a fallback Project
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("sq8_encode")),
+      s"sq8 encode fell out of codegen:\n$plan")
+  }
+}
