@@ -97,15 +97,20 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\"" }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialJson,"sf":"${jsonEscape(sfDir)}"}"""
+    // "total_full", not "total": exactly ONE stdout line may carry
+    // metric=total or a consumer keying on it would double-count runs
+    val fullLine = s"""{"metric":"total_full","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialJson,"sf":"${jsonEscape(sfDir)}"}"""
     // The harness that collects this output keeps only the LAST ~2000
     // characters of stdout; the full per-query line above is longer than
     // that, so a consumer parsing the tail never sees its start. Emit
     // the full line to a sidecar file plus stdout, then END with a
     // compact line (rounded, heaviest queries only) guaranteed to fit
-    // inside any reasonable tail window.
+    // inside any reasonable tail window. Sidecar is named per-SF so
+    // back-to-back runs at different scales don't clobber each other's
+    // data out from under the pointer they printed.
+    val sideName = s"bench_full_${new java.io.File(sfDir).getName}.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(sideName),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(fullLine)
@@ -113,7 +118,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val top = results.sortBy(-_._2).take(15)
       .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":$top,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"load_avg_1m":${r3(loadAvg)},"pool":$poolSize,"cpus":"${jsonEscape(cpus)}","sf":"${jsonEscape(sfDir)}","full":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":$top,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"load_avg_1m":${r3(loadAvg)},"pool":$poolSize,"cpus":"${jsonEscape(cpus)}","sf":"${jsonEscape(sfDir)}","full":"${jsonEscape(sideName)}"}""")
     if (results.exists(_._3.isDefined)) System.err.println(
       s"BENCH ERRORS: ${results.count(_._3.isDefined)} queries failed")
     spark.stop()

@@ -231,13 +231,17 @@ object Dedup {
                          minHits: Long = 1L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.util.sketch.BloomFilter
     val docs = Tables.documents(spark, dir)
+    // persisted: materialized once, shared by the (distributed) filter
+    // build and the verify join below
     val evalShingles = docs.filter(col("source") === "src0")
       .select(explode(
         graft.functions.ngrams.word_nshingle_hashes(col("text"), n)).as("h"))
-      .distinct()
-    val evalHashes = evalShingles.collect().map(_.getLong(0))
-    val bf = BloomFilter.create(math.max(evalHashes.length, 1L), fpp)
-    evalHashes.foreach(bf.putLong)
+      .distinct().persist()
+    // DISTRIBUTED build (per-partition filters merged by the executor
+    // aggregate) — the driver only ever holds the ~1.2 B/element
+    // bitmap, never the hash set itself
+    val bf: BloomFilter =
+      evalShingles.stat.bloomFilter("h", math.max(evalShingles.count(), 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     docs.filter(col("source") =!= "src0")

@@ -22,6 +22,9 @@ case class Sq8Encode(child: Expression, lo: Array[Float], step: Array[Float])
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
+    if (v.numElements() < lo.length)
+      throw new IllegalArgumentException(
+        s"sq8_encode: embedding has ${v.numElements()} dims, grid has ${lo.length}")
     val out = new Array[Byte](lo.length)
     var i = 0
     while (i < lo.length) {
@@ -42,6 +45,11 @@ case class Sq8Encode(child: Expression, lo: Array[Float], step: Array[Float])
       s"""
          |float[] $los = $loRef;
          |float[] $steps = $stepRef;
+         |if ($v.numElements() < $los.length) {
+         |  throw new IllegalArgumentException(
+         |    "sq8_encode: embedding has " + $v.numElements() +
+         |    " dims, grid has " + $los.length);
+         |}
          |byte[] $out = new byte[$los.length];
          |for (int $i = 0; $i < $los.length; $i++) {
          |  int $q = (int) Math.round(

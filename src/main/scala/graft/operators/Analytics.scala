@@ -259,8 +259,14 @@ object Analytics {
       val vhi = sum(when(col("rn") === lo + 2, col("value")))
       round(vlo + (coalesce(vhi, vlo) - vlo) * max(frac), 4)
     }
-    ranked.groupBy("event_type")
-      .agg(q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"))
+    // the group LIST comes from unfiltered events: a group whose values
+    // are ALL null still appears (with null quantiles) under SQL GROUP
+    // BY + null-skipping quantile_cont — dropping it with the value
+    // filter would diverge from the oracle
+    Tables.events(spark, dir).select("event_type").distinct()
+      .join(ranked.groupBy("event_type")
+        .agg(q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99")),
+        Seq("event_type"), "left_outer")
       .orderBy("event_type")
   }
 
@@ -381,12 +387,17 @@ object Analytics {
     * computed once; its max is broadcast back as a one-row frame).
     */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the per-supplier aggregate (tiny next to lineitem) is
+    // consumed twice — once for its max, once as the join input —
+    // without the persist each use would re-scan and re-aggregate
+    // lineitem
     val rev = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
       .filter(col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy("l_suppkey")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
         .as("total_revenue"))
+      .persist()
     val mx = rev.agg(max("total_revenue").as("mx"))
     rev.crossJoin(broadcast(mx))
       .filter(col("total_revenue") === col("mx"))

@@ -31,7 +31,11 @@ object AsofJoin {
     * the greatest payload (per column, in `payload` order) wins —
     * deterministic, and a tie is impossible when (key, rightTime) is
     * unique. Null payload VALUES are treated as missing for that
-    * column (each payload column is filled independently).
+    * column (each payload column is filled independently). Right rows
+    * with a NULL key or NULL time are dropped before the union — SQL
+    * `rt < t` / `k = k` semantics never match them (without the
+    * filter they'd sort FIRST in the window and latch onto every left
+    * row of their key).
     */
   def asof(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String, payload: Seq[String],
@@ -44,6 +48,7 @@ object AsofJoin {
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(if (strict) 0 else 2))
     val r = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
       .select((col(key) +: col(rightTime).as("__t") +: payload.map(col)): _*)
       .withColumn("__side", lit(1))
     val w = Window.partitionBy(key)

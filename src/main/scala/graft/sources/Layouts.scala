@@ -91,8 +91,15 @@ object Layouts {
     val mf = manifestPath(layoutPath, batchId)
     val fs = mf.getFileSystem(spark.sessionState.newHadoopConf())
     val all = (touched ++ readManifest(fs, mf).getOrElse(Set.empty)).toSeq.sorted
-    val out = fs.create(mf, true)
+    // atomic publish: write to a temp path, rename over — a crash
+    // mid-write must leave either the old manifest or none at all (a
+    // TORN manifest would make rollback silently skip partitions; a
+    // missing one falls back to the full scan, which is safe)
+    val tmp = new Path(mf.getParent, mf.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(all.mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
+    if (fs.exists(mf)) require(fs.delete(mf, false), s"manifest replace failed: $mf")
+    require(fs.rename(tmp, mf), s"manifest publish failed: $tmp -> $mf")
   }
 
   private def manifestPath(layoutPath: String, batchId: Long): Path =
@@ -104,8 +111,11 @@ object Layouts {
       val in = fs.open(mf)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      Some(text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-        .map(_.toLong).toSet)
+      val roles = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).toSet
+      // an empty manifest is indistinguishable from a torn one — treat
+      // it as absent so rollback takes the safe full-scan fallback
+      if (roles.isEmpty) None else Some(roles)
     }
 
   /** Batch rollback — the inverse `compactInserts` needs (reference:
