@@ -154,6 +154,70 @@ object Layouts {
     fs.delete(mf, false) // batch gone; a re-rollback is a clean no-op
   }
 
+  /** Physical delete batch — the destructive half of the deletion story
+    * (reference: hnsw/deletion.py removes a block batch from its
+    * partitions; A13's tombstone query is the logical half). The
+    * affected partitions come from the PERMISSION map (doc → granting
+    * roles), so only those directories are opened; the removed rows are
+    * saved to an undo log FIRST (write-ahead), which is what makes
+    * `rollbackDelete` possible without a snapshot of the layout.
+    * Re-running the same batch is safe: an existing undo log is never
+    * overwritten (a second run sees no victims and must not clobber
+    * the saved rows with an empty frame), and the per-partition
+    * rewrite is a no-op once the rows are gone.
+    */
+  def deleteBatch(spark: SparkSession, dir: String, layoutPath: String,
+                  docs: DataFrame, batchId: Long): Unit = {
+    val roles = docs.join(Rbac.permissions(spark, dir), "document_id")
+      .select("role_id").distinct()
+      .collect().map(_.getLong(0)).sorted // tiny: the granting roles
+    val undo = undoPath(layoutPath, batchId)
+    val fs = undo.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(undo)) {
+      spark.read.parquet(layoutPath)
+        .filter(col("partition_role").isin(roles.map(Long.box): _*)) // dir pruning
+        .join(broadcast(docs.select("document_id")), Seq("document_id"), "left_semi")
+        .select(col("partition_role").cast("long").as("partition_role"),
+          col("block_id"), col("document_id"), col("embedding"), col("batch_id"))
+        .write.parquet(undo.toString)
+    }
+    roles.foreach { role =>
+      swapPartition(spark, layoutPath, role,
+        spark.read.parquet(layoutPath)
+          .filter(col("partition_role") === role)
+          .join(broadcast(docs.select("document_id")), Seq("document_id"), "left_anti")
+          .drop("partition_role"))
+    }
+  }
+
+  /** Delete rollback (reference: hnsw/deletion_rolllback.py): restore a
+    * deleted batch's rows from the undo log `deleteBatch` wrote — a
+    * per-affected-partition staging-swap union, never a layout rebuild.
+    * The undo log is consumed on success; a re-rollback is a clean
+    * no-op.
+    */
+  def rollbackDelete(spark: SparkSession, layoutPath: String, batchId: Long): Unit = {
+    val undo = undoPath(layoutPath, batchId)
+    val fs = undo.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(undo)) return
+    val saved = spark.read.parquet(undo.toString).persist()
+    val roles = saved.select("partition_role").distinct()
+      .collect().map(_.getLong(0)).sorted
+    roles.foreach { role =>
+      swapPartition(spark, layoutPath, role,
+        spark.read.parquet(layoutPath)
+          .filter(col("partition_role") === role)
+          .drop("partition_role")
+          .unionByName(saved.filter(col("partition_role") === role)
+            .drop("partition_role")))
+    }
+    saved.unpersist()
+    fs.delete(undo, true) // consumed
+  }
+
+  private def undoPath(layoutPath: String, batchId: Long): Path =
+    new Path(layoutPath, s"_deleted_batches/batch_$batchId")
+
   /** Partition rewrite — the maintenance sweep `compactInserts` defers
     * to (reference: hnsw/helper.py reorganize_partitions /
     * clean_empty_partitions): once a partition directory accumulates

@@ -1175,3 +1175,38 @@ class Round4PlanSpec extends AnyFunSuite {
       s"sq8 encode fell out of codegen:\n$plan")
   }
 }
+
+class DeleteRollbackSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.sources.Layouts
+  import org.apache.spark.sql.functions.col
+
+  test("delete batch removes rows from affected partitions; rollback restores them exactly") {
+    val out = java.nio.file.Files.createTempDirectory("graft_del").toString
+    val path = Layouts.materializeRoleLayout(spark, sf, out)
+    def snap() = spark.read.parquet(path)
+      .selectExpr("partition_role", "block_id", "document_id")
+      .collect().map(_.toSeq).toSet
+    val pre = snap()
+    val preSearch = Layouts.prunedRoleSearch(spark, sf, path, 1, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val victims = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id").as("document_id"))
+    Layouts.deleteBatch(spark, sf, path, victims, batchId = 42L)
+    val mid = snap()
+    assert(mid != pre, "delete batch must change the layout")
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    assert(!mid.exists(r => victimIds.contains(r(2).asInstanceOf[Long])),
+      "no deleted document may survive in any partition")
+    // re-run: idempotent, and must NOT clobber the undo log
+    Layouts.deleteBatch(spark, sf, path, victims, batchId = 42L)
+    assert(snap() == mid)
+    Layouts.rollbackDelete(spark, path, 42L)
+    assert(snap() == pre, "rollback must restore the pre-delete row set")
+    assert(Layouts.prunedRoleSearch(spark, sf, path, 1, 10)
+      .collect().map(_.getLong(0)).toSeq == preSearch)
+    Layouts.rollbackDelete(spark, path, 42L) // consumed undo log: no-op
+    assert(snap() == pre)
+  }
+}
