@@ -88,6 +88,61 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class AsofState(lastTs: Long, lastPid: Long)
+  case class AsofOut(event_id: Long, prev_purchase_id: Option[Long])
+
+  /** G7: streaming as-of enrichment — the continuous form of
+    * `operators.AsofJoin.eventsAsofPurchase`: each arriving event is
+    * emitted with the SAME USER's latest strictly-prior purchase. One
+    * tiny state object per user (the last purchase seen), exactly the
+    * "temporal join against a versioned state table" every online
+    * feature pipeline runs. Within a batch, events are applied in
+    * (ts, event_id) order; an equal-timestamp purchase is invisible to
+    * events at that instant (strict boundary, matching the batch
+    * operator), and purchase ties at one instant resolve to the
+    * greatest event id (the batch tie rule). Converges to the batch
+    * as-of result (asserted in StreamSpec).
+    */
+  def asofEnrichStream(spark: SparkSession, dir: String): Dataset[AsofOut] = {
+    import spark.implicits._
+    val events = readEvents(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+
+    def fn(userId: Long, evs: Iterator[Ev], state: GroupState[AsofState]): Iterator[AsofOut] = {
+      val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.getOrElse(AsofState(Long.MinValue, -1L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+      var i = 0
+      while (i < sorted.length) {
+        val t = sorted(i).ts.getTime
+        var j = i
+        while (j < sorted.length && sorted(j).ts.getTime == t) j += 1
+        // emit every event at instant t against the PRE-t state...
+        var k = i
+        while (k < j) {
+          out += AsofOut(sorted(k).event_id,
+            if (st.lastTs == Long.MinValue) None else Some(st.lastPid))
+          k += 1
+        }
+        // ...then fold t's purchases into the state (greatest id wins)
+        k = i
+        while (k < j) {
+          val e = sorted(k)
+          if (e.event_type == "purchase" &&
+              (t > st.lastTs || (t == st.lastTs && e.event_id > st.lastPid)))
+            st = AsofState(t, e.event_id)
+          k += 1
+        }
+        i = j
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** G4: streaming exact dedup — `dropDuplicates` on event_id with a
     * watermark bounding the dedup state (the streaming mirror of C1;
     * state is evicted once the watermark passes, which is what makes

@@ -1210,3 +1210,24 @@ class DeleteRollbackSpec extends AnyFunSuite {
     assert(snap() == pre)
   }
 }
+
+class StreamingAsofSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.streaming.EventStream
+
+  test("streaming as-of enrichment converges to the batch as-of join") {
+    val q = EventStream.runToMemory(spark,
+      EventStream.asofEnrichStream(spark, sf).toDF(), "g7asof")
+    val streamed = spark.sql("SELECT event_id, prev_purchase_id FROM g7asof")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    val batch = graft.operators.AsofJoin.eventsAsofPurchase(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("prev_purchase_id")
+        .asInstanceOf[java.lang.Long]).map(_.longValue))
+      .toMap
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+}
