@@ -61,10 +61,18 @@ object Equivalence {
       .collect().map(_.getLong(0)).toSeq
     val rangeEqual = pruned == brute
 
+    // bloom-prefiltered decontamination vs the exact broadcast gate
+    val exact = graft.dedup.Dedup.decontaminate(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloomed = graft.dedup.Dedup.decontaminateBloom(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val decontamEqual = exact == bloomed
+
     println(s"""{"sf":"${JsonOut.escape(sfDir)}","knn_graph_equal":$knnEqual,"knn_edges":${g.size},""" +
       s""""embedding_pairs_equal":$pairsEqual,"pairs":${p.size},""" +
-      s""""range_triangle_equal":$rangeEqual,"range_rows":${brute.length}}""")
+      s""""range_triangle_equal":$rangeEqual,"range_rows":${brute.length},""" +
+      s""""decontam_bloom_equal":$decontamEqual,"contaminated":${exact.size}}""")
     spark.stop()
-    if (!(knnEqual && pairsEqual && rangeEqual)) sys.exit(1)
+    if (!(knnEqual && pairsEqual && rangeEqual && decontamEqual)) sys.exit(1)
   }
 }
