@@ -231,17 +231,22 @@ object Dedup {
                          minHits: Long = 1L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.util.sketch.BloomFilter
     val docs = Tables.documents(spark, dir)
-    // persisted: materialized once, shared by the (distributed) filter
-    // build and the verify join below
+    // persisted for the duration of the BUILD only: the count and the
+    // filter aggregation share one materialization, then the cache is
+    // released — the verify join recomputes the eval aggregation at
+    // query time (the same cost the plain gate pays) instead of
+    // pinning the hash set in a long-lived session's storage memory
     val evalShingles = docs.filter(col("source") === "src0")
       .select(explode(
         graft.functions.ngrams.word_nshingle_hashes(col("text"), n)).as("h"))
-      .distinct().persist()
+      .distinct()
+    evalShingles.persist()
     // DISTRIBUTED build (per-partition filters merged by the executor
     // aggregate) — the driver only ever holds the ~1.2 B/element
     // bitmap, never the hash set itself
     val bf: BloomFilter =
-      evalShingles.stat.bloomFilter("h", math.max(evalShingles.count(), 1L), fpp)
+      try evalShingles.stat.bloomFilter("h", math.max(evalShingles.count(), 1L), fpp)
+      finally evalShingles.unpersist()
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     docs.filter(col("source") =!= "src0")

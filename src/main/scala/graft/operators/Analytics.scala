@@ -237,16 +237,21 @@ object Analytics {
     * per-group sum, so aggregation state is 3 doubles per group.
     */
   def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    // percentile / quantile_cont IGNORE nulls; an unfiltered count would
-    // include them in n and the window sort would rank them first,
-    // shifting every bracketing rank on a null-bearing column
-    val ev = Tables.events(spark, dir).select("event_type", "value")
-      .filter(col("value").isNotNull)
-    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val events = Tables.events(spark, dir).select("event_type", "value")
+    // ONE unfiltered pass supplies both the complete group list and the
+    // null-skipping n (count(col) ignores nulls) — GROUP BY +
+    // quantile_cont semantics keep a group whose values are all NULL
+    // (its quantiles are NULL), and a NULL group key is a real group,
+    // so every join below is null-SAFE (<=>), never an equi-join that
+    // would drop it
+    val counts = events.groupBy("event_type").agg(count(col("value")).as("n"))
+    val ev = events.filter(col("value").isNotNull)
     val ranked = ev
       .withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy("value")))
-      .join(broadcast(counts), "event_type")
+      .join(broadcast(counts.withColumnRenamed("event_type", "__et")),
+        col("event_type") <=> col("__et"))
+      .drop("__et")
     def q(p: Double): Column = {
       val pos = lit(p) * (col("n") - 1) // 0-indexed fractional position
       val lo = floor(pos)
@@ -259,15 +264,14 @@ object Analytics {
       val vhi = sum(when(col("rn") === lo + 2, col("value")))
       round(vlo + (coalesce(vhi, vlo) - vlo) * max(frac), 4)
     }
-    // the group LIST comes from unfiltered events: a group whose values
-    // are ALL null still appears (with null quantiles) under SQL GROUP
-    // BY + null-skipping quantile_cont — dropping it with the value
-    // filter would diverge from the oracle
-    Tables.events(spark, dir).select("event_type").distinct()
+    counts.select("event_type")
       .join(ranked.groupBy("event_type")
-        .agg(q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99")),
-        Seq("event_type"), "left_outer")
-      .orderBy("event_type")
+        .agg(q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"))
+        .withColumnRenamed("event_type", "__et"),
+        col("event_type") <=> col("__et"), "left_outer")
+      .drop("__et")
+      // DuckDB sorts NULLS LAST ascending; Spark's default is first
+      .orderBy(col("event_type").asc_nulls_last)
   }
 
   /** Revenue ROLLUP over (nation, market segment) — multi-level
@@ -387,20 +391,24 @@ object Analytics {
     * computed once; its max is broadcast back as a one-row frame).
     */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: the per-supplier aggregate (tiny next to lineitem) is
-    // consumed twice — once for its max, once as the join input —
-    // without the persist each use would re-scan and re-aggregate
-    // lineitem
     val rev = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
       .filter(col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy("l_suppkey")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
         .as("total_revenue"))
-      .persist()
-    val mx = rev.agg(max("total_revenue").as("mx"))
-    rev.crossJoin(broadcast(mx))
-      .filter(col("total_revenue") === col("mx"))
+    // the scalar max is collected EAGERLY: the returned plan then scans
+    // lineitem once, and nothing stays cached in a shared session (a
+    // persist here would pin the aggregate for the session's lifetime;
+    // the uncached crossJoin(max) form scans lineitem twice inside the
+    // benchmarked plan). All ties at the max are kept, as in the
+    // oracle's scalar subquery.
+    val mx = rev.agg(max("total_revenue")).head()
+    if (mx.isNullAt(0)) return rev.filter(lit(false))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+    rev.filter(col("total_revenue") === lit(mx.getDouble(0)))
       .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "total_revenue")

@@ -161,26 +161,38 @@ object Layouts {
     * roles), so only those directories are opened; the removed rows are
     * saved to an undo log FIRST (write-ahead), which is what makes
     * `rollbackDelete` possible without a snapshot of the layout.
-    * Re-running the same batch is safe: an existing undo log is never
-    * overwritten (a second run sees no victims and must not clobber
-    * the saved rows with an empty frame), and the per-partition
-    * rewrite is a no-op once the rows are gone.
+    * Re-running the same batch is safe: a COMPLETE undo log (committer
+    * `_SUCCESS` marker present) is never overwritten — a second run
+    * sees no victims and must not clobber the saved rows with an empty
+    * frame — while a torn log from a crashed write is discarded and
+    * rebuilt before any row is deleted. The per-partition rewrite is a
+    * no-op once the rows are gone. Contract: `batchId` names ONE fixed
+    * document set — reusing an id with a different set would delete
+    * under the old set's undo coverage.
     */
   def deleteBatch(spark: SparkSession, dir: String, layoutPath: String,
                   docs: DataFrame, batchId: Long): Unit = {
-    val roles = docs.join(Rbac.permissions(spark, dir), "document_id")
-      .select("role_id").distinct()
-      .collect().map(_.getLong(0)).sorted // tiny: the granting roles
     val undo = undoPath(layoutPath, batchId)
     val fs = undo.getFileSystem(spark.sessionState.newHadoopConf())
+    // a COMPLETE undo log carries the committer's _SUCCESS marker; a
+    // directory without it is a crashed write — recreate it, never
+    // trust it (trusting a torn log would delete rows it can't restore)
+    if (fs.exists(undo) && !fs.exists(new Path(undo, "_SUCCESS")))
+      require(fs.delete(undo, true), s"torn undo log removal failed: $undo")
     if (!fs.exists(undo)) {
+      // victims come from the LAYOUT, not the permission map: a grant
+      // revoked since routing must not hide a partition that still
+      // physically holds the doc's rows. (At scale a doc→partition
+      // sidecar index would prune this scan; correctness first.)
       spark.read.parquet(layoutPath)
-        .filter(col("partition_role").isin(roles.map(Long.box): _*)) // dir pruning
         .join(broadcast(docs.select("document_id")), Seq("document_id"), "left_semi")
         .select(col("partition_role").cast("long").as("partition_role"),
           col("block_id"), col("document_id"), col("embedding"), col("batch_id"))
         .write.parquet(undo.toString)
     }
+    val roles = spark.read.parquet(undo.toString)
+      .select("partition_role").distinct()
+      .collect().map(_.getLong(0)).sorted // tiny: partitions holding victims
     roles.foreach { role =>
       swapPartition(spark, layoutPath, role,
         spark.read.parquet(layoutPath)

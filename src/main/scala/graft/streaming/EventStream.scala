@@ -100,36 +100,52 @@ object EventStream {
     * (ts, event_id) order; an equal-timestamp purchase is invisible to
     * events at that instant (strict boundary, matching the batch
     * operator), and purchase ties at one instant resolve to the
-    * greatest event id (the batch tie rule). Converges to the batch
-    * as-of result (asserted in StreamSpec).
+    * greatest event id (the batch tie rule). Instants are compared at
+    * MICROsecond precision (the events table's own granularity —
+    * `Timestamp.getTime` alone would collapse sub-millisecond
+    * neighbors the batch operator distinguishes). An event arriving
+    * AFTER a later purchase has already advanced the state (cross-
+    * batch out-of-order arrival) is enriched conservatively with null
+    * — the state holds only the latest purchase, and a strictly-prior
+    * one is no longer recoverable; for in-order arrival (and any
+    * single-batch replay) the result is EXACTLY the batch as-of join
+    * (asserted in StreamingAsofSpec).
     */
   def asofEnrichStream(spark: SparkSession, dir: String): Dataset[AsofOut] = {
     import spark.implicits._
     val events = readEvents(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+    // full-precision instant: micros since epoch (getTime truncates to ms)
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
     def fn(userId: Long, evs: Iterator[Ev], state: GroupState[AsofState]): Iterator[AsofOut] = {
-      val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = evs.toArray.sortBy(e => (micros(e.ts), e.event_id))
       var st = state.getOption.getOrElse(AsofState(Long.MinValue, -1L))
       val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
       var i = 0
       while (i < sorted.length) {
-        val t = sorted(i).ts.getTime
+        val t = micros(sorted(i).ts)
         var j = i
-        while (j < sorted.length && sorted(j).ts.getTime == t) j += 1
-        // emit every event at instant t against the PRE-t state...
+        while (j < sorted.length && micros(sorted(j).ts) == t) j += 1
+        // emit every event at instant t against the PRE-t state; the
+        // strict boundary must hold ACROSS batches too: a state whose
+        // purchase is at or after t never matches
         var k = i
         while (k < j) {
           out += AsofOut(sorted(k).event_id,
-            if (st.lastTs == Long.MinValue) None else Some(st.lastPid))
+            if (st.lastTs < t && st.lastTs != Long.MinValue) Some(st.lastPid)
+            else None)
           k += 1
         }
-        // ...then fold t's purchases into the state (greatest id wins)
+        // ...then fold t's purchases into the state (greatest id wins;
+        // Long.MinValue sentinel always loses to a real instant)
         k = i
         while (k < j) {
           val e = sorted(k)
           if (e.event_type == "purchase" &&
-              (t > st.lastTs || (t == st.lastTs && e.event_id > st.lastPid)))
+              (st.lastTs == Long.MinValue || t > st.lastTs ||
+                (t == st.lastTs && e.event_id > st.lastPid)))
             st = AsofState(t, e.event_id)
           k += 1
         }
