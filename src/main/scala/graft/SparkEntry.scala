@@ -112,6 +112,8 @@ object SparkEntry {
     "q19_discounted_revenue" -> ((s, d) => Analytics.q19DiscountedRevenue(s, d)),
     "q_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
     "events_window_agg" -> ((s, d) => Analytics.eventsWindowAgg(s, d)),
+    "events_type_pivot" -> ((s, d) => Analytics.eventsTypePivot(s, d)),
+    "events_quantiles_approx" -> ((s, d) => Analytics.valueQuantilesApprox(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Analytics.q6ForecastRevenue(s, d)),
     "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(s, d)),
     "q9_profit_by_nation" -> ((s, d) => Analytics.q9ProfitByNation(s, d)),
@@ -820,6 +822,14 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "events_user_reach" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_type_pivot" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+        |       round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |       round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+        |       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        |       round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        |       round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_repetition" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

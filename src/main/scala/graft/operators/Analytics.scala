@@ -274,6 +274,38 @@ object Analytics {
       .orderBy(col("event_type").asc_nulls_last)
   }
 
+  /** Hourly event-type PIVOT — the wide-table reshape surface
+    * (`Dataset.pivot` with explicit values, which keeps the aggregate
+    * one pass and lets codegen see the output schema; an implicit
+    * pivot would first run a distinct scan to discover columns). The
+    * oracle replays it as conditional aggregation — exactly what the
+    * pivot plans to.
+    */
+  def eventsTypePivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum("value"), 4))
+      .orderBy("hour")
+
+  /** Approximate per-type quantiles — the 100 TB DEFAULT for the E8
+    * family: `approx_percentile` (Greenwald-Khanna) keeps bounded
+    * sketch state per group where the exact two-pass rank selection
+    * pays a per-group sort. Rows-only (the sketch is
+    * engine-specific); ApproxQuantileSpec bounds its error against
+    * the exact operator.
+    */
+  def valueQuantilesApprox(spark: SparkSession, dir: String,
+                           accuracy: Int = 10000): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90"),
+        expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"))
+      .orderBy("event_type")
+
   /** Revenue ROLLUP over (nation, market segment) — multi-level
     * aggregate surface (grouping sets).
     */

@@ -1231,3 +1231,23 @@ class StreamingAsofSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 }
+
+class ApproxQuantileSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("approx quantiles stay within rank tolerance of the exact operator") {
+    val exact = graft.operators.Analytics.valueQuantiles(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = graft.operators.Analytics.valueQuantilesApprox(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    // GK at accuracy 10000 on these group sizes is near-exact; allow a
+    // small value tolerance scaled by each group's spread
+    exact.foreach { case (t, (p50, p90)) =>
+      assert(math.abs(approx(t)._1 - p50) <= math.max(0.05 * math.abs(p50), 0.5),
+        s"$t p50: ${approx(t)._1} vs $p50")
+      assert(math.abs(approx(t)._2 - p90) <= math.max(0.05 * math.abs(p90), 0.5),
+        s"$t p90: ${approx(t)._2} vs $p90")
+    }
+  }
+}
