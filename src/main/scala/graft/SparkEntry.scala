@@ -124,6 +124,7 @@ object SparkEntry {
     "q21_waiting_suppliers" -> ((s, d) => Analytics.q21WaitingSuppliers(s, d)),
     "q22_dormant_customers" -> ((s, d) => Analytics.q22DormantCustomers(s, d)),
     "events_asof_purchase" -> ((s, d) => graft.operators.AsofJoin.eventsAsofPurchase(s, d)),
+    "events_error_windows" -> ((s, d) => graft.operators.RangeJoin.eventsInErrorWindows(s, d)),
     "docs_stratified_sample" -> ((s, d) => graft.operators.Sampling.docsStratifiedSample(s, d)),
     "docs_mixture_sample" -> ((s, d) => graft.operators.Sampling.docsMixtureSample(s, d)),
   )
@@ -823,6 +824,16 @@ object SparkEntry {
     "events_user_reach" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_error_windows" ->
+      """SELECT w.event_id AS window_id, count(*) AS n_events,
+        |       round(sum(e.value), 4) AS sum_value
+        |FROM events e
+        |JOIN (SELECT event_id,
+        |             ts::TIMESTAMP - INTERVAL 300 SECOND AS ws,
+        |             ts::TIMESTAMP + INTERVAL 300 SECOND AS we
+        |      FROM events WHERE event_type = 'error') w
+        |  ON e.ts::TIMESTAMP >= w.ws AND e.ts::TIMESTAMP <= w.we
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_type_pivot" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
         |       round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,

@@ -1251,3 +1251,36 @@ class ApproxQuantileSpec extends AnyFunSuite {
     }
   }
 }
+
+class RangeJoinSpec extends AnyFunSuite {
+  import SparkTest._
+  import org.apache.spark.sql.functions.col
+  import graft.operators.RangeJoin
+
+  test("bucketed interval join equals the brute inequality join; bucket width is semantics-free") {
+    val ev = graft.Tables.events(spark, sf).select("event_id", "ts", "value")
+    val windows = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("window_id"),
+        (col("ts").cast("double") - 300).cast("timestamp").as("w_start"),
+        (col("ts").cast("double") + 300).cast("timestamp").as("w_end"))
+    def pairs(bucketMs: Long) =
+      RangeJoin.pointsInIntervals(ev, "ts", windows, "w_start", "w_end", bucketMs)
+        .select("event_id", "window_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = ev.crossJoin(windows)
+      .filter(col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+      .select("event_id", "window_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(10 * 60 * 1000)
+    assert(got.size == got.toSet.size, "each pair must appear exactly once")
+    assert(got.toSet == brute)
+    // a different chunk width must not change the result
+    assert(pairs(97 * 1000).toSet == brute)
+    // and the plan is an equi-join, not a nested loop
+    val plan = RangeJoin.pointsInIntervals(ev, "ts", windows,
+      "w_start", "w_end", 600000).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must not plan a nested loop:\n$plan")
+  }
+}
