@@ -1284,3 +1284,49 @@ class RangeJoinSpec extends AnyFunSuite {
       s"range join must not plan a nested loop:\n$plan")
   }
 }
+
+class ZOrderSpec extends AnyFunSuite {
+  import SparkTest._
+  import org.apache.spark.sql.functions._
+  import graft.sources.Layouts
+
+  test("z-order layout prunes on BOTH dimensions where a single sort prunes one") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("double").as("t"), col("value"))
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val zPath = Layouts.zorderWrite(spark, ev, "t", "value", s"$out/z", 16)
+    ev.repartitionByRange(16, col("t")).sortWithinPartitions("t")
+      .write.mode("overwrite").parquet(s"$out/linear")
+    val r = ev.agg(min("t"), max("t"), min("value"), max("value")).head()
+    val (tLo, tHi, vLo, vHi) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // per-file normalized widths: z-order bounds BOTH dimensions, the
+    // single-column sort leaves the second dimension unpruned (~1)
+    def widths(path: String): (Double, Double) = {
+      val w = spark.read.parquet(path)
+        .select(input_file_name().as("f"), col("t"), col("value"))
+        .groupBy("f")
+        .agg(((max("t") - min("t")) / (tHi - tLo)).as("wt"),
+          ((max("value") - min("value")) / (vHi - vLo)).as("wv"))
+        .agg(avg("wt"), avg("wv")).head()
+      (w.getDouble(0), w.getDouble(1))
+    }
+    val (ztW, zvW) = widths(zPath)
+    val (ltW, lvW) = widths(s"$out/linear")
+    assert(ztW < 0.5 && zvW < 0.5,
+      s"z-order must bound both dims: t=$ztW value=$zvW")
+    // (~125 rows/file at sf0.001: the sampled per-file range sits below
+    // the full span, so the comparison is relative, not absolute)
+    assert(lvW > 2 * zvW,
+      s"linear layout must leave value far wider than z-order: $lvW vs $zvW")
+    // a predicate on the SECOND dimension alone: the sorted layout
+    // touches every file, the z-ordered layout skips most
+    def filesTouched(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(pred)
+        .select(input_file_name()).distinct().count()
+    val band = col("value").between(vLo + 0.45 * (vHi - vLo), vLo + 0.55 * (vHi - vLo))
+    val (zf, lf) = (filesTouched(zPath, band), filesTouched(s"$out/linear", band))
+    assert(lf >= 12, s"sanity: a value band hits nearly every t-sorted file: $lf")
+    assert(zf <= lf / 2, s"z-order must skip most files on a value band: z=$zf linear=$lf")
+  }
+}
