@@ -296,15 +296,23 @@ object Analytics {
     * the exact operator.
     */
   def valueQuantilesApprox(spark: SparkSession, dir: String,
-                           accuracy: Int = 10000): DataFrame =
-    Tables.events(spark, dir)
-      .filter(col("value").isNotNull)
-      .groupBy("event_type")
-      .agg(
-        expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
-        expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90"),
-        expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"))
-      .orderBy("event_type")
+                           accuracy: Int = 10000): DataFrame = {
+    val events = Tables.events(spark, dir).select("event_type", "value")
+    // same group-preserving contract as the exact operator: a group
+    // whose values are all NULL keeps its row (NULL quantiles), and a
+    // NULL group key survives the null-safe join
+    events.select("event_type").distinct()
+      .join(events.filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+          expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90"),
+          expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"))
+        .withColumnRenamed("event_type", "__et"),
+        col("event_type") <=> col("__et"), "left_outer")
+      .drop("__et")
+      .orderBy(col("event_type").asc_nulls_last)
+  }
 
   /** Revenue ROLLUP over (nation, market segment) — multi-level
     * aggregate surface (grouping sets).

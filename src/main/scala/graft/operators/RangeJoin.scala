@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 
@@ -32,6 +32,8 @@ object RangeJoin {
   def pointsInIntervals(points: DataFrame, tsCol: String,
                         intervals: DataFrame, startCol: String, endCol: String,
                         bucketMs: Long): DataFrame = {
+    require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
+      "pointsInIntervals: inputs must not carry a __b column (it is the internal bucket key)")
     val p = points.withColumn("__b",
       floor(col(tsCol).cast("double") * 1000 / bucketMs).cast("long"))
     val iv = intervals.withColumn("__b",
@@ -55,11 +57,14 @@ object RangeJoin {
     */
   def eventsInErrorWindows(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select("event_id", "ts", "value")
+    // INTERVAL arithmetic, not a double round-trip: cast(ts→double→
+    // timestamp) truncates and can land the bound 1 µs short, flipping
+    // boundary events against the oracle's exact ±INTERVAL comparison
     val windows = Tables.events(spark, dir)
       .filter(col("event_type") === "error")
       .select(col("event_id").as("window_id"),
-        (col("ts").cast("double") - 300).cast("timestamp").as("w_start"),
-        (col("ts").cast("double") + 300).cast("timestamp").as("w_end"))
+        (col("ts") - expr("INTERVAL 300 SECONDS")).as("w_start"),
+        (col("ts") + expr("INTERVAL 300 SECONDS")).as("w_end"))
     pointsInIntervals(ev, "ts", windows, "w_start", "w_end",
       bucketMs = 10 * 60 * 1000)
       .groupBy("window_id")

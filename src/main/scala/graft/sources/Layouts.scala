@@ -345,8 +345,12 @@ object Layouts {
                   outPath: String, nFiles: Int): String = {
     val r = df.agg(min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    val key = zorderKey(col(colA), r.getDouble(0), r.getDouble(1),
-      col(colB), r.getDouble(2), r.getDouble(3))
+    // empty input / all-NULL column → NULL stats; 0.0 makes the range
+    // degenerate and zorderKey collapses that dim to bucket 0 (the
+    // rewrite still writes, it just can't cluster on a dimension that
+    // has no values)
+    def stat(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    val key = zorderKey(col(colA), stat(0), stat(1), col(colB), stat(2), stat(3))
     df.withColumn("__z", key)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")

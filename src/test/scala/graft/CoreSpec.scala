@@ -1262,8 +1262,8 @@ class RangeJoinSpec extends AnyFunSuite {
     val windows = graft.Tables.events(spark, sf)
       .filter(col("event_type") === "error")
       .select(col("event_id").as("window_id"),
-        (col("ts").cast("double") - 300).cast("timestamp").as("w_start"),
-        (col("ts").cast("double") + 300).cast("timestamp").as("w_end"))
+        (col("ts") - org.apache.spark.sql.functions.expr("INTERVAL 300 SECONDS")).as("w_start"),
+        (col("ts") + org.apache.spark.sql.functions.expr("INTERVAL 300 SECONDS")).as("w_end"))
     def pairs(bucketMs: Long) =
       RangeJoin.pointsInIntervals(ev, "ts", windows, "w_start", "w_end", bucketMs)
         .select("event_id", "window_id")
