@@ -51,6 +51,8 @@ object GraftExtensions {
     "sorted_jaccard" -> two(SortedJaccard),
     // topk_ids(score, id) with k=10 — SQL surface for the bounded-heap agg
     "topk10_ids" -> two((s, i) => TopKByScore(s, i, 10).toAggregateExpression()),
+    // round-4 kernels
+    "repetition_stats" -> one(RepetitionStats),
   )
 
   /** Register the same functions into an already-built session. */

@@ -125,6 +125,8 @@ object SparkEntry {
     "q22_dormant_customers" -> ((s, d) => Analytics.q22DormantCustomers(s, d)),
     "events_asof_purchase" -> ((s, d) => graft.operators.AsofJoin.eventsAsofPurchase(s, d)),
     "events_error_windows" -> ((s, d) => graft.operators.RangeJoin.eventsInErrorWindows(s, d)),
+    "events_salted_enrich" -> ((s, d) => graft.operators.Salted.eventsSaltedEnrich(s, d)),
+    "q_customer_quartiles" -> ((s, d) => Analytics.customerBalanceQuartiles(s, d)),
     "docs_stratified_sample" -> ((s, d) => graft.operators.Sampling.docsStratifiedSample(s, d)),
     "docs_mixture_sample" -> ((s, d) => graft.operators.Sampling.docsMixtureSample(s, d)),
   )
@@ -824,6 +826,19 @@ object SparkEntry {
     "events_user_reach" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_salted_enrich" ->
+      """WITH d AS (SELECT event_type, avg(value) AS type_avg FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, round(e.value - d.type_avg, 4) AS dev
+        |FROM events e JOIN d USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+    "q_customer_quartiles" ->
+      """WITH t AS (SELECT c_nationkey, c_acctbal,
+        |                  ntile(4) OVER (PARTITION BY c_nationkey
+        |                                 ORDER BY c_acctbal, c_custkey) AS quartile
+        |           FROM customer)
+        |SELECT c_nationkey, quartile, count(*) AS n,
+        |       round(min(c_acctbal), 4) AS lo, round(max(c_acctbal), 4) AS hi
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_error_windows" ->
       """SELECT w.event_id AS window_id, count(*) AS n_events,
         |       round(sum(e.value), 4) AS sum_value

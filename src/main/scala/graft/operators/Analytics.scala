@@ -314,6 +314,24 @@ object Analytics {
       .orderBy(col("event_type").asc_nulls_last)
   }
 
+  /** Balance quartiles per nation — the `ntile` window surface. The
+    * window is PARTITIONED (by nation), so the sort is per-partition
+    * and scales with the largest nation, never a single global sort —
+    * the scale-safe way to use ntile (a global ntile is a one-task
+    * window; for global quantile buckets use E8/E29 instead).
+    */
+  def customerBalanceQuartiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select("c_nationkey", "c_custkey", "c_acctbal")
+      .withColumn("quartile",
+        ntile(4).over(Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal"), col("c_custkey"))).cast("bigint"))
+      .groupBy("c_nationkey", "quartile")
+      .agg(count(lit(1)).as("n"),
+        round(min("c_acctbal"), 4).as("lo"),
+        round(max("c_acctbal"), 4).as("hi"))
+      .orderBy("c_nationkey", "quartile")
+
   /** Revenue ROLLUP over (nation, market segment) — multi-level
     * aggregate surface (grouping sets).
     */

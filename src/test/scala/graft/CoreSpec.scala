@@ -332,6 +332,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 1.0)
     assert(r.getLong(2) == (((97L*31+98)%2147483647)*31+99)%2147483647)
     assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
+    val rep = spark.sql("SELECT repetition_stats('a b a b a b') AS r").head().getSeq[Double](0)
+    assert(rep == Seq(6.0, 0.5, 0.6, 0.5))
   }
 
   test("topk10_ids works in SQL group-by") {
@@ -1328,5 +1330,33 @@ class ZOrderSpec extends AnyFunSuite {
     val (zf, lf) = (filesTouched(zPath, band), filesTouched(s"$out/linear", band))
     assert(lf >= 12, s"sanity: a value band hits nearly every t-sorted file: $lf")
     assert(zf <= lf / 2, s"z-order must skip most files on a value band: z=$zf linear=$lf")
+  }
+}
+
+class SaltedJoinSpec extends AnyFunSuite {
+  import SparkTest._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Salted
+
+  test("salted join equals the plain join and keys the shuffle on (key, salt)") {
+    val ev = graft.Tables.events(spark, sf).select("event_id", "event_type", "value")
+    val dim = ev.groupBy("event_type").agg(avg("value").as("type_avg"))
+    val plain = ev.join(dim, "event_type")
+      .select("event_id", "type_avg")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val salted = Salted.saltedJoin(ev, dim, "event_type", "event_id", 8)
+      .select("event_id", "type_avg")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(salted == plain)
+    // every event appears exactly once (each big row meets ONE dim copy)
+    assert(salted.size == ev.count())
+    // the join key carries the salt: with auto-broadcast off, the
+    // exchange partitions on (event_type, __salt), not event_type alone
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Salted.saltedJoin(ev, dim, "event_type", "event_id", 8)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), s"salt must reach the join key:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
   }
 }
