@@ -97,6 +97,7 @@ object SparkEntry {
     "text_hash_embedding" -> ((s, d) => TextOps.hashEmbedding(s, d)),
     "text_tfidf" -> ((s, d) => TextOps.tfidf(s, d)),
     "text_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
+    "text_chunks" -> ((s, d) => TextOps.chunkDocuments(s, d)),
     // --- E. Relational analytics ---
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Analytics.q3ShippingPriority(s, d)),
@@ -826,6 +827,16 @@ object SparkEntry {
     "events_user_reach" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |                  len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |s AS (SELECT doc_id, ws, n,
+        |             unnest(range(0, greatest(n - 1, 0) + 1, 48)) AS st
+        |      FROM w)
+        |SELECT doc_id, st // 48 AS chunk_id, st AS tok_start,
+        |       array_to_string(ws[st + 1 : least(st + 64, n)], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "events_salted_enrich" ->
       """WITH d AS (SELECT event_type, avg(value) AS type_avg FROM events GROUP BY 1)
         |SELECT e.event_id, e.event_type, round(e.value - d.type_avg, 4) AS dev

@@ -198,6 +198,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D13: document chunking — the step that PRODUCES the reference's
+    * `documentblocks` rows (initialize_main_tables.py's block_content;
+    * every RAG/embedding ingest runs it): fixed word-window chunks
+    * with overlap, deterministic chunk ids and token offsets. Pure
+    * per-row explode — no shuffle, composes with `hashEmbedding` /
+    * the IVF build downstream exactly like the reference's
+    * chunk→embed→index pipeline. `chunk` words per window, stride
+    * `chunk − overlap`; the final window clips at the doc end.
+    */
+  def chunkDocuments(spark: SparkSession, dir: String, chunk: Int = 64,
+                     overlap: Int = 16): DataFrame = {
+    val stride = chunk - overlap
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), ws(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+          lit(stride))).as("tok_start"))
+      .select(col("doc_id"),
+        expr(s"tok_start div $stride").cast("bigint").as("chunk_id"),
+        col("tok_start").cast("bigint").as("tok_start"),
+        concat_ws(" ", slice(col("w"), col("tok_start") + 1, lit(chunk)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** D5: corpus-level top word-bigrams (explode → one shuffle with
     * map-side partial aggregation — the canonical n-gram count shape).
     */

@@ -1360,3 +1360,33 @@ class SaltedJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
   }
 }
+
+class ChunkSpec extends AnyFunSuite {
+  import SparkTest._
+  import org.apache.spark.sql.functions.col
+
+  test("chunking covers every token, honors stride/width, and reassembles the doc") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val chunks = graft.text.TextOps.chunkDocuments(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    chunks.groupBy(_._1).foreach { case (docId, cs) =>
+      val words = docs(docId)
+      val sorted = cs.sortBy(_._2)
+      // ids are dense from 0, starts follow the stride
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, cid, start, text) =>
+        assert(start == cid * 48)
+        val expect = words.slice(start.toInt, math.min(start.toInt + 64, words.length))
+        assert(text == expect.mkString(" "), s"doc $docId chunk $cid")
+      }
+      // full coverage: last chunk reaches the doc's end
+      val (_, _, lastStart, lastText) = sorted.last
+      assert(lastStart + lastText.split(" ", -1).length == words.length)
+      assert(lastStart < words.length)
+    }
+    assert(chunks.map(_._1).toSet == docs.keySet)
+  }
+}
