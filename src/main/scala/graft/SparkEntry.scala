@@ -67,6 +67,7 @@ object SparkEntry {
     "ann_range_triangle" -> ((s, d) => IvfIndex.rangeSearchTriangle(s, d, tau = 1.3)),
     "ann_pq_build" -> ((s, d) => PqIndex.buildReport(s, d)),
     "ann_sq_build" -> ((s, d) => SqIndex.buildReport(s, d)),
+    "rbac_partition_index_build" -> ((s, d) => graft.ann.GroupedKMeans.partitionIndexBuild(s, d)),
     "ann_sq_search" -> ((s, d) => SqIndex.search(s, d)),
     "ann_pq_search" -> ((s, d) => PqIndex.search(s, d)),
     "ann_ivfpq_search" -> ((s, d) => PqIndex.ivfAdcSearch(s, d)),

@@ -1390,3 +1390,34 @@ class ChunkSpec extends AnyFunSuite {
     assert(chunks.map(_._1).toSet == docs.keySet)
   }
 }
+
+class GroupedKMeansSpec extends AnyFunSuite {
+  import SparkTest._
+  import org.apache.spark.sql.functions._
+  import graft.ann.GroupedKMeans
+
+  test("one-job grouped k-means covers every role, k cells each, and SSE never increases") {
+    val points = GroupedKMeans.rolePoints(spark, sf).persist()
+    val roles = points.select("group").distinct().count()
+    val c0 = GroupedKMeans.fit(points, k = 4, iters = 0)
+    val c2 = GroupedKMeans.fit(points, k = 4, iters = 2)
+    assert(c2.groupBy("group").count().collect()
+      .forall(_.getLong(1) == 4), "every role must get k centroids")
+    assert(c2.select("group").distinct().count() == roles)
+    val sse0 = GroupedKMeans.sse(points, c0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sse2 = GroupedKMeans.sse(points, c2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sse0.keySet == sse2.keySet)
+    // Lloyd iterations must not worsen any group's clustering, and
+    // must strictly improve in aggregate
+    sse0.foreach { case (g, s0) =>
+      assert(sse2(g) <= s0 * (1 + 1e-9), s"group $g: ${sse2(g)} > $s0") }
+    assert(sse2.values.sum < sse0.values.sum * 0.95,
+      s"expected aggregate SSE improvement: ${sse2.values.sum} vs ${sse0.values.sum}")
+    // report covers (role, cell) with full corpus accounted for
+    val report = GroupedKMeans.partitionIndexBuild(spark, sf)
+    assert(report.agg(sum("n_vectors")).head().getLong(0) == points.count())
+    points.unpersist()
+  }
+}
