@@ -829,8 +829,8 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_chunks" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
-        |                  len(string_split(text, ' ')) AS n
+      """WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws,
+        |                  len(string_split(coalesce(text, ''), ' ')) AS n
         |           FROM documents),
         |s AS (SELECT doc_id, ws, n,
         |             unnest(range(0, greatest(n - 1, 0) + 1, 48)) AS st

@@ -24,8 +24,12 @@ import graft.rbac.Rbac
   *     (group, cid, dim) partial-agg'd averages → array reassembly
   *     (the exploded shuffle carries groups×k×dim tiny rows).
   *
-  * Each Lloyd iteration is two shuffles TOTAL across all groups —
-  * the per-partition loop the reference runs becomes data parallelism.
+  * Each Lloyd iteration is three shuffles TOTAL across all groups
+  * (argmin assignment, dim-wise partial mean, array reassembly — the
+  * latter two carrying only groups×k×dim rows) — the per-partition
+  * loop the reference runs becomes data parallelism. A cluster left
+  * empty by an update keeps its previous centroid (k centroids per
+  * group always survive, and Lloyd's SSE monotonicity is preserved).
   */
 object GroupedKMeans {
 
@@ -43,25 +47,36 @@ object GroupedKMeans {
     var it = 0
     while (it < iters) {
       val assigned = assign(points, cents)
-      cents = assigned
+      val updated = assigned
         .select(col("group"), col("cid"), posexplode(col("vec")).as(Seq("dim", "v")))
         .groupBy("group", "cid", "dim").agg(avg("v").as("m"))
         .groupBy("group", "cid")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("group"), col("cid"),
-          expr("transform(dm, x -> cast(x.m AS float))").as("centroid"))
+          expr("transform(dm, x -> cast(x.m AS float))").as("new_centroid"))
+      // empty-cluster handling: a cid that received no points keeps its
+      // previous centroid — otherwise it would silently vanish from the
+      // groupBy and the group would fall below k
+      cents = cents.join(updated, Seq("group", "cid"), "left_outer")
+        .select(col("group"), col("cid"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
       it += 1
     }
     cents
   }
 
-  /** Nearest-centroid assignment: (group, id, vec, cid, dist). */
+  /** Nearest-centroid assignment: (group, id, vec, cid, dist). The
+    * argmin is min of (dist, cid) — smallest cid wins exact ties, the
+    * same deterministic rule the NearestCentroid kernel uses.
+    */
   def assign(points: DataFrame, cents: DataFrame): DataFrame =
     points.join(broadcast(cents), Seq("group")) // groups×k rows — always broadcast-sized
       .withColumn("d", l2_dist(col("vec"), col("centroid")))
       .groupBy("group", "id")
-      .agg(min_by(col("cid"), col("d")).as("cid"), min("d").as("dist"),
+      .agg(min(struct(col("d"), col("cid"))).as("best"),
         first("vec").as("vec"))
+      .select(col("group"), col("id"), col("best.cid").as("cid"),
+        col("best.d").as("dist"), col("vec"))
 
   /** Mean within-cluster squared distance per group — the convergence
     * observable (must not increase over Lloyd iterations).
@@ -78,9 +93,20 @@ object GroupedKMeans {
     */
   def partitionIndexBuild(spark: SparkSession, dir: String,
                           k: Int = 4, iters: Int = 2): DataFrame = {
+    // the fit is run EAGERLY over a build-scoped cache and its (tiny)
+    // centroid frame collected: the returned report plan then scans the
+    // corpus exactly once, and nothing stays pinned in the session
     val points = rolePoints(spark, dir)
-    val cents = fit(points, k, iters)
-    assign(points, cents)
+    points.persist()
+    val centRows = try fit(points, k, iters).collect().toIndexedSeq
+      finally points.unpersist()
+    import org.apache.spark.sql.types._
+    val centSchema = StructType(Seq(
+      StructField("group", LongType), StructField("cid", IntegerType),
+      StructField("centroid", ArrayType(FloatType))))
+    val cents = spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows, 1), centSchema)
+    assign(rolePoints(spark, dir), cents)
       .groupBy(col("group").as("partition_role"), col("cid").as("cell"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("partition_role", "cell")

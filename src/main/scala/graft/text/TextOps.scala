@@ -205,14 +205,19 @@ object TextOps {
     * per-row explode — no shuffle, composes with `hashEmbedding` /
     * the IVF build downstream exactly like the reference's
     * chunk→embed→index pipeline. `chunk` words per window, stride
-    * `chunk − overlap`; the final window clips at the doc end.
+    * `chunk − overlap`; the final window clips at the doc end. NULL
+    * text is treated as empty (coalesce on BOTH engines — concat_ws
+    * never returns NULL, so the oracle must not either). The chunk
+    * computation is per-row; the two exchanges in the plan are
+    * incidental: a round-robin repartition for parallelism over the
+    * one-row-group test files, and the deterministic output sort.
     */
   def chunkDocuments(spark: SparkSession, dir: String, chunk: Int = 64,
                      overlap: Int = 16): DataFrame = {
     val stride = chunk - overlap
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), ws(col("text")).as("w"))
+      .select(col("doc_id"), ws(coalesce(col("text"), lit(""))).as("w"))
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
           lit(stride))).as("tok_start"))

@@ -1344,19 +1344,24 @@ class SaltedJoinSpec extends AnyFunSuite {
     val plain = ev.join(dim, "event_type")
       .select("event_id", "type_avg")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val salted = Salted.saltedJoin(ev, dim, "event_type", "event_id", 8)
+    val saltedRows = Salted.saltedJoin(ev, dim, "event_type", "event_id", 8)
       .select("event_id", "type_avg")
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(salted == plain)
-    // every event appears exactly once (each big row meets ONE dim copy)
-    assert(salted.size == ev.count())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    // every event appears exactly once (each big row meets ONE dim
+    // copy) — asserted on ROW COUNT before any Map collapse, so a
+    // regression that fans rows out 8x cannot slip through
+    assert(saltedRows.length == ev.count())
+    assert(saltedRows.toMap == plain)
     // the join key carries the salt: with auto-broadcast off, the
     // exchange partitions on (event_type, __salt), not event_type alone
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val plan = Salted.saltedJoin(ev, dim, "event_type", "event_id", 8)
         .queryExecution.executedPlan.toString
-      assert(plan.contains("__salt"), s"salt must reach the join key:\n$plan")
+      val saltKeyed = plan.linesIterator.exists(l =>
+        (l.contains("Exchange hashpartitioning") || l.contains("SortMergeJoin") ||
+          l.contains("ShuffledHashJoin")) && l.contains("__salt"))
+      assert(saltKeyed, s"salt must reach the join/exchange KEYS:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
   }
 }
