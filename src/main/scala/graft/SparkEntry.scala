@@ -129,6 +129,8 @@ object SparkEntry {
     "events_error_windows" -> ((s, d) => graft.operators.RangeJoin.eventsInErrorWindows(s, d)),
     "events_salted_enrich" -> ((s, d) => graft.operators.Salted.eventsSaltedEnrich(s, d)),
     "q_customer_quartiles" -> ((s, d) => Analytics.customerBalanceQuartiles(s, d)),
+    "q_order_cube" -> ((s, d) => Analytics.orderCube(s, d)),
+    "events_user_setops" -> ((s, d) => Analytics.userSetOps(s, d)),
     "docs_stratified_sample" -> ((s, d) => graft.operators.Sampling.docsStratifiedSample(s, d)),
     "docs_mixture_sample" -> ((s, d) => graft.operators.Sampling.docsMixtureSample(s, d)),
   )
@@ -843,6 +845,22 @@ object SparkEntry {
         |SELECT e.event_id, e.event_type, round(e.value - d.type_avg, 4) AS dev
         |FROM events e JOIN d USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+    "q_order_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 4) AS total
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "events_user_setops" ->
+      """SELECT user_id, 'click_only' AS segment FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'click_and_buy' FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY segment, user_id""".stripMargin,
     "q_customer_quartiles" ->
       """WITH t AS (SELECT c_nationkey, c_acctbal,
         |                  ntile(4) OVER (PARTITION BY c_nationkey

@@ -347,6 +347,32 @@ object Analytics {
       .orderBy(expr("c_nationkey"), expr("c_mktsegment"))
   }
 
+  /** Order-count CUBE over (order priority, order status) — the full
+    * grouping-sets lattice (all four combinations), completing the
+    * rollup surface. Same expr()-ref caveat as `revenueRollup`.
+    */
+  def orderCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderpriority", "o_orderstatus", "o_totalprice")
+      .cube(expr("o_orderpriority"), expr("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("total"))
+      .orderBy(expr("o_orderpriority"), expr("o_orderstatus"))
+
+  /** Users seen in clicks but never purchasing (EXCEPT) alongside users
+    * doing both (INTERSECT) — the set-operation surface, as one frame.
+    */
+  def userSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select("user_id").distinct()
+    users("click").except(users("purchase"))
+      .withColumn("segment", lit("click_only"))
+      .unionByName(
+        users("click").intersect(users("purchase"))
+          .withColumn("segment", lit("click_and_buy")))
+      .orderBy("segment", "user_id")
+  }
+
   /** Tumbling 1-hour window aggregates over events — the batch mirror of
     * the streaming query (graft.streaming), oracle-checkable.
     */
