@@ -34,9 +34,8 @@ object ScanCost {
     val mult = spark.range(rep).select(col("id").as("__r"))
     val raw = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
       .crossJoin(mult).repartition(n).persist()
-    raw.count()
-    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
-      .select("embedding").head().getSeq[Float](0).toArray
+    val rows = raw.count()
+    val q = graft.ann.PqIndex.queryVec(spark, sfDir, 0)
     val sqCodes = graft.ann.SqIndex.codes(spark, sfDir)
       .crossJoin(mult).repartition(n).persist()
     sqCodes.count()
@@ -54,30 +53,19 @@ object ScanCost {
       }.sorted
       ts(reps / 2)
     }
-    val qvecLit = q
     val tRaw = timeMedian(raw.select(
-      l2_dist(col("embedding"), typedLit(qvecLit)).as("d")))
-    // per-query [dim][256] table, same arithmetic the search path uses
-    val sqTable = Array.tabulate(graft.ann.SqIndex.Dim, 256) { (i, c) =>
-      val d = q(i) - (sqG.lo(i) + c * sqG.step(i)); d * d
-    }
+      l2_dist(col("embedding"), typedLit(q)).as("d")))
+    // the SAME table builders the search paths use — no copy to drift
+    val sqTable = graft.ann.SqIndex.adcTable(sqG, q)
     val tSq = timeMedian(sqCodes.select(E.column(
       graft.functions.Sq8AdcDistance(E.expression(col("code")), sqTable)).as("d")))
-    val cb = graft.ann.PqIndex.getOrBuild(spark, sfDir)
-    val subDim = graft.ann.PqIndex.Dim / graft.ann.PqIndex.NumSub
-    val pqTable = Array.tabulate(graft.ann.PqIndex.NumSub, graft.ann.PqIndex.CodesPerSub) {
-      (s, c) =>
-        var acc = 0.0f; var i = 0
-        while (i < subDim) {
-          val d = q(s * subDim + i) - cb.centroids(s)(c)(i); acc += d * d; i += 1
-        }
-        acc
-    }
+    val pqTable = graft.ann.PqIndex.adcTable(
+      graft.ann.PqIndex.getOrBuild(spark, sfDir), q)
     val tPq = timeMedian(pqCodes.select(E.column(
       graft.functions.PqAdcDistance(E.expression(col("code")), pqTable)).as("d")))
 
     def r3(d: Double) = math.round(d * 1000) / 1000.0
-    println(s"""{"sf":"${JsonOut.escape(sfDir)}","rows":${raw.count()},""" +
+    println(s"""{"sf":"${JsonOut.escape(sfDir)}","rows":$rows,""" +
       s""""raw_scan_s":${r3(tRaw)},"sq8_scan_s":${r3(tSq)},"pq_scan_s":${r3(tPq)},""" +
       s""""sq8_speedup":${r3(tRaw / tSq)},"pq_speedup":${r3(tRaw / tPq)}}""")
     spark.stop()

@@ -97,7 +97,7 @@ object PqIndex {
       .orderBy("code0")
 
   /** Per-query ADC distance table [sub][code] = ‖q_sub − centroid‖². */
-  private def adcTable(cb: Codebook, q: Array[Float]): Array[Array[Float]] = {
+  private[graft] def adcTable(cb: Codebook, q: Array[Float]): Array[Array[Float]] = {
     val subDim = Dim / NumSub
     Array.tabulate(NumSub, CodesPerSub) { (s, c) =>
       var acc = 0.0f; var i = 0
@@ -108,7 +108,7 @@ object PqIndex {
     }
   }
 
-  private def queryVec(spark: SparkSession, dir: String, qid: Long): Array[Float] =
+  private[graft] def queryVec(spark: SparkSession, dir: String, qid: Long): Array[Float] =
     Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
       .select("embedding").head().getSeq[Float](0).toArray
 

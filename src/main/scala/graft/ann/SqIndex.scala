@@ -78,7 +78,7 @@ object SqIndex {
       .orderBy("dim")
 
   /** Per-query ADC table [dim][256]: (q(i) − (lo(i)+c·step(i)))². */
-  private def adcTable(g: Grid, q: Array[Float]): Array[Array[Float]] =
+  private[graft] def adcTable(g: Grid, q: Array[Float]): Array[Array[Float]] =
     Array.tabulate(Dim, 256) { (i, c) =>
       val d = q(i) - (g.lo(i) + c * g.step(i)); d * d
     }
