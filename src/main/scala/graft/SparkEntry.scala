@@ -68,6 +68,7 @@ object SparkEntry {
     "ann_pq_build" -> ((s, d) => PqIndex.buildReport(s, d)),
     "ann_sq_build" -> ((s, d) => SqIndex.buildReport(s, d)),
     "rbac_partition_index_build" -> ((s, d) => graft.ann.GroupedKMeans.partitionIndexBuild(s, d)),
+    "rbac_partition_ivf_topk" -> ((s, d) => graft.ann.GroupedKMeans.partitionIvfTopK(s, d, 1, 10)),
     "ann_sq_search" -> ((s, d) => SqIndex.search(s, d)),
     "ann_pq_search" -> ((s, d) => PqIndex.search(s, d)),
     "ann_ivfpq_search" -> ((s, d) => PqIndex.ivfAdcSearch(s, d)),

@@ -93,23 +93,86 @@ object GroupedKMeans {
     */
   def partitionIndexBuild(spark: SparkSession, dir: String,
                           k: Int = 4, iters: Int = 2): DataFrame = {
-    // the fit is run EAGERLY over a build-scoped cache and its (tiny)
-    // centroid frame collected: the returned report plan then scans the
-    // corpus exactly once, and nothing stays pinned in the session
-    val points = rolePoints(spark, dir)
-    points.persist()
-    val centRows = try fit(points, k, iters).collect().toIndexedSeq
-      finally points.unpersist()
-    import org.apache.spark.sql.types._
-    val centSchema = StructType(Seq(
-      StructField("group", LongType), StructField("cid", IntegerType),
-      StructField("centroid", ArrayType(FloatType))))
-    val cents = spark.createDataFrame(
-      spark.sparkContext.parallelize(centRows, 1), centSchema)
-    assign(rolePoints(spark, dir), cents)
+    // the fit runs EAGERLY over a build-scoped cache and its (tiny)
+    // centroid frame is collected (and cached per dir): the returned
+    // report plan then scans the corpus exactly once, and nothing
+    // stays pinned in the session
+    assign(rolePoints(spark, dir), centroidFrame(spark, dir, k, iters))
       .groupBy(col("group").as("partition_role"), col("cid").as("cell"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("partition_role", "cell")
+  }
+
+  /** The collected centroids as a (tiny) local DataFrame. */
+  private def centroidFrame(spark: SparkSession, dir: String,
+                            k: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    roleCentroids(spark, dir, k, iters)
+      .map(c => (c._1, c._2, c._3.toSeq)).toSeq
+      .toDF("group", "cid", "centroid")
+      .select(col("group"), col("cid"),
+        col("centroid").cast("array<float>").as("centroid"))
+  }
+
+  private val centCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Array[(Long, Int, Array[Float])]]
+
+  /** Fitted per-role centroids, collected (groups×k tiny) and cached
+    * per (dir, k, iters) — the in-memory mirror of the per-partition
+    * index sidecars the reference persists.
+    */
+  private[graft] def roleCentroids(spark: SparkSession, dir: String,
+                                   k: Int, iters: Int): Array[(Long, Int, Array[Float])] =
+    centCache.getOrElseUpdate((dir, k, iters), {
+      val points = rolePoints(spark, dir)
+      points.persist()
+      try fit(points, k, iters).collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      finally points.unpersist()
+    })
+
+  /** B21 serving half: permission-aware top-k THROUGH the per-role
+    * mini-indexes (the reference's search.py path — per-partition index
+    * probe + merge): for each of the user's roles, probe the nprobe
+    * cells whose centroids are nearest the query, scan ONLY those
+    * cells' vectors (cell id recomputed in-scan against the role's
+    * broadcast centroids — at scale, (role, cell) are directory keys
+    * and this is pure file pruning), merge across roles with block
+    * dedup, exact distances throughout. Probing ALL cells is lossless
+    * (equals prefilter — asserted); fewer cells trade recall for scan
+    * fraction exactly like corpus-level IVF.
+    */
+  def partitionIvfTopK(spark: SparkSession, dir: String, userId: Long,
+                       topk: Int, k: Int = 4, iters: Int = 2,
+                       nprobe: Int = 2): DataFrame = {
+    val cents = roleCentroids(spark, dir, k, iters)
+    val q = PqIndex.queryVec(spark, dir, 0)
+    def d2(a: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - q(i); s += x * x; i += 1 }
+      s
+    }
+    val roles = Rbac.userRoles(spark, dir).filter(col("user_id") === userId)
+      .collect().map(_.getLong(1)).toSet // tiny: the user's 1-2 roles
+    // probe pick per role over the tiny collected centroid set
+    val probed = cents.filter(c => roles.contains(c._1))
+      .groupBy(_._1).iterator.flatMap { case (_, cs) =>
+        cs.sortBy(c => (d2(c._3), c._2)).take(nprobe).iterator
+      }.map(c => (c._1, c._2)).toSet
+    import spark.implicits._
+    val centDf = centroidFrame(spark, dir, k, iters)
+      .filter(col("group").isin(roles.toSeq.map(Long.box): _*))
+    val probedDf = probed.toSeq.toDF("group", "cid")
+    assign(rolePoints(spark, dir).filter(col("group").isin(roles.toSeq.map(Long.box): _*)),
+      centDf)
+      .join(broadcast(probedDf), Seq("group", "cid"), "left_semi") // cell pruning
+      .crossJoin(broadcast(Rbac.queryVector(spark, dir)))
+      .withColumn("qd", l2_dist(col("vec"), col("qvec")))
+      .groupBy(col("id").as("block_id"))
+      .agg(min("qd").as("qd")) // block dedup across role partitions
+      .orderBy(col("qd"), col("block_id"))
+      .limit(topk)
+      .select("block_id")
   }
 
   /** (group=role, id=block, vec) — the role-partitioned corpus. */

@@ -1426,3 +1426,21 @@ class GroupedKMeansSpec extends AnyFunSuite {
     points.unpersist()
   }
 }
+
+class PartitionIvfSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.ann.GroupedKMeans
+
+  test("per-role mini-IVF probe: lossless at full probe, useful recall at nprobe=2") {
+    val exact = graft.rbac.Rbac.prefilterTopK(spark, sf, 1, 10)
+      .collect().map(_.getLong(0)).toSeq
+    // probing EVERY cell scans exactly the role partitions = prefilter
+    val full = GroupedKMeans.partitionIvfTopK(spark, sf, 1, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact, "full probe must equal the prefilter result")
+    val probed = GroupedKMeans.partitionIvfTopK(spark, sf, 1, 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = probed.intersect(exact.toSet).size / 10.0
+    assert(recall >= 0.5, s"nprobe=2 recall too low: $recall")
+  }
+}
