@@ -41,6 +41,8 @@ object Bench {
       graft.ann.IvfIndex.cellRadii(spark, sfDir, 8, unit = true)
       graft.ann.PqIndex.getOrBuild(spark, sfDir)
       graft.ann.QdTree.getOrBuild(spark, sfDir) // greedy tree = index metadata
+      graft.ann.SqIndex.getOrBuild(spark, sfDir)
+      graft.ann.GroupedKMeans.roleCentroids(spark, sfDir, 4, 2) // per-role sidecars
     } catch { case _: Throwable => () }
     // Overlap queries on a small pool: a single local session leaves
     // cores idle during per-query driver phases (planning, codegen,

@@ -109,9 +109,7 @@ object GroupedKMeans {
     import spark.implicits._
     roleCentroids(spark, dir, k, iters)
       .map(c => (c._1, c._2, c._3.toSeq)).toSeq
-      .toDF("group", "cid", "centroid")
-      .select(col("group"), col("cid"),
-        col("centroid").cast("array<float>").as("centroid"))
+      .toDF("group", "cid", "centroid") // encoder already yields array<float>
   }
 
   private val centCache =
@@ -119,17 +117,23 @@ object GroupedKMeans {
 
   /** Fitted per-role centroids, collected (groups×k tiny) and cached
     * per (dir, k, iters) — the in-memory mirror of the per-partition
-    * index sidecars the reference persists.
+    * index sidecars the reference persists. Same lifetime assumption
+    * as the IvfIndex/PqIndex caches: a dir's corpus is immutable for
+    * the session. The build is serialized under the cache lock so
+    * concurrent bench queries share ONE fit (and one persist scope)
+    * instead of racing duplicate jobs.
     */
   private[graft] def roleCentroids(spark: SparkSession, dir: String,
                                    k: Int, iters: Int): Array[(Long, Int, Array[Float])] =
-    centCache.getOrElseUpdate((dir, k, iters), {
-      val points = rolePoints(spark, dir)
-      points.persist()
-      try fit(points, k, iters).collect().map(r =>
-        (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
-      finally points.unpersist()
-    })
+    centCache.synchronized {
+      centCache.getOrElseUpdate((dir, k, iters), {
+        val points = rolePoints(spark, dir)
+        points.persist()
+        try fit(points, k, iters).collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+        finally points.unpersist()
+      })
+    }
 
   /** B21 serving half: permission-aware top-k THROUGH the per-role
     * mini-indexes (the reference's search.py path — per-partition index
@@ -148,8 +152,11 @@ object GroupedKMeans {
     val cents = roleCentroids(spark, dir, k, iters)
     val q = PqIndex.queryVec(spark, dir, 0)
     def d2(a: Array[Float]): Double = {
+      // Double subtraction — a Float-precision difference can flip
+      // near-tied cell orderings against the Double l2_dist the
+      // assignment uses (same rule as IvfIndex.probeLists)
       var s = 0.0; var i = 0
-      while (i < a.length) { val x = a(i) - q(i); s += x * x; i += 1 }
+      while (i < a.length) { val x = a(i).toDouble - q(i).toDouble; s += x * x; i += 1 }
       s
     }
     val roles = Rbac.userRoles(spark, dir).filter(col("user_id") === userId)

@@ -1434,8 +1434,9 @@ class PartitionIvfSpec extends AnyFunSuite {
   test("per-role mini-IVF probe: lossless at full probe, useful recall at nprobe=2") {
     val exact = graft.rbac.Rbac.prefilterTopK(spark, sf, 1, 10)
       .collect().map(_.getLong(0)).toSeq
-    // probing EVERY cell scans exactly the role partitions = prefilter
-    val full = GroupedKMeans.partitionIvfTopK(spark, sf, 1, 10, nprobe = 4)
+    // probing EVERY cell (nprobe = k, stated explicitly so a k change
+    // can't silently turn this into a half-probe) = prefilter
+    val full = GroupedKMeans.partitionIvfTopK(spark, sf, 1, 10, k = 4, nprobe = 4)
       .collect().map(_.getLong(0)).toSeq
     assert(full == exact, "full probe must equal the prefilter result")
     val probed = GroupedKMeans.partitionIvfTopK(spark, sf, 1, 10, nprobe = 2)
