@@ -137,3 +137,70 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(HashKernels.simhash(new GenericArrayData(Array.empty[Any])) == 0L)
   }
 }
+
+/** Round-4 kernels: seeded random trials against reference
+  * implementations written independently of the kernel loops.
+  */
+class Round4KernelPropertySpec extends AnyFunSuite {
+  private val trials = 300
+
+  test("Sq8Encode round-trips within half a step for arbitrary grids and vectors") {
+    val rnd = new Random(41)
+    (1 to trials).foreach { _ =>
+      val dim = 1 + rnd.nextInt(16)
+      val lo = Array.fill(dim)(rnd.nextFloat() * 10 - 5)
+      val step = Array.fill(dim)(rnd.nextFloat() * 0.1f + 1e-4f)
+      val v = Array.tabulate(dim)(i =>
+        lo(i) + rnd.nextFloat() * step(i) * 255)
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types._
+      val enc = graft.functions.Sq8Encode(
+        Literal(new GenericArrayData(v.map(x => x: Any)), ArrayType(FloatType)), lo, step)
+      val code = enc.eval(null).asInstanceOf[Array[Byte]]
+      assert(code.length == dim)
+      code.indices.foreach { i =>
+        val deq = lo(i) + (code(i) & 0xff) * step(i)
+        assert(math.abs(deq - v(i)) <= step(i) * 0.5f * (1 + 1e-3f) + 1e-6f,
+          s"dim $i: deq=$deq v=${v(i)} step=${step(i)}")
+      }
+    }
+  }
+
+  test("RepetitionStats matches a naive reference on random word soups") {
+    val rnd = new Random(42)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    (1 to trials).foreach { _ =>
+      val n = rnd.nextInt(30)
+      val words = Seq.fill(n)(s"w${rnd.nextInt(5)}")
+      val text = words.mkString(" ")
+      val got = graft.functions.RepetitionStats(
+        Literal(UTF8String.fromString(text), StringType))
+        .eval(null).asInstanceOf[GenericArrayData].toDoubleArray()
+      val ws = text.split(" ", -1).toSeq // "" → [""] like the kernel
+      val grams2 = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val grams3 = ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val expect = Array[Double](
+        ws.length,
+        ws.groupBy(identity).values.map(_.size).max.toDouble / ws.length,
+        if (ws.length > 1) grams2.groupBy(identity).values.map(_.size).max.toDouble / grams2.length else 0.0,
+        if (ws.length > 2) 1.0 - grams3.distinct.length.toDouble / grams3.length else 0.0)
+      assert(got.toSeq == expect.toSeq, s"text='$text'")
+    }
+  }
+
+  test("BloomMightContain never yields a false negative, any fpp") {
+    val rnd = new Random(43)
+    (1 to 30).foreach { _ =>
+      val n = 1 + rnd.nextInt(500)
+      val items = Array.fill(n)(rnd.nextLong())
+      val fpp = 0.01 + rnd.nextDouble() * 0.4
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+      items.foreach(bf.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val expr = graft.functions.BloomMightContain(null, bos.toByteArray)
+      items.foreach(x => assert(expr.mightContain(x), s"false negative on $x"))
+    }
+  }
+}
