@@ -6,7 +6,7 @@ import graft.ann.{Ann, IvfIndex, Lsh, PqIndex, QdTree, SqIndex}
 import graft.dedup.Dedup
 import graft.operators.Analytics
 import graft.multimodal.Multimodal
-import graft.rbac.{Maintenance, Partitioned, Rbac}
+import graft.rbac.{Hierarchy, Maintenance, Partitioned, Rbac}
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -41,6 +41,8 @@ object SparkEntry {
     "rbac_delete_topk" -> ((s, d) => Maintenance.deleteAwareTopK(s, d, 1, 10)),
     "rbac_partition_refine" -> ((s, d) => Maintenance.partitionRefine(s, d)),
     "rbac_workload_gen" -> ((s, d) => Maintenance.workloadGen(s, d)),
+    "rbac_hierarchy_docs" -> ((s, d) => Hierarchy.accessibleDocs(s, d, 7).orderBy("document_id")),
+    "rbac_hierarchy_topk" -> ((s, d) => Hierarchy.hierarchyTopK(s, d, 7, 10)),
     "rbac_selectivity_stats" -> ((s, d) => Rbac.selectivityStats(s, d)),
     "rbac_permission_matrix" -> ((s, d) => Rbac.permissionMatrix(s, d)),
     "rbac_user_role_stats" -> ((s, d) => Rbac.userRoleStats(s, d)),
@@ -157,6 +159,29 @@ object SparkEntry {
       |  SELECT (doc_id // 10) % 10, doc_id FROM documents
       |)""".stripMargin
   private val acc = "acc AS (SELECT DISTINCT document_id FROM perm JOIN ur USING (role_id))"
+  // Role-hierarchy closure (mirrors graft.rbac.Hierarchy: parent(r) =
+  // r // 2, role 0 the root; reflexive subtree closure) + the
+  // hierarchy-expanded accessible set for user 7 (held roles 7 and 2).
+  private val ur7 =
+    """ur AS (
+      |  SELECT c_custkey % 10 AS role_id FROM customer WHERE c_custkey = 7
+      |  UNION
+      |  SELECT (c_custkey * 3 + 1) % 10 FROM customer WHERE c_custkey = 7
+      |)""".stripMargin
+  private val closure =
+    """closure(role_id, desc_id) AS (
+      |  SELECT i, i FROM range(0, 10) t(i)
+      |  UNION
+      |  SELECT c.role_id, e.child FROM closure c
+      |  JOIN (SELECT i AS child, i // 2 AS parent FROM range(1, 10) t(i)) e
+      |    ON e.parent = c.desc_id
+      |)""".stripMargin
+  private val hacc =
+    """hacc AS (
+      |  SELECT DISTINCT p.document_id
+      |  FROM ur JOIN closure c USING (role_id)
+      |  JOIN perm p ON p.role_id = c.desc_id
+      |)""".stripMargin
   private val qv = "q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)"
 
   // Cost-model layout replay (mirrors Partitioned.costModelLayout with
@@ -396,6 +421,15 @@ object SparkEntry {
         |       (c_custkey * 7) % (SELECT count(*) FROM embeddings) AS vec_id,
         |       10 AS topk
         |FROM customer WHERE c_custkey <= 20 ORDER BY query_id""".stripMargin,
+    "rbac_hierarchy_docs" ->
+      s"""WITH RECURSIVE $ur7, $perm, $closure, $hacc
+         |SELECT document_id FROM hacc ORDER BY document_id""".stripMargin,
+    "rbac_hierarchy_topk" ->
+      s"""WITH RECURSIVE $ur7, $perm, $closure, $hacc, $qv
+         |SELECT e.vec_id AS block_id, e.vec_id AS document_id
+         |FROM embeddings e JOIN hacc ON e.vec_id = hacc.document_id, q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
     "rbac_selectivity_stats" ->
       s"""WITH $urAll, $perm,
          |uracc AS (
@@ -909,6 +943,38 @@ object SparkEntry {
         |FROM n JOIN wmax USING (doc_id)
         |LEFT JOIN bmax USING (doc_id) LEFT JOIN tdist USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // C7/C8: exact word-8-gram decontamination, replayed with string
+    // shingles (the Spark side works on 64-bit shingle hashes — the
+    // brute-force string parity is ALSO asserted in DecontaminateSpec,
+    // so a hash collision would show up twice). C8 is row-identical to
+    // C7 by construction (Bloom has no false negatives; survivors are
+    // exact-verified) and shares the oracle.
+    "dedup_decontaminate" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(list_transform(range(1, len(ws) - 6),
+        |           i -> array_to_string(ws[i:i+7], ' '))) AS s
+        |  FROM w WHERE len(ws) >= 8
+        |),
+        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0')
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0') c
+        |JOIN ev USING (g)
+        |GROUP BY doc_id HAVING count(*) >= 1 ORDER BY doc_id""".stripMargin,
+    "dedup_decontaminate_bloom" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(list_transform(range(1, len(ws) - 6),
+        |           i -> array_to_string(ws[i:i+7], ' '))) AS s
+        |  FROM w WHERE len(ws) >= 8
+        |),
+        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0')
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0') c
+        |JOIN ev USING (g)
+        |GROUP BY doc_id HAVING count(*) >= 1 ORDER BY doc_id""".stripMargin,
     "ann_sq_build" ->
       """SELECT i AS dim,
         |       round(min(list_extract(embedding, (i + 1)::INT))::DOUBLE, 4) AS lo,

@@ -35,6 +35,18 @@ object GroupedKMeans {
 
   /** points: (group: long, id: long, vec: array<float>) →
     * centroids (group, cid, centroid: array<float>).
+    *
+    * Lineage is BOUNDED: each Lloyd iteration ends by collecting the
+    * (groups×k, tiny) centroid frame to the driver and rebuilding a
+    * local DataFrame — exactly the sidecar shape `centroidFrame`
+    * serves from after the fit. Without this, `cents` re-enters the
+    * next iteration's plan twice (assign + the empty-cluster left
+    * outer), so the logical plan roughly DOUBLES per iteration:
+    * harmless at iters=2, exponential-ish analysis cost at a realistic
+    * 10-20. With the per-iteration localization the plan depth is
+    * constant and total work is linear in iters (one assign job per
+    * iteration — the same cadence a driver-looped MLlib fit pays, but
+    * still for ALL groups at once).
     */
   def fit(points: DataFrame, k: Int, iters: Int): DataFrame = {
     val seedW = Window.partitionBy("group")
@@ -57,12 +69,24 @@ object GroupedKMeans {
       // empty-cluster handling: a cid that received no points keeps its
       // previous centroid — otherwise it would silently vanish from the
       // groupBy and the group would fall below k
-      cents = cents.join(updated, Seq("group", "cid"), "left_outer")
+      cents = localize(cents.join(updated, Seq("group", "cid"), "left_outer")
         .select(col("group"), col("cid"),
-          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+          coalesce(col("new_centroid"), col("centroid")).as("centroid")))
       it += 1
     }
     cents
+  }
+
+  /** Collect a (group, cid, centroid) frame (groups×k rows — always
+    * driver-sized) and rebuild it as a local DataFrame, cutting all
+    * upstream lineage.
+    */
+  private def localize(cents: DataFrame): DataFrame = {
+    val spark = cents.sparkSession
+    import spark.implicits._
+    cents.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+      .toSeq.toDF("group", "cid", "centroid")
   }
 
   /** Nearest-centroid assignment: (group, id, vec, cid, dist). The
@@ -92,7 +116,7 @@ object GroupedKMeans {
     * coverage instead.
     */
   def partitionIndexBuild(spark: SparkSession, dir: String,
-                          k: Int = 4, iters: Int = 2): DataFrame = {
+                          k: Int = 4, iters: Int = 5): DataFrame = {
     // the fit runs EAGERLY over a build-scoped cache and its (tiny)
     // centroid frame is collected (and cached per dir): the returned
     // report plan then scans the corpus exactly once, and nothing
@@ -147,7 +171,7 @@ object GroupedKMeans {
     * fraction exactly like corpus-level IVF.
     */
   def partitionIvfTopK(spark: SparkSession, dir: String, userId: Long,
-                       topk: Int, k: Int = 4, iters: Int = 2,
+                       topk: Int, k: Int = 4, iters: Int = 5,
                        nprobe: Int = 2): DataFrame = {
     val cents = roleCentroids(spark, dir, k, iters)
     val q = PqIndex.queryVec(spark, dir, 0)

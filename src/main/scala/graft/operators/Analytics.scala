@@ -12,6 +12,21 @@ import graft.Tables
   * broadcast of dimensions, partial aggregation, window functions,
   * sessionization. All double aggregates are rounded to 4 decimals to
   * match the DuckDB oracle bit-for-bit after hashing.
+  *
+  * Broadcast-hint policy (SURVEY.md §5): an explicit `broadcast()` is a
+  * COMMAND, not a suggestion — Catalyst builds the BroadcastExchange
+  * regardless of the relation's size, so a hint on a scale-variant
+  * relation (orders/customer/part/supplier — anything that grows with
+  * the scale factor) is a guaranteed driver-OOM / 8 GB-cap failure at
+  * 100×, invisible at test scale. Hints here therefore appear ONLY on
+  * provably bounded frames: `nation` / `region` (fixed-cardinality
+  * dimensions) and one-row global aggregates. Every other join carries
+  * no hint — at small SF, AQE still picks a broadcast join from the
+  * runtime sizes (so local plans and bench numbers are unchanged), and
+  * at 100× the same query degrades gracefully to a shuffle join
+  * instead of dying. Round5PlanSpec pins this: with auto-broadcast
+  * disabled, no BroadcastExchange in the TPC-H family reads a
+  * scale-variant table.
   */
 object Analytics {
 
@@ -31,8 +46,9 @@ object Analytics {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** TPC-H Q3 flavor: top unshipped-revenue orders.
-    * customer is broadcast (small dim); lineitem never shuffled before agg.
+  /** TPC-H Q3 flavor: top unshipped-revenue orders. orders/customer are
+    * scale-variant → no hint (AQE broadcasts at small SF, shuffles at
+    * scale); filters and column pruning still reach both scans.
     */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
@@ -44,16 +60,16 @@ object Analytics {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
-  /** TPC-H Q5 flavor: revenue by nation through a 5-way join; every
-    * dimension side broadcast, fact table joined once.
+  /** TPC-H Q5 flavor: revenue by nation through a 5-way join; nation
+    * (bounded) keeps its broadcast hint, orders/customer are unhinted.
     */
   def q5LocalVolume(spark: SparkSession, dir: String): DataFrame = {
     val nation = Tables.nation(spark, dir)
@@ -61,8 +77,8 @@ object Analytics {
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
@@ -76,7 +92,7 @@ object Analytics {
     val rev = li.groupBy("l_suppkey")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
     val w = Window.partitionBy("s_nationkey").orderBy(col("revenue").desc, col("s_suppkey"))
-    rev.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    rev.join(sup, col("l_suppkey") === col("s_suppkey")) // supplier scales with SF: no hint
       .withColumn("rank_in_nation", rank().over(w).cast("bigint")) // match DuckDB rank() type
       .filter(col("rank_in_nation") <= 3)
       .select("s_nationkey", "s_suppkey", "s_name", "revenue", "rank_in_nation")
@@ -123,7 +139,7 @@ object Analytics {
 
   /** TPC-H Q7 flavor: shipped volume between (supplier nation, customer
     * nation) pairs by year — two independent dimension chains joined to
-    * one fact scan, both broadcast.
+    * one fact scan. Only the two nation frames are hinted.
     */
   def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
     val n1 = Tables.nation(spark, dir)
@@ -135,10 +151,10 @@ object Analytics {
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -148,14 +164,14 @@ object Analytics {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
-  /** TPC-H Q19 flavor: disjunctive pushed-down predicate over a
-    * broadcast part join (predicate spans both sides of the join).
+  /** TPC-H Q19 flavor: disjunctive predicate spanning both sides of the
+    * part join (part is scale-variant: unhinted).
     */
   def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
     Tables.lineitem(spark, dir)
       .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
           && col("l_quantity").between(1, 11)) ||
@@ -173,8 +189,8 @@ object Analytics {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
@@ -187,7 +203,7 @@ object Analytics {
   def q12PriorityShipping(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
     Tables.lineitem(spark, dir).select("l_orderkey", "l_linestatus")
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_linestatus")
       .agg(
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
@@ -202,7 +218,7 @@ object Analytics {
     val p = Tables.part(spark, dir).select("p_partkey", "p_type")
     Tables.lineitem(spark, dir)
       .select("l_partkey", "l_extendedprice", "l_discount")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .agg(round(
         sum(when(col("p_type") === "PROMO",
           col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) * 100.0 /
@@ -338,7 +354,7 @@ object Analytics {
   def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey", "c_mktsegment")
     val ord = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
-    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
       .rollup(expr("c_nationkey"), expr("c_mktsegment"))
       .agg(round(sum("o_totalprice"), 4).as("total"), count(lit(1)).as("n_orders"))
       // expr() makes fresh unresolved refs — Dataset-tagged columns trip
@@ -400,7 +416,8 @@ object Analytics {
 
   /** TPC-H Q8 flavor: one nation's share of the volume shipped to a
     * region, per year — conditional-ratio aggregate over a 6-way join
-    * (two roles for `nation`), all dimensions broadcast.
+    * (two roles for `nation`). nation/region keep their hints;
+    * orders/customer/supplier are unhinted.
     */
   def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
     val natC = Tables.nation(spark, dir)
@@ -416,11 +433,11 @@ object Analytics {
     val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(natC), col("c_nationkey") === col("nc_key"))
       .join(broadcast(eur), col("n_regionkey") === col("r_regionkey"), "left_semi")
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(natS), col("s_nationkey") === col("ns_key"))
       .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year")) // DuckDB year() is BIGINT
       .agg(round(
@@ -442,8 +459,8 @@ object Analytics {
     Tables.lineitem(spark, dir)
       .select("l_partkey", "l_suppkey", "l_shipdate",
         "l_extendedprice", "l_discount", "l_quantity")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("l_shipdate")).cast("bigint").as("o_year"))
@@ -471,8 +488,16 @@ object Analytics {
   }
 
   /** TPC-H Q15 flavor: supplier(s) with the maximum quarterly revenue —
-    * scalar-subquery-against-own-aggregate shape (the revenue view is
-    * computed once; its max is broadcast back as a one-row frame).
+    * scalar-subquery-against-own-aggregate shape. The max and the
+    * filter come from ONE aggregation (rank over the revenue view), so
+    * the comparison is between a value and the max of the SAME computed
+    * values — an eager collect-then-recompute would compare two
+    * independent executions, and partition-order-dependent float
+    * summation can round differently at the 4th decimal between them,
+    * silently dropping the true top supplier. The global window runs
+    * over the per-supplier AGGREGATE (dimension-sized, |supplier|
+    * rows), never the lineitem fact. All ties at the max are kept, as
+    * in the oracle's scalar subquery.
     */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
@@ -481,19 +506,9 @@ object Analytics {
       .groupBy("l_suppkey")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
         .as("total_revenue"))
-    // the scalar max is collected EAGERLY: the returned plan then scans
-    // lineitem once, and nothing stays cached in a shared session (a
-    // persist here would pin the aggregate for the session's lifetime;
-    // the uncached crossJoin(max) form scans lineitem twice inside the
-    // benchmarked plan). All ties at the max are kept, as in the
-    // oracle's scalar subquery.
-    val mx = rev.agg(max("total_revenue")).head()
-    if (mx.isNullAt(0)) return rev.filter(lit(false))
+    rev.withColumn("__r", rank().over(Window.orderBy(col("total_revenue").desc)))
+      .filter(col("__r") === 1).drop("__r")
       .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
-        col("l_suppkey") === col("s_suppkey"))
-      .select("s_suppkey", "s_name", "total_revenue")
-    rev.filter(col("total_revenue") === lit(mx.getDouble(0)))
-      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "total_revenue")
       .orderBy("s_suppkey")
@@ -511,11 +526,18 @@ object Analytics {
     // threshold over ALL lineitems of the part (not just the brand
     // slice) — 0.2·avg, the exact arithmetic the oracle's correlated
     // subquery computes (sums of integer-valued doubles are exact, so
-    // the average is order-independent)
+    // the average is order-independent). The threshold is only ever
+    // CONSUMED for brand parts, so it is semi-joined down to the brand
+    // part set BEFORE joining the fact — the unrestricted frame is
+    // |part| rows by construction (a per-part aggregate over the whole
+    // fact), the single worst thing to force-broadcast. The inner join
+    // on the reduced thresh then also does the brand restriction of
+    // the fact side, and AQE picks the join strategy from its runtime
+    // size.
     val thresh = li.groupBy(col("l_partkey").as("t_partkey"))
       .agg((lit(0.2) * avg("l_quantity")).as("qty_thresh"))
-    li.join(broadcast(brand), col("l_partkey") === col("p_partkey"), "left_semi")
-      .join(broadcast(thresh), col("l_partkey") === col("t_partkey"))
+      .join(brand, col("t_partkey") === col("p_partkey"), "left_semi")
+    li.join(thresh, col("l_partkey") === col("t_partkey"))
       .filter(col("l_quantity") < col("qty_thresh"))
       .agg(round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
   }
@@ -531,7 +553,7 @@ object Analytics {
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val cust = Tables.customer(spark, dir).select("c_custkey")
     big.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
       .select("o_custkey", "o_orderkey", "total_qty")
       .orderBy("o_orderkey")
   }
@@ -556,7 +578,7 @@ object Analytics {
       .join(others, col("l_orderkey") === col("r_orderkey")
         && col("l_suppkey") =!= col("r_suppkey")
         && col("r_shipdate") > col("l_shipdate"), "left_anti")
-      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))

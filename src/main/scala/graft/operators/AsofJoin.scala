@@ -41,6 +41,18 @@ object AsofJoin {
            leftTime: String, rightTime: String, payload: Seq[String],
            strict: Boolean = true): DataFrame = {
     val leftCols = left.columns
+    // the documented contract, ENFORCED (cf. RangeJoin/Salted, which
+    // require() their reserved columns): a payload name colliding with
+    // a left column would silently resolve ambiguously and enrich with
+    // the wrong side's values rather than erroring
+    val collisions = payload.filter(leftCols.contains)
+    require(collisions.isEmpty,
+      s"asof: payload column(s) ${collisions.mkString(", ")} collide with left's columns")
+    val reserved = Seq("__t", "__side")
+    val reservedHits =
+      (leftCols ++ right.columns ++ payload).filter(reserved.contains).distinct
+    require(reservedHits.isEmpty,
+      s"asof: ${reservedHits.mkString(", ")} are reserved internal columns")
     // side ordering at equal time encodes the boundary semantics:
     // strict → left sorts BEFORE right (a same-instant right row is
     // invisible); at-or-before → right first (it matches).

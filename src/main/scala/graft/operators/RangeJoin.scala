@@ -28,18 +28,38 @@ object RangeJoin {
     * to `intervals` (with `start`/`end` columns, inclusive) on
     * containment. `bucketMs` is the chunk width. Output: every
     * (point, matching interval) pair.
+    *
+    * Guard rails: inverted intervals (end < start) are filtered out —
+    * SQL containment can never match them, but Spark's `sequence`
+    * would generate a DESCENDING bucket range for them, producing
+    * pairs the exact filter then has to kill. And an interval spanning
+    * more than `maxBucketsPerInterval` buckets FAILS FAST (raise_error
+    * inside the bucket expression, so it cannot be pruned away):
+    * per-row fan-out is this operator's one silent memory hazard — the
+    * result would still be exact, but a single year-long interval at a
+    * 1-minute bucket width is half a million rows from one input row,
+    * and the right response is a louder bucket-width choice, not a
+    * quiet 500000× blowup.
     */
   def pointsInIntervals(points: DataFrame, tsCol: String,
                         intervals: DataFrame, startCol: String, endCol: String,
-                        bucketMs: Long): DataFrame = {
+                        bucketMs: Long, maxBucketsPerInterval: Long = 4096L): DataFrame = {
     require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
       "pointsInIntervals: inputs must not carry a __b column (it is the internal bucket key)")
+    require(bucketMs > 0, s"pointsInIntervals: bucketMs must be positive, got $bucketMs")
     val p = points.withColumn("__b",
       floor(col(tsCol).cast("double") * 1000 / bucketMs).cast("long"))
-    val iv = intervals.withColumn("__b",
-      explode(sequence(
-        floor(col(startCol).cast("double") * 1000 / bucketMs).cast("long"),
-        floor(col(endCol).cast("double") * 1000 / bucketMs).cast("long"))))
+    val sb = floor(col(startCol).cast("double") * 1000 / bucketMs).cast("long")
+    val eb = floor(col(endCol).cast("double") * 1000 / bucketMs).cast("long")
+    val ebChecked = when(eb - sb >= lit(maxBucketsPerInterval),
+      raise_error(concat(
+        lit(s"pointsInIntervals: interval spans more than $maxBucketsPerInterval " +
+          "buckets (widen bucketMs or raise maxBucketsPerInterval); span = "),
+        (eb - sb + 1).cast("string"))).cast("long"))
+      .otherwise(eb)
+    val iv = intervals
+      .filter(col(endCol) >= col(startCol)) // inverted intervals match nothing
+      .withColumn("__b", explode(sequence(sb, ebChecked)))
     p.join(iv, Seq("__b")) // ONE shuffle equi-join on the bucket id
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       // an interval spanning k buckets meets an in-range point once per

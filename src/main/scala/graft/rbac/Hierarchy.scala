@@ -1,0 +1,98 @@
+package graft.rbac
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.vector._
+
+/** Hierarchical (ERBAC-style) RBAC — role TREES with inherited
+  * permissions, the enterprise shape the reference's workload
+  * generators build (services/rbac_generator/
+  * tree_based_rbac_data_generator.py:113 assigns documents through
+  * `inherited_permissions`; erbac_data_generator.py:8 composes
+  * functional/business roles). The flat model (Rbac.scala) treats a
+  * user's held roles as the whole story; here a held role also confers
+  * every DESCENDANT role's grants — senior roles inherit their
+  * juniors' permissions.
+  *
+  * The tree is derived deterministically from the role ids (SURVEY §3
+  * style, so the DuckDB oracle replays it with a recursive CTE):
+  * parent(r) = r / 2 (integer division), role 0 the root — the
+  * implicit binary heap tree, children of r are {2r, 2r+1}.
+  *
+  * Scale shape: the transitive closure is computed as an ITERATIVE
+  * EDGE JOIN over the (parent, child) edge table — one join per tree
+  * LEVEL, and the loop bound is the tree height (⌈log₂ roles⌉), so
+  * the fixed-iteration loop is EXACT, not an approximation. The
+  * closure is a role-metadata sidecar (|roles|·height rows at worst —
+  * dimension-sized, like the centroid frames), broadcast into the
+  * permission expansion; the corpus-side plan below it is identical
+  * to the flat prefilter's (broadcast semi-join + TakeOrdered). At
+  * 100 TB the roles table grows with the ORG, not the corpus — the
+  * closure stays a broadcast frame.
+  */
+object Hierarchy {
+
+  /** (parent, child) edges of the derived role tree — every role but
+    * the root has exactly one parent, parent(r) = r div 2.
+    */
+  def roleEdges(spark: SparkSession): DataFrame =
+    spark.range(1, Rbac.NumRoles)
+      .select(expr("id div 2").as("parent"), col("id").as("child"))
+
+  /** Transitive closure (role_id, desc_id): desc_id is in role_id's
+    * subtree (reflexive — a role is its own descendant). Iterative
+    * one-level-per-round edge join, exact because the round count
+    * equals the tree height.
+    */
+  def roleClosure(spark: SparkSession): DataFrame = {
+    val height = math.ceil(math.log(Rbac.NumRoles) / math.log(2)).toInt
+    var closure = spark.range(0, Rbac.NumRoles)
+      .select(col("id").as("role_id"), col("id").as("desc_id"))
+    var level = 0
+    while (level < height) {
+      // a FRESH edge frame per round (new attribute ids): after round 1
+      // the closure's lineage already contains the edge relation, and
+      // re-joining the same Dataset instance trips Spark's
+      // DetectAmbiguousSelfJoin
+      val edges = roleEdges(spark)
+      val next = closure
+        .join(edges, col("desc_id") === col("parent"))
+        .select(col("role_id"), col("child").as("desc_id"))
+      closure = closure.union(next).distinct()
+      level += 1
+    }
+    closure
+  }
+
+  /** A19 step 1: docs accessible to `userId` under the hierarchy —
+    * the flat derivation routed through the expanded role set
+    * (held roles → all subtree roles → grants, DISTINCT at doc level).
+    */
+  def accessibleDocs(spark: SparkSession, dir: String, userId: Long): DataFrame = {
+    val held = Rbac.userRoles(spark, dir).filter(col("user_id") === userId)
+    val effective = broadcast(roleClosure(spark))
+      .join(broadcast(held), "role_id")
+      .select(col("desc_id").as("role_id"))
+      .distinct()
+    Rbac.permissions(spark, dir)
+      .join(broadcast(effective), "role_id")
+      .select("document_id")
+      .distinct()
+  }
+
+  /** A19 step 2: exact pre-filtered L2 top-k through the expanded role
+    * set — the corpus-side plan is the flat prefilter's (broadcast
+    * semi-join on the accessible set, codegen'd distance,
+    * TakeOrderedAndProject); only the tiny permission derivation
+    * changed.
+    */
+  def hierarchyTopK(spark: SparkSession, dir: String, userId: Long, k: Int): DataFrame =
+    Rbac.blocks(spark, dir)
+      .join(broadcast(accessibleDocs(spark, dir, userId)), Seq("document_id"), "left_semi")
+      .crossJoin(broadcast(Rbac.queryVector(spark, dir)))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("block_id"))
+      .limit(k)
+      .select("block_id", "document_id")
+}

@@ -207,6 +207,15 @@ object Layouts {
     * per-affected-partition staging-swap union, never a layout rebuild.
     * The undo log is consumed on success; a re-rollback is a clean
     * no-op.
+    *
+    * Restore is IDEMPOTENT per partition: the saved rows are
+    * anti-joined against the partition's CURRENT (block_id, batch_id)
+    * keys before the union. This covers the exact crash window the
+    * write-ahead log exists for — deleteBatch died after committing a
+    * complete undo log (`_SUCCESS` present) but before/midway through
+    * the per-partition sweep, so unswept partitions still physically
+    * hold their victim rows, and a blind union would re-insert copies
+    * of rows that were never deleted.
     */
   def rollbackDelete(spark: SparkSession, layoutPath: String, batchId: Long): Unit = {
     val undo = undoPath(layoutPath, batchId)
@@ -216,12 +225,14 @@ object Layouts {
     val roles = saved.select("partition_role").distinct()
       .collect().map(_.getLong(0)).sorted
     roles.foreach { role =>
-      swapPartition(spark, layoutPath, role,
-        spark.read.parquet(layoutPath)
-          .filter(col("partition_role") === role)
-          .drop("partition_role")
-          .unionByName(saved.filter(col("partition_role") === role)
-            .drop("partition_role")))
+      val current = spark.read.parquet(layoutPath)
+        .filter(col("partition_role") === role)
+        .drop("partition_role")
+      val missing = saved.filter(col("partition_role") === role)
+        .drop("partition_role")
+        .join(current.select("block_id", "batch_id"),
+          Seq("block_id", "batch_id"), "left_anti") // only rows actually swept
+      swapPartition(spark, layoutPath, role, current.unionByName(missing))
     }
     saved.unpersist()
     fs.delete(undo, true) // consumed

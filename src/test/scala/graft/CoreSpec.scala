@@ -944,6 +944,20 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == 903L)
   }
 
+  test("asof rejects payload/left column collisions and reserved names up front") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 5L, 900L)).toDF("k", "rt", "lid") // payload name = left's lid
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(left, right, "k", "t", "rt", Seq("lid"))
+    }
+    assert(e.getMessage.contains("lid"))
+    val reserved = Seq((1L, 5L, 900L)).toDF("k", "__t", "pid")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(left, reserved, "k", "t", "__t", Seq("pid"))
+    }
+  }
+
   test("events asof purchase: every match is the user's latest prior purchase") {
     import org.apache.spark.sql.functions.col
     val ev = graft.Tables.events(spark, sf)
@@ -1159,13 +1173,56 @@ class Round4PlanSpec extends AnyFunSuite {
       s"asof must not plan a join:\n$plan")
   }
 
-  test("q8 market share joins every dimension by broadcast even with auto-broadcast off") {
+  test("TPC-H family: no forced BroadcastExchange on a scale-variant relation") {
+    // With auto-broadcast disabled, any BroadcastExchange left in the
+    // plan comes from an explicit hint — and the policy (SURVEY §5)
+    // allows hints ONLY on bounded frames: nation/region scans and
+    // one-row global aggregates. A hint on orders/customer/part/
+    // supplier/lineitem is correct at sf0.1 and a guaranteed broadcast-
+    // cap/driver-OOM failure at 100× — the exact class of bug this
+    // test exists to keep out.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val A = graft.operators.Analytics
+    val queries: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "q3" -> A.q3ShippingPriority(spark, sf),
+      "q5" -> A.q5LocalVolume(spark, sf),
+      "q_top_suppliers" -> A.topSuppliers(spark, sf),
+      "q7" -> A.q7NationVolume(spark, sf),
+      "q8" -> A.q8MarketShare(spark, sf),
+      "q9" -> A.q9ProfitByNation(spark, sf),
+      "q10" -> A.q10ReturnedItems(spark, sf),
+      "q12" -> A.q12PriorityShipping(spark, sf),
+      "q13" -> A.q13CustomerDistribution(spark, sf),
+      "q14" -> A.q14PromoRevenue(spark, sf),
+      "q15" -> A.q15TopSupplier(spark, sf),
+      "q17" -> A.q17SmallQuantityRevenue(spark, sf),
+      "q18" -> A.q18LargeOrders(spark, sf),
+      "q19" -> A.q19DiscountedRevenue(spark, sf),
+      "q21" -> A.q21WaitingSuppliers(spark, sf),
+      "q22" -> A.q22DormantCustomers(spark, sf),
+      "rollup" -> A.revenueRollup(spark, sf))
+    val bounded = Set("nation.parquet", "region.parquet")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val plan = exec(graft.operators.Analytics.q8MarketShare(spark, sf))
-      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
-        s"q8: lineitem side must never shuffle for a join:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try queries.foreach { case (name, df) =>
+      df.queryExecution.executedPlan.foreach {
+        case b: BroadcastExchangeExec =>
+          val globalAgg = b.exists {
+            case h: HashAggregateExec => h.groupingExpressions.isEmpty
+            case _ => false
+          }
+          val scans = b.collect { case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.map(_.getName).mkString(",") }
+          assert(globalAgg || scans.forall(s => bounded.exists(s.contains)),
+            s"$name: forced broadcast reads a scale-variant relation ($scans):\n$b")
+        case _ =>
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("SQ8 encode scan stays inside whole-stage codegen") {
@@ -1204,8 +1261,20 @@ class DeleteRollbackSpec extends AnyFunSuite {
     // re-run: idempotent, and must NOT clobber the undo log
     Layouts.deleteBatch(spark, sf, path, victims, batchId = 42L)
     assert(snap() == mid)
+    // simulate the exact crash window the write-ahead log covers:
+    // undo log complete (_SUCCESS present) but one partition never
+    // swept — its victim rows still physically exist. Restore must be
+    // idempotent: only actually-deleted rows come back, no duplicates.
+    val preCount = pre.size
+    val saved = spark.read.parquet(path + "/_deleted_batches/batch_42")
+    val unswept = saved.select("partition_role").head().getLong(0)
+    saved.filter(col("partition_role") === unswept).drop("partition_role")
+      .write.mode("append").parquet(path + s"/partition_role=$unswept")
     Layouts.rollbackDelete(spark, path, 42L)
     assert(snap() == pre, "rollback must restore the pre-delete row set")
+    assert(spark.read.parquet(path)
+      .selectExpr("partition_role", "block_id", "batch_id").count() == preCount,
+      "partial-sweep rollback must not duplicate surviving victim rows")
     assert(Layouts.prunedRoleSearch(spark, sf, path, 1, 10)
       .collect().map(_.getLong(0)).toSeq == preSearch)
     Layouts.rollbackDelete(spark, path, 42L) // consumed undo log: no-op
@@ -1284,6 +1353,23 @@ class RangeJoinSpec extends AnyFunSuite {
       "w_start", "w_end", 600000).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join must not plan a nested loop:\n$plan")
+  }
+
+  test("inverted intervals are dropped; pathological fan-out fails fast") {
+    import spark.implicits._
+    val pts = Seq((1L, 100L)).toDF("pid", "ts")
+    // end < start: DuckDB/SQL containment matches nothing — and without
+    // the guard Spark's sequence() would build a DESCENDING bucket range
+    val inverted = Seq((1L, 200L, 50L)).toDF("iid", "s", "e")
+    assert(RangeJoin.pointsInIntervals(pts, "ts", inverted, "s", "e", 1000L).count() == 0)
+    // an interval spanning > maxBucketsPerInterval buckets must raise,
+    // not silently explode rows
+    val huge = Seq((1L, 0L, 10000000L)).toDF("iid", "s", "e")
+    val e = intercept[Exception] {
+      RangeJoin.pointsInIntervals(pts, "ts", huge, "s", "e",
+        bucketMs = 1000L, maxBucketsPerInterval = 64L).count()
+    }
+    assert(e.getMessage != null)
   }
 }
 
@@ -1423,7 +1509,51 @@ class GroupedKMeansSpec extends AnyFunSuite {
     // report covers (role, cell) with full corpus accounted for
     val report = GroupedKMeans.partitionIndexBuild(spark, sf)
     assert(report.agg(sum("n_vectors")).head().getLong(0) == points.count())
+    // realistic iteration counts: lineage is bounded (the returned
+    // frame is a LOCAL relation — constant plan depth at any iters,
+    // work linear in iters), and more Lloyd steps never worsen SSE
+    val c10 = GroupedKMeans.fit(points, k = 4, iters = 10)
+    assert(c10.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.nodeName.contains("LocalRelation")),
+      "fit must return a localized (lineage-free) centroid frame")
+    val sse10 = GroupedKMeans.sse(points, c10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    sse2.foreach { case (g, s2) =>
+      assert(sse10(g) <= s2 * (1 + 1e-9), s"group $g: iters=10 ${sse10(g)} > iters=2 $s2") }
     points.unpersist()
+  }
+}
+
+class HierarchySpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.rbac.{Hierarchy, Rbac}
+
+  test("role closure equals the brute-force subtree expansion") {
+    // independent model of the derived tree: walk every role up to the
+    // root; (a, r) is in the closure iff a is on r's ancestor chain
+    val n = Rbac.NumRoles
+    val closure = Hierarchy.roleClosure(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      r <- 0L until n.toLong
+      anc <- (Iterator.iterate(r)(_ / 2).takeWhile(_ > 0).toSeq :+ 0L).distinct
+    } yield (anc, r)).toSet
+    assert(closure == brute, s"closure mismatch: ${closure.diff(brute)} / ${brute.diff(closure)}")
+  }
+
+  test("hierarchy access contains flat access; topk is drawn from the expanded set") {
+    val flat = Rbac.accessibleDocs(spark, sf, 7)
+      .collect().map(_.getLong(0)).toSet
+    val hier = Hierarchy.accessibleDocs(spark, sf, 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(flat.subsetOf(hier),
+      "reflexive closure: hierarchy access must contain the flat access set")
+    assert(hier.size > flat.size,
+      "user 7's subtree must add descendant-role grants beyond the held roles")
+    val topk = graft.rbac.Hierarchy.hierarchyTopK(spark, sf, 7, 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(topk.subsetOf(hier))
+    assert(topk.size == 10)
   }
 }
 
