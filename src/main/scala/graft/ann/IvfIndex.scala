@@ -252,6 +252,19 @@ object IvfIndex {
       .select(col("vec_id"), col("cell").as("list_id"))
   }
 
+  /** B12 model-driven variant: the STARTING probe depth comes from the
+    * fitted nprobe→recall curve (RecallModel — the reference's
+    * get_parameter loop) for a recall target instead of a constant;
+    * the accessible-count escalation still applies on top (the
+    * permission filter can only LOWER the accessible pool, never the
+    * vector-side recall the model predicts).
+    */
+  def predicateAwareSearchModel(spark: SparkSession, dir: String, userId: Long,
+                                targetRecall: Double = 0.9, k: Int = 16,
+                                topk: Int = 10): DataFrame =
+    predicateAwareSearch(spark, dir, userId, k,
+      RecallModel.measure(spark, dir, k, topk).nprobeFor(targetRecall), topk)
+
   /** B14: triangle-inequality-pruned EXACT range search. With per-vector
     * centroid distances precomputed in the index (d(v,c)) and the
     * query-to-centroid distances known (d(q,c), tiny), the reverse

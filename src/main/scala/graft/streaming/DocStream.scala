@@ -69,4 +69,30 @@ object DocStream {
   def ingestGateBatch(spark: SparkSession, dir: String, n: Int = 8,
                       minTokens: Long = 5L): DataFrame =
     gate(Tables.documents(spark, dir), evalShingleDict(spark, dir, n), n, minTokens)
+
+  /** The D12 mixture recipe, shared by stream and batch mirror. */
+  private val mixtureWeights = Map("src0" -> 5000, "src1" -> 2500, "src2" -> 1000)
+
+  /** G9: streaming mixture gate — D12's recipe sampler applied
+    * IN-STREAM: membership is a pure deterministic hash filter (zero
+    * state, zero shuffle, append mode — the same stateless shape as
+    * the ingest gate), so a doc's keep/drop decision is identical
+    * whether it arrives in a stream, a backfill batch, or after the
+    * corpus is resharded — the subset-invariance D12 asserts is
+    * exactly what makes the recipe safe to apply at the ingest edge.
+    */
+  def mixtureGateStream(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureByHash(
+      spark.readStream.schema(rawSchema)
+        .parquet(Staging.stageFile(dir, "documents.parquet"))
+        .select("doc_id", "source"),
+      "doc_id", "source", mixtureWeights)
+
+  /** Batch mirror of the streaming mixture gate (same recipe object —
+    * the equality oracle in the spec, and D12's own sampler).
+    */
+  def mixtureGateBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureByHash(
+      Tables.documents(spark, dir).select("doc_id", "source"),
+      "doc_id", "source", mixtureWeights)
 }

@@ -159,6 +159,43 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class ReachState(sketch: Array[Byte], n: Long)
+  case class ReachOut(event_type: String, est_users: Long, n_events: Long)
+
+  /** G8: streaming reach sketch — the continuous form of E27: one
+    * MERGEABLE HLL sketch per event type held as typed group state,
+    * updated per micro-batch, the running estimate emitted each batch
+    * (OutputMode.Update). The state object is the serialized sketch
+    * (≤ ~2 KB at lgK=12) — bounded regardless of stream volume, which
+    * is the whole point of sketch-valued state: an exact distinct
+    * would hold every user id ever seen. Same lgK and register width
+    * (HLL_8) as Spark's hll_sketch_agg, and HLL registers are
+    * order-independent maxima, so after draining the stream the
+    * estimate is IDENTICAL to the batch sketch of the same rows
+    * (asserted in StreamingSketchSpec).
+    */
+  def reachSketchStream(spark: SparkSession, dir: String,
+                        lgK: Int = 12): Dataset[ReachOut] = {
+    import spark.implicits._
+    import org.apache.datasketches.hll.{HllSketch, TgtHllType}
+    val events = readEvents(spark, dir)
+      .select(col("event_type"), col("user_id")).as[(String, Long)]
+
+    def fn(et: String, rows: Iterator[(String, Long)],
+           state: GroupState[ReachState]): Iterator[ReachOut] = {
+      val prev = state.getOption
+      val sk = prev.map(s => HllSketch.heapify(s.sketch))
+        .getOrElse(new HllSketch(lgK, TgtHllType.HLL_8))
+      var n = prev.map(_.n).getOrElse(0L)
+      rows.foreach { case (_, uid) => sk.update(uid); n += 1 }
+      state.update(ReachState(sk.toUpdatableByteArray, n))
+      Iterator(ReachOut(et, Math.round(sk.getEstimate), n))
+    }
+
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** G4: streaming exact dedup — `dropDuplicates` on event_id with a
     * watermark bounding the dedup state (the streaming mirror of C1;
     * state is evicted once the watermark passes, which is what makes

@@ -1225,6 +1225,21 @@ class Round4PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pruned prefilter: permission predicate is PartitionFilters only, no doc-set join") {
+    val df = graft.sources.Layouts.prefilterPruned(spark, sf, 1, 10)
+    val plan = exec(df)
+    assert(plan.contains("PartitionFilters") && plan.contains("partition_role"),
+      s"pruned prefilter must prune role directories:\n$plan")
+    // the whole point: NO accessible-doc set is computed or joined —
+    // the only join in the plan is the 1-row query-vector broadcast
+    assert(!plan.contains("LeftSemi") && !plan.contains("SortMergeJoin"),
+      s"pruned prefilter must not join a doc set:\n$plan")
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val exact = graft.rbac.Rbac.prefilterTopK(spark, sf, 1, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact, "partition-pruned prefilter must equal the broadcast prefilter")
+  }
+
   test("SQ8 encode scan stays inside whole-stage codegen") {
     val plan = exec(graft.ann.SqIndex.codes(spark, sf))
     // `*(n)` marks a WholeStageCodegen stage; the encode projection
@@ -1300,6 +1315,40 @@ class StreamingAsofSpec extends AnyFunSuite {
       .toMap
     assert(streamed.size == batch.size)
     assert(streamed == batch)
+  }
+}
+
+class StreamingSketchSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.streaming.{DocStream, EventStream}
+
+  test("streaming reach sketch converges to the batch sketch (same registers, same estimate)") {
+    EventStream.runToMemory(spark,
+      EventStream.reachSketchStream(spark, sf).toDF(), "g8reach",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    // Update mode emits a running row per (type, batch): keep the last
+    // (n_events is monotone per type)
+    val streamed = spark.sql("SELECT event_type, est_users, n_events FROM g8reach")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (t, rows) => t -> rows.map(_._2).maxBy(_._2) }
+    val batch = graft.operators.Sketches.reachSketch(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed.keySet == batch.keySet)
+    // same lgK + HLL_8 + order-independent registers → identical estimate
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+  }
+
+  test("streaming mixture gate equals the batch recipe and D12's sampler") {
+    EventStream.runToMemory(spark, DocStream.mixtureGateStream(spark, sf), "g9mix")
+    val streamed = spark.sql("SELECT doc_id, source FROM g9mix")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = DocStream.mixtureGateBatch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val d12 = graft.operators.Sampling.docsMixtureSample(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+    assert(streamed == d12, "the in-stream recipe must be the D12 recipe")
+    assert(streamed.nonEmpty && streamed.size < graft.Tables.documents(spark, sf).count())
   }
 }
 
@@ -1521,6 +1570,53 @@ class GroupedKMeansSpec extends AnyFunSuite {
     sse2.foreach { case (g, s2) =>
       assert(sse10(g) <= s2 * (1 + 1e-9), s"group $g: iters=10 ${sse10(g)} > iters=2 $s2") }
     points.unpersist()
+  }
+}
+
+class RecallModelSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.ann.{GroupedKMeans, IvfIndex, RecallModel}
+
+  test("measured curve is monotone and saturates; fit inverts to a working nprobe pick") {
+    val c = RecallModel.measure(spark, sf, cells = 16, k = 10)
+    val rs = c.points.map(_._2)
+    assert(rs.zip(rs.tail).forall { case (a, b) => b >= a - 1e-12 },
+      s"recall must be non-decreasing in nprobe: $rs")
+    assert(math.abs(rs.last - 1.0) < 1e-9,
+      "probing every cell must capture every exact neighbor")
+    // the fitted saturating curve tracks the measurement well enough
+    // to pick probes from (coarse bound — it is a 2-parameter model)
+    val maxErr = c.points.map { case (p, r) => math.abs(c.predict(p) - r) }.max
+    assert(maxErr < 0.25, s"fit diverges from measurement: $maxErr")
+    // inversion: the pick meets its target on the MEASURED curve within
+    // the model's error, and a higher target never picks fewer probes
+    val p90 = c.nprobeFor(0.9)
+    assert(c.points(p90 - 1)._2 >= 0.9 - maxErr)
+    assert(c.nprobeFor(0.99) >= p90)
+  }
+
+  test("model-driven probe paths reach at least the fixed-nprobe recall") {
+    val exact = graft.ann.Ann.bruteForceL2TopK(spark, sf, 10)
+      .collect().map(_.getLong(0)).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().map(_.getLong(0)).toSet.intersect(exact).size / 10.0
+    val fixed = recallOf(IvfIndex.search(spark, sf, k = 16, nprobe = 4))
+    val model = recallOf(RecallModel.searchAtTarget(spark, sf, 0.9))
+    assert(model >= fixed || model >= 0.9,
+      s"model-driven recall $model must not fall below the fixed-nprobe path $fixed")
+    // B21: per-role mini-IVF with the model-picked probe depth vs the
+    // old constant nprobe=2
+    val pExact = graft.rbac.Rbac.prefilterTopK(spark, sf, 1, 10)
+      .collect().map(_.getLong(0)).toSet
+    val fixedRole = GroupedKMeans.partitionIvfTopK(spark, sf, 1, 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet.intersect(pExact).size / 10.0
+    val modelRole = GroupedKMeans.partitionIvfTopKModel(spark, sf, 1, 10, targetRecall = 0.9)
+      .collect().map(_.getLong(0)).toSet.intersect(pExact).size / 10.0
+    assert(modelRole >= fixedRole || modelRole >= 0.9,
+      s"B21 model-driven recall $modelRole below fixed-nprobe $fixedRole")
+    // B12: the predicate-aware search still returns k accessible rows
+    // when its starting probe comes from the model
+    assert(IvfIndex.predicateAwareSearchModel(spark, sf, 1).count() == 10)
   }
 }
 
