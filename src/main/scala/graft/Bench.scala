@@ -80,24 +80,33 @@ object Bench {
     // re-time the heaviest queries serially (no pool overlap)
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val serialHeavy = sys.env.get("SPARK_GRAFT_SERIAL").contains("heavy")
-    val serialJson = if (!serialHeavy) "" else {
-      val heavy = results.sortBy(-_._2).take(5).map(_._1)
-      val timed = heavy.map { name =>
-        val t0 = System.nanoTime()
-        // same rule as the concurrent pass: a failure must surface as a
-        // failure, never as a fast-looking number
-        val err = try { SparkEntry.queries(name)(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+    // serial re-times are ON by default (SPARK_GRAFT_SERIAL=off to
+    // skip): the shared host intermittently collapses under
+    // multi-job concurrency (SKEW.md round-5 — identical binaries vary
+    // 15× between windows while serial times stay stable), so the
+    // serial numbers are the only cross-round-comparable signal when
+    // the concurrent wall lands in a bad window
+    val serialHeavy = !sys.env.get("SPARK_GRAFT_SERIAL").contains("off")
+    val serialTimes: Option[Seq[(String, Double, Option[String])]] =
+      if (!serialHeavy) None else Some {
+        val heavy = results.sortBy(-_._2).take(5).map(_._1)
+        heavy.map { name =>
+          val t0 = System.nanoTime()
+          // same rule as the concurrent pass: a failure must surface as
+          // a failure, never as a fast-looking number
+          val err = try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+          (name, (System.nanoTime() - t0) / 1e9, err)
+        }
       }
+    val serialJson = serialTimes.map { timed =>
       val ok = timed.collect { case (n, t, None) => "\"" + n + "\":" + t }
         .mkString("{", ",", "}")
       val serr = timed.collect { case (n, _, Some(e)) =>
         "\"" + n + "\":\"" + jsonEscape(e) + "\"" }
         .mkString("{", ",", "}")
       s""","serial_heavy":$ok,"serial_errors":$serr"""
-    }
+    }.getOrElse("")
     val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
@@ -124,7 +133,13 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val top = results.sortBy(-_._2).take(15)
       .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":$top,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"load_avg_1m":${r3(loadAvg)},"pool":$poolSize,"cpus":"${jsonEscape(cpus)}","sf":"${jsonEscape(sfDir)}","full":"${jsonEscape(sideName)}"}""")
+    // the serial numbers ride in the compact tail-visible line too —
+    // when the concurrent wall hits a bad host window they are the
+    // comparable signal (see SKEW.md round-5)
+    val serialCompact = serialTimes.map { t =>
+      t.map { case (n, s, _) => "\"" + n + "\":" + r3(s) }.mkString("{", ",", "}")
+    }.map(j => s""","serial_heavy":$j""").getOrElse("")
+    println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":$top,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"load_avg_1m":${r3(loadAvg)},"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialCompact,"sf":"${jsonEscape(sfDir)}","full":"${jsonEscape(sideName)}"}""")
     if (results.exists(_._3.isDefined)) System.err.println(
       s"BENCH ERRORS: ${results.count(_._3.isDefined)} queries failed")
     spark.stop()
