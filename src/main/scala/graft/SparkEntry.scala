@@ -44,6 +44,7 @@ object SparkEntry {
     "rbac_workload_gen" -> ((s, d) => Maintenance.workloadGen(s, d)),
     "rbac_hierarchy_docs" -> ((s, d) => Hierarchy.accessibleDocs(s, d, 7).orderBy("document_id")),
     "rbac_hierarchy_topk" -> ((s, d) => Hierarchy.hierarchyTopK(s, d, 7, 10)),
+    "rbac_hierarchy_selectivity" -> ((s, d) => Hierarchy.selectivityStats(s, d)),
     "rbac_selectivity_stats" -> ((s, d) => Rbac.selectivityStats(s, d)),
     "rbac_permission_matrix" -> ((s, d) => Rbac.permissionMatrix(s, d)),
     "rbac_user_role_stats" -> ((s, d) => Rbac.userRoleStats(s, d)),
@@ -74,6 +75,7 @@ object SparkEntry {
     "rbac_partition_ivf_topk" -> ((s, d) => graft.ann.GroupedKMeans.partitionIvfTopK(s, d, 1, 10)),
     "ann_sq_search" -> ((s, d) => SqIndex.search(s, d)),
     "ann_recall_model" -> ((s, d) => graft.ann.RecallModel.report(s, d)),
+    "ann_cost_frontier" -> ((s, d) => graft.ann.RecallModel.costFrontier(s, d)),
     "ann_pq_search" -> ((s, d) => PqIndex.search(s, d)),
     "ann_ivfpq_search" -> ((s, d) => PqIndex.ivfAdcSearch(s, d)),
     "rbac_ivfpq_topk" -> ((s, d) => PqIndex.ivfAdcSearch(s, d, userId = Some(1))),
@@ -440,6 +442,20 @@ object SparkEntry {
          |FROM embeddings e JOIN hacc ON e.vec_id = hacc.document_id, q
          |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
          |LIMIT 10""".stripMargin,
+    "rbac_hierarchy_selectivity" ->
+      s"""WITH RECURSIVE $urAll, $perm, $closure,
+         |hur AS (
+         |  SELECT DISTINCT u.user_id, c.desc_id AS role_id
+         |  FROM ur_all u JOIN closure c USING (role_id)
+         |),
+         |uracc AS (
+         |  SELECT DISTINCT h.user_id, p.document_id
+         |  FROM hur h JOIN perm p USING (role_id)
+         |)
+         |SELECT a.user_id, count(*)::BIGINT AS accessible_blocks,
+         |       round(count(*) / (SELECT count(*) FROM embeddings)::DOUBLE, 4) AS selectivity
+         |FROM uracc a JOIN embeddings e ON a.document_id = e.vec_id
+         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     "rbac_selectivity_stats" ->
       s"""WITH $urAll, $perm,
          |uracc AS (

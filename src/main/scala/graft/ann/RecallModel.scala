@@ -75,36 +75,46 @@ object RecallModel {
 
   private val curveCache = TrieMap.empty[(String, Int, Int), Curve]
 
+  /** A15 workload query vectors: (query_id, qvec). */
+  private def workloadQueries(spark: SparkSession, dir: String): DataFrame =
+    graft.rbac.Maintenance.workloadGen(spark, dir)
+      .select(col("query_id"), col("vec_id").as("qvec_id")).distinct()
+      .join(Tables.embeddings(spark, dir), col("qvec_id") === col("vec_id"))
+      .select(col("query_id"), col("embedding").as("qvec"))
+
+  /** Per-query cell ranking (query_id as q2, list_id, cell_rank):
+    * |queries|×cells tiny frame ordered by (distance, cid) — the same
+    * tie rule probeLists uses.
+    */
+  private def queryCellRanks(spark: SparkSession, dir: String, cells: Int,
+                             queries: DataFrame): DataFrame = {
+    val idx = IvfIndex.getOrBuild(spark, dir, cells)
+    val centsDf = spark.createDataFrame(
+      idx.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c) })
+      .toDF("cid", "centroid")
+    queries.crossJoin(broadcast(centsDf))
+      .withColumn("d", l2_dist(col("qvec"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("d"), col("cid"))))
+      .select(col("query_id").as("q2"), col("cid").as("list_id"), col("cell_rank"))
+  }
+
   /** Measure the recall curve of the corpus IVF index over the A15
     * workload (one ground-truth pass + one tiny histogram), cached per
     * (dir, cells, k) like every other index sidecar.
     */
   def measure(spark: SparkSession, dir: String, cells: Int = 16, k: Int = 10): Curve =
     curveCache.getOrElseUpdate((dir, cells, k), {
-      val idx = IvfIndex.getOrBuild(spark, dir, cells)
       // workload query vectors (A15: vec_id = 7·user mod n, users ≤ 20)
-      val queries = graft.rbac.Maintenance.workloadGen(spark, dir)
-        .select(col("query_id"), col("vec_id").as("qvec_id")).distinct()
-        .join(Tables.embeddings(spark, dir),
-          col("qvec_id") === col("vec_id"))
-        .select(col("query_id"), col("embedding").as("qvec"))
+      val queries = workloadQueries(spark, dir)
       // exact top-k per query: one corpus scan, queries broadcast,
       // shuffle = |queries|·k ids (the batch ground-truth shape)
       val exact = Tables.embeddings(spark, dir)
         .crossJoin(broadcast(queries))
         .groupBy("query_id")
         .agg(topk_ids(l2_dist(col("embedding"), col("qvec")), col("vec_id"), k).as("ids"))
-      // per-query cell ranking: |queries|×cells tiny frame, ordered by
-      // (distance, cid) — the same tie rule probeLists uses
-      val centsDf = spark.createDataFrame(
-        idx.centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c) })
-        .toDF("cid", "centroid")
-      val qcells = queries.crossJoin(broadcast(centsDf))
-        .withColumn("d", l2_dist(col("qvec"), col("centroid")))
-        .withColumn("cell_rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("query_id").orderBy(col("d"), col("cid"))))
-        .select(col("query_id").as("q2"), col("cid").as("list_id"), col("cell_rank"))
+      val qcells = queryCellRanks(spark, dir, cells, queries)
       // rank of each exact neighbor's cell in its query's ordering —
       // the histogram is ≤ cells rows
       val cellRankHist = exact
@@ -133,6 +143,49 @@ object RecallModel {
       (p, math.round(r * 10000) / 10000.0,
         math.round(c.predict(p) * 10000) / 10000.0)
     }.toDF("nprobe", "measured_recall", "predicted_recall")
+  }
+
+  /** The QPS half of the reference's get_parameter (get_parameter.py
+    * :162 get_QPS_parameters) — expressed DETERMINISTICALLY as the
+    * recall/cost frontier instead of wall timings (which the shared
+    * host renders unrepeatable — SKEW.md): per probe depth, the
+    * average fraction of the corpus a probe search scans (cumulative
+    * probed-list size over the workload's cell rankings) next to the
+    * recall the same depth buys. QPS prediction = 1 / (fixed per-query
+    * overhead + scan_fraction × corpus × per-row kernel cost), with
+    * the per-row constants measured in CALIBRATION.md (ScanCost, t(n)
+    * fit) — deterministic inputs, so this frame is reproducible across
+    * rounds while a timed QPS number is not.
+    *
+    * (nprobe, scan_fraction, measured_recall) is the frontier the
+    * reference plots to pick its operating point; the knee is where
+    * d(recall)/d(scan) collapses.
+    */
+  def costFrontier(spark: SparkSession, dir: String,
+                   cells: Int = 16, k: Int = 10): DataFrame = {
+    val queries = workloadQueries(spark, dir)
+    val sizes = IvfIndex.buildReport(spark, dir, cells) // (list_id, n_vectors)
+    val nQ = queries.count().toDouble
+    val total = Tables.embeddings(spark, dir).count().toDouble
+    // per (query, rank): cumulative rows scanned at that probe depth —
+    // |queries|×cells rows, a window cumsum, then averaged per depth
+    val cum = queryCellRanks(spark, dir, cells, queries)
+      .join(broadcast(sizes), "list_id")
+      .withColumn("cum_rows", sum("n_vectors").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q2").orderBy("cell_rank")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("cell_rank").as("nprobe"))
+      .agg((sum("cum_rows") / nQ).as("avg_rows_scanned"))
+    val curve = measure(spark, dir, cells, k)
+    import spark.implicits._
+    val recall = curve.points.toDF("nprobe", "measured_recall")
+    cum.join(recall, "nprobe")
+      .select(col("nprobe"),
+        round(col("avg_rows_scanned"), 1).as("avg_rows_scanned"),
+        round(col("avg_rows_scanned") / total, 4).as("scan_fraction"),
+        round(col("measured_recall"), 4).as("measured_recall"))
+      .orderBy("nprobe")
   }
 
   /** Model-driven probe search: nprobe picked from the fitted curve for

@@ -81,6 +81,45 @@ object Hierarchy {
       .distinct()
   }
 
+  /** A19 step 3: per-user selectivity under the HIERARCHY — the
+    * second, structurally different permission distribution the layout
+    * cost model can chew on (flat: every user holds 1-2 roles at ~19%
+    * selectivity each; hierarchical: selectivity depends on WHERE the
+    * held roles sit in the tree — a root-holder reaches everything, a
+    * leaf-holder only its own slice). Same comb-aggregation shape as
+    * the flat A9 operator: users sharing a role set share selectivity,
+    * so the per-user expansion is O(combos × grants), never
+    * users × docs.
+    */
+  def selectivityStats(spark: SparkSession, dir: String): DataFrame = {
+    val b = Rbac.blocks(spark, dir).select("document_id")
+    val total = b.agg(count(lit(1)).as("total_blocks"))
+    val roleBlocks = Rbac.permissions(spark, dir).join(b, "document_id")
+    val userCombos = Rbac.userRoles(spark, dir)
+      .groupBy("user_id")
+      .agg(concat_ws(",", sort_array(collect_set(col("role_id")))).as("comb_key"),
+        collect_set(col("role_id")).as("rs"))
+    // (comb → held role → DESCENDANT role) exploded: the hierarchy's
+    // only change to the flat plan is this closure hop before the
+    // grant join — still dimension-sized, still broadcast
+    val combRoles = userCombos.select("comb_key", "rs").distinct()
+      .select(col("comb_key"), explode(col("rs")).as("role_id"))
+      .join(broadcast(roleClosure(spark)), "role_id")
+      .select(col("comb_key"), col("desc_id").as("role_id"))
+      .distinct()
+    val comboCounts = broadcast(combRoles)
+      .join(roleBlocks, "role_id")
+      .groupBy("comb_key")
+      .agg(countDistinct("document_id").as("accessible_blocks"))
+    userCombos.select("user_id", "comb_key")
+      .join(broadcast(comboCounts), "comb_key")
+      .crossJoin(broadcast(total))
+      .select(col("user_id"), col("accessible_blocks"),
+        round(col("accessible_blocks") / col("total_blocks").cast("double"), 4)
+          .as("selectivity"))
+      .orderBy("user_id")
+  }
+
   /** A19 step 2: exact pre-filtered L2 top-k through the expanded role
     * set — the corpus-side plan is the flat prefilter's (broadcast
     * semi-join on the accessible set, codegen'd distance,

@@ -1618,6 +1618,21 @@ class RecallModelSpec extends AnyFunSuite {
     // when its starting probe comes from the model
     assert(IvfIndex.predicateAwareSearchModel(spark, sf, 1).count() == 10)
   }
+
+  test("cost frontier: scan fraction grows monotonically to 1, recall matches the curve") {
+    val rows = RecallModel.costFrontier(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.length == 16)
+    val fracs = rows.map(_._2)
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => b >= a },
+      s"scan fraction must be non-decreasing: ${fracs.toSeq}")
+    assert(math.abs(fracs.last - 1.0) < 1e-9,
+      "probing every cell scans the whole corpus")
+    val curve = RecallModel.measure(spark, sf).points.toMap
+    rows.foreach { case (p, _, r) =>
+      assert(math.abs(r - math.round(curve(p) * 10000) / 10000.0) < 1e-9) }
+  }
 }
 
 class HierarchySpec extends AnyFunSuite {
@@ -1650,6 +1665,22 @@ class HierarchySpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet
     assert(topk.subsetOf(hier))
     assert(topk.size == 10)
+  }
+
+  test("hierarchy selectivity dominates flat selectivity; root-holders reach everything") {
+    val flat = Rbac.selectivityStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val hier = Hierarchy.selectivityStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(hier.keySet == flat.keySet)
+    flat.foreach { case (u, s) =>
+      assert(hier(u) >= s - 1e-9, s"user $u: hierarchy ${hier(u)} < flat $s") }
+    // a user holding role 0 (the root) reaches the whole corpus
+    val rootHolder = Rbac.userRoles(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("role_id") === 0)
+      .head().getLong(0)
+    assert(math.abs(hier(rootHolder) - 1.0) < 1e-9,
+      s"root-holder $rootHolder must reach everything: ${hier(rootHolder)}")
   }
 }
 
