@@ -136,9 +136,17 @@ object Bench {
     // the serial numbers ride in the compact tail-visible line too —
     // when the concurrent wall hits a bad host window they are the
     // comparable signal (see SKEW.md round-5)
+    // same failure rule as everywhere else: a failed serial re-run must
+    // never print as a fast-looking duration — successes go under
+    // serial_heavy, failures under serial_errors, in the tail line too
     val serialCompact = serialTimes.map { t =>
-      t.map { case (n, s, _) => "\"" + n + "\":" + r3(s) }.mkString("{", ",", "}")
-    }.map(j => s""","serial_heavy":$j""").getOrElse("")
+      val ok = t.collect { case (n, s, None) => "\"" + n + "\":" + r3(s) }
+        .mkString("{", ",", "}")
+      val bad = t.collect { case (n, _, Some(e)) =>
+        "\"" + n + "\":\"" + jsonEscape(e.take(60)) + "\"" }
+        .mkString("{", ",", "}")
+      s""","serial_heavy":$ok""" + (if (bad == "{}") "" else s""","serial_errors":$bad""")
+    }.getOrElse("")
     println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":$top,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"load_avg_1m":${r3(loadAvg)},"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialCompact,"sf":"${jsonEscape(sfDir)}","full":"${jsonEscape(sideName)}"}""")
     if (results.exists(_._3.isDefined)) System.err.println(
       s"BENCH ERRORS: ${results.count(_._3.isDefined)} queries failed")

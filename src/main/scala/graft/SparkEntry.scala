@@ -180,6 +180,22 @@ object SparkEntry {
       |  JOIN (SELECT i AS child, i // 2 AS parent FROM range(1, 10) t(i)) e
       |    ON e.parent = c.desc_id
       |)""".stripMargin
+  // Shared C7/C8 decontamination replay (both keys map to this one
+  // value — the Spark operators are asserted row-identical).
+  private val decontOracle =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |         list_distinct(list_transform(range(1, len(ws) - 6),
+      |           i -> array_to_string(ws[i:i+7], ' '))) AS s
+      |  FROM w WHERE len(ws) >= 8
+      |),
+      |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0')
+      |SELECT doc_id, count(*) AS n_hits
+      |FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0') c
+      |JOIN ev USING (g)
+      |GROUP BY doc_id HAVING count(*) >= 1 ORDER BY doc_id""".stripMargin
+
   private val hacc =
     """hacc AS (
       |  SELECT DISTINCT p.document_id
@@ -974,33 +990,9 @@ object SparkEntry {
     // brute-force string parity is ALSO asserted in DecontaminateSpec,
     // so a hash collision would show up twice). C8 is row-identical to
     // C7 by construction (Bloom has no false negatives; survivors are
-    // exact-verified) and shares the oracle.
-    "dedup_decontaminate" ->
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (
-        |  SELECT doc_id, source,
-        |         list_distinct(list_transform(range(1, len(ws) - 6),
-        |           i -> array_to_string(ws[i:i+7], ' '))) AS s
-        |  FROM w WHERE len(ws) >= 8
-        |),
-        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0')
-        |SELECT doc_id, count(*) AS n_hits
-        |FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0') c
-        |JOIN ev USING (g)
-        |GROUP BY doc_id HAVING count(*) >= 1 ORDER BY doc_id""".stripMargin,
-    "dedup_decontaminate_bloom" ->
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (
-        |  SELECT doc_id, source,
-        |         list_distinct(list_transform(range(1, len(ws) - 6),
-        |           i -> array_to_string(ws[i:i+7], ' '))) AS s
-        |  FROM w WHERE len(ws) >= 8
-        |),
-        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0')
-        |SELECT doc_id, count(*) AS n_hits
-        |FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0') c
-        |JOIN ev USING (g)
-        |GROUP BY doc_id HAVING count(*) >= 1 ORDER BY doc_id""".stripMargin,
+    // exact-verified) and shares the ONE oracle value.
+    "dedup_decontaminate" -> decontOracle,
+    "dedup_decontaminate_bloom" -> decontOracle,
     "ann_sq_build" ->
       """SELECT i AS dim,
         |       round(min(list_extract(embedding, (i + 1)::INT))::DOUBLE, 4) AS lo,

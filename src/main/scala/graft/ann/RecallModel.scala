@@ -75,12 +75,12 @@ object RecallModel {
 
   private val curveCache = TrieMap.empty[(String, Int, Int), Curve]
 
-  /** A15 workload query vectors: (query_id, qvec). */
+  /** A15 workload query vectors: (query_id, qvec_id, qvec). */
   private def workloadQueries(spark: SparkSession, dir: String): DataFrame =
     graft.rbac.Maintenance.workloadGen(spark, dir)
       .select(col("query_id"), col("vec_id").as("qvec_id")).distinct()
       .join(Tables.embeddings(spark, dir), col("qvec_id") === col("vec_id"))
-      .select(col("query_id"), col("embedding").as("qvec"))
+      .select(col("query_id"), col("qvec_id"), col("embedding").as("qvec"))
 
   /** Per-query cell ranking (query_id as q2, list_id, cell_rank):
     * |queries|×cells tiny frame ordered by (distance, cid) — the same
@@ -105,13 +105,23 @@ object RecallModel {
     * (dir, cells, k) like every other index sidecar.
     */
   def measure(spark: SparkSession, dir: String, cells: Int = 16, k: Int = 10): Curve =
-    curveCache.getOrElseUpdate((dir, cells, k), {
+    // synchronized like GroupedKMeans.roleCentroids: concurrent bench
+    // queries must share ONE ground-truth measurement, and TrieMap's
+    // getOrElseUpdate alone would run the thunk in every racing thread
+    curveCache.synchronized {
+      curveCache.getOrElseUpdate((dir, cells, k), {
       // workload query vectors (A15: vec_id = 7·user mod n, users ≤ 20)
       val queries = workloadQueries(spark, dir)
       // exact top-k per query: one corpus scan, queries broadcast,
-      // shuffle = |queries|·k ids (the batch ground-truth shape)
+      // shuffle = |queries|·k ids (the batch ground-truth shape).
+      // The query vector is itself a corpus row: exclude it, as every
+      // serving path (IvfIndex.search vec_id =!= qid) and the repo's
+      // ground-truth convention do — a self-match at distance 0 always
+      // lands at cell_rank 1 and would inflate the whole curve by 1/k,
+      // making the model under-pick nprobe for a recall target
       val exact = Tables.embeddings(spark, dir)
         .crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qvec_id"))
         .groupBy("query_id")
         .agg(topk_ids(l2_dist(col("embedding"), col("qvec")), col("vec_id"), k).as("ids"))
       val qcells = queryCellRanks(spark, dir, cells, queries)
@@ -131,7 +141,8 @@ object RecallModel {
         p -> (1 to p).map(r => cellRankHist.getOrElse(r.toLong, 0L)).sum / total
       }
       Curve(cells, k, pts)
-    })
+      })
+    }
 
   /** Query surface (`ann_recall_model`, rows-only): measured vs
     * predicted recall per nprobe — the engine's CALIBRATION.md table.
@@ -168,9 +179,14 @@ object RecallModel {
     val nQ = queries.count().toDouble
     val total = Tables.embeddings(spark, dir).count().toDouble
     // per (query, rank): cumulative rows scanned at that probe depth —
-    // |queries|×cells rows, a window cumsum, then averaged per depth
+    // |queries|×cells rows, a window cumsum, then averaged per depth.
+    // LEFT join + coalesce: buildReport omits EMPTY cells (its groupBy
+    // has no row for them), and an inner join would silently drop the
+    // (query, rank) rows ranking an empty cell — corrupting the
+    // per-depth averages and even losing whole nprobe rows
     val cum = queryCellRanks(spark, dir, cells, queries)
-      .join(broadcast(sizes), "list_id")
+      .join(broadcast(sizes), Seq("list_id"), "left_outer")
+      .withColumn("n_vectors", coalesce(col("n_vectors"), lit(0L)))
       .withColumn("cum_rows", sum("n_vectors").over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("q2").orderBy("cell_rank")

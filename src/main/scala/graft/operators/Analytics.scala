@@ -24,9 +24,10 @@ import graft.Tables
   * no hint — at small SF, AQE still picks a broadcast join from the
   * runtime sizes (so local plans and bench numbers are unchanged), and
   * at 100× the same query degrades gracefully to a shuffle join
-  * instead of dying. Round5PlanSpec pins this: with auto-broadcast
-  * disabled, no BroadcastExchange in the TPC-H family reads a
-  * scale-variant table.
+  * instead of dying. The policy test in Round4PlanSpec ("TPC-H
+  * family: no forced BroadcastExchange on a scale-variant relation")
+  * pins this: with auto-broadcast disabled, no BroadcastExchange in
+  * the family reads a scale-variant table.
   */
 object Analytics {
 

@@ -83,10 +83,17 @@ object Sampling {
   /** Query surface: mixture recipe over sources — 50% of src0, 25% of
     * src1, 10% of src2 (basis points of 10000), others dropped.
     */
+  /** The D12 recipe (basis points of 10000 per source) — ONE shared
+    * object: the streaming mixture gate (DocStream) applies the same
+    * recipe in-stream, and the stream-equals-batch property depends on
+    * both reading these rates.
+    */
+  val D12Recipe: Map[String, Int] =
+    Map("src0" -> 5000, "src1" -> 2500, "src2" -> 1000)
+
   def docsMixtureSample(spark: SparkSession, dir: String): DataFrame =
     mixtureByHash(
       Tables.documents(spark, dir).select("doc_id", "source"),
-      "doc_id", "source",
-      Map("src0" -> 5000, "src1" -> 2500, "src2" -> 1000))
+      "doc_id", "source", D12Recipe)
       .orderBy("doc_id")
 }

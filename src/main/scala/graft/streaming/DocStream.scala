@@ -70,8 +70,10 @@ object DocStream {
                       minTokens: Long = 5L): DataFrame =
     gate(Tables.documents(spark, dir), evalShingleDict(spark, dir, n), n, minTokens)
 
-  /** The D12 mixture recipe, shared by stream and batch mirror. */
-  private val mixtureWeights = Map("src0" -> 5000, "src1" -> 2500, "src2" -> 1000)
+  /** The D12 mixture recipe — the SAME object D12's sampler reads, so
+    * retuning the recipe cannot desynchronize stream and batch.
+    */
+  private def mixtureWeights = graft.operators.Sampling.D12Recipe
 
   /** G9: streaming mixture gate — D12's recipe sampler applied
     * IN-STREAM: membership is a pure deterministic hash filter (zero
