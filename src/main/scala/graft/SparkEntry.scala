@@ -45,6 +45,7 @@ object SparkEntry {
     "rbac_hierarchy_docs" -> ((s, d) => Hierarchy.accessibleDocs(s, d, 7).orderBy("document_id")),
     "rbac_hierarchy_topk" -> ((s, d) => Hierarchy.hierarchyTopK(s, d, 7, 10)),
     "rbac_hierarchy_selectivity" -> ((s, d) => Hierarchy.selectivityStats(s, d)),
+    "rbac_hierarchy_costmodel" -> ((s, d) => Hierarchy.costModelLayout(s, d)),
     "rbac_selectivity_stats" -> ((s, d) => Rbac.selectivityStats(s, d)),
     "rbac_permission_matrix" -> ((s, d) => Rbac.permissionMatrix(s, d)),
     "rbac_user_role_stats" -> ((s, d) => Rbac.userRoleStats(s, d)),
@@ -180,6 +181,16 @@ object SparkEntry {
       |  JOIN (SELECT i AS child, i // 2 AS parent FROM range(1, 10) t(i)) e
       |    ON e.parent = c.desc_id
       |)""".stripMargin
+  // Flat user→role derivation under a different CTE name, for queries
+  // that rebuild `ur_all` as the hierarchy-expanded set (so the shared
+  // costLayout CTE replays over the expanded distribution verbatim).
+  private val urBase =
+    """ur_base AS (
+      |  SELECT c_custkey AS user_id, c_custkey % 10 AS role_id FROM customer
+      |  UNION
+      |  SELECT c_custkey, (c_custkey * 3 + 1) % 10 FROM customer
+      |)""".stripMargin
+
   // Shared C7/C8 decontamination replay (both keys map to this one
   // value — the Spark operators are asserted row-identical).
   private val decontOracle =
@@ -458,6 +469,16 @@ object SparkEntry {
          |FROM embeddings e JOIN hacc ON e.vec_id = hacc.document_id, q
          |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
          |LIMIT 10""".stripMargin,
+    // A17's layout CTE replayed over the hierarchy-expanded ur_all —
+    // the same greedy model fed the second permission distribution
+    "rbac_hierarchy_costmodel" ->
+      s"""WITH RECURSIVE $urBase, $closure,
+         |ur_all AS (
+         |  SELECT DISTINCT u.user_id, c.desc_id AS role_id
+         |  FROM ur_base u JOIN closure c USING (role_id)
+         |), $perm, $costLayout
+         |SELECT comb_key, weight, n_docs, partition_id
+         |FROM layout ORDER BY comb_key""".stripMargin,
     "rbac_hierarchy_selectivity" ->
       s"""WITH RECURSIVE $urAll, $perm, $closure,
          |hur AS (

@@ -65,21 +65,50 @@ object Hierarchy {
     closure
   }
 
+  /** Effective (user_id, role_id): every user's held roles expanded to
+    * their subtrees — the hierarchical replacement for Rbac.userRoles,
+    * pluggable anywhere the flat frame is (still org-sized).
+    */
+  def effectiveUserRoles(spark: SparkSession, dir: String): DataFrame =
+    Rbac.userRoles(spark, dir)
+      .join(broadcast(roleClosure(spark)), "role_id")
+      .select(col("user_id"), col("desc_id").as("role_id"))
+      .distinct()
+
   /** A19 step 1: docs accessible to `userId` under the hierarchy —
     * the flat derivation routed through the expanded role set
     * (held roles → all subtree roles → grants, DISTINCT at doc level).
     */
   def accessibleDocs(spark: SparkSession, dir: String, userId: Long): DataFrame = {
-    val held = Rbac.userRoles(spark, dir).filter(col("user_id") === userId)
-    val effective = broadcast(roleClosure(spark))
-      .join(broadcast(held), "role_id")
-      .select(col("desc_id").as("role_id"))
-      .distinct()
+    val effective = effectiveUserRoles(spark, dir)
+      .filter(col("user_id") === userId)
+      .select("role_id").distinct()
     Rbac.permissions(spark, dir)
       .join(broadcast(effective), "role_id")
       .select("document_id")
       .distinct()
   }
+
+  /** A19 step 4: the A17 cost-model layout over the HIERARCHY's
+    * permission distribution — same greedy (workload weights, log-load
+    * benefit ranking, α storage budget), structurally different input:
+    * effective role sets are subtree UNIONS, so combs are fewer and
+    * fatter, root-holding combs cover the whole corpus (ln(N/n)=0 → no
+    * split benefit → they stay in the shared partition), and the model
+    * dedicates partitions to the mid-tree combs where duplication
+    * actually buys scan reduction. Deterministic and fully
+    * SQL-replayed (recursive CTE feeding the same layout CTE as A17).
+    */
+  private val layoutCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Double, Int), DataFrame]
+
+  def costModelLayout(spark: SparkSession, dir: String, alpha: Double = 2.0,
+                      nQueries: Int = 20): DataFrame =
+    layoutCache.synchronized {
+      layoutCache.getOrElseUpdate((dir, alpha, nQueries),
+        Partitioned.buildCostModelLayoutFrom(spark, dir,
+          effectiveUserRoles(spark, dir), alpha, nQueries).persist())
+    }
 
   /** A19 step 3: per-user selectivity under the HIERARCHY — the
     * second, structurally different permission distribution the layout

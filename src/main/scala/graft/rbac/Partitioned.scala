@@ -107,14 +107,22 @@ object Partitioned {
     * AnonySys_dynamic_partition.py:38).
     */
   def userCombs(spark: SparkSession, dir: String): DataFrame =
-    Rbac.userRoles(spark, dir)
-      .groupBy("user_id")
+    userCombsFrom(Rbac.userRoles(spark, dir))
+
+  /** Same, from an explicit (user_id, role_id) frame — the hierarchy
+    * layout injects the closure-expanded roles here (Hierarchy
+    * .costModelLayout); every downstream comb derivation follows.
+    */
+  private[rbac] def userCombsFrom(ur: DataFrame): DataFrame =
+    ur.groupBy("user_id")
       .agg(concat_ws(",", sort_array(collect_set(col("role_id")))).as("comb_key"))
 
   /** USER-side (comb_key, role_id) pairs of every user role-comb. */
   def combRoles(spark: SparkSession, dir: String): DataFrame =
-    Rbac.userRoles(spark, dir)
-      .join(userCombs(spark, dir), "user_id")
+    combRolesFrom(Rbac.userRoles(spark, dir))
+
+  private[rbac] def combRolesFrom(ur: DataFrame): DataFrame =
+    ur.join(userCombsFrom(ur), "user_id")
       .select("comb_key", "role_id").distinct()
 
   /** (comb_key, document_id): the docs a user-comb can access — ONE
@@ -124,7 +132,11 @@ object Partitioned {
     * measurement.
     */
   def combAccessibleDocs(spark: SparkSession, dir: String): DataFrame =
-    combRoles(spark, dir)
+    combAccessibleDocsFrom(spark, dir, Rbac.userRoles(spark, dir))
+
+  private[rbac] def combAccessibleDocsFrom(spark: SparkSession, dir: String,
+                                           ur: DataFrame): DataFrame =
+    combRolesFrom(ur)
       .join(Rbac.permissions(spark, dir), "role_id")
       .select("comb_key", "document_id").distinct()
 
@@ -162,16 +174,26 @@ object Partitioned {
       buildCostModelLayout(spark, dir, alpha, nQueries).persist())
 
   private def buildCostModelLayout(spark: SparkSession, dir: String, alpha: Double,
-                                   nQueries: Int): DataFrame = {
+                                   nQueries: Int): DataFrame =
+    buildCostModelLayoutFrom(spark, dir, Rbac.userRoles(spark, dir), alpha, nQueries)
+
+  /** The layout build over an EXPLICIT (user_id, role_id) frame — the
+    * flat path passes Rbac.userRoles; the hierarchy path passes the
+    * closure-expanded roles, giving the SAME greedy model a
+    * structurally different permission distribution to optimize.
+    */
+  private[rbac] def buildCostModelLayoutFrom(spark: SparkSession, dir: String,
+                                             ur: DataFrame, alpha: Double,
+                                             nQueries: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val blocks = Rbac.blocks(spark, dir).select("document_id")
     val total = blocks.agg(count(lit(1)).as("n0"))
-    val combDocs = combAccessibleDocs(spark, dir)
+    val combDocs = combAccessibleDocsFrom(spark, dir, ur)
       .join(blocks, "document_id")
       .groupBy("comb_key").agg(countDistinct("document_id").as("n_docs"))
     val weights = Maintenance.workloadGen(spark, dir, nQueries)
       .select("user_id")
-      .join(userCombs(spark, dir), "user_id")
+      .join(userCombsFrom(ur), "user_id")
       .groupBy("comb_key").agg(count(lit(1)).as("n_queries"))
     val scored = combDocs
       .join(weights, Seq("comb_key"), "left")

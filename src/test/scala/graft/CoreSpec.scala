@@ -1682,6 +1682,30 @@ class HierarchySpec extends AnyFunSuite {
     assert(math.abs(hier(rootHolder) - 1.0) < 1e-9,
       s"root-holder $rootHolder must reach everything: ${hier(rootHolder)}")
   }
+
+  test("hierarchy cost-model layout: full-corpus combs stay shared, structure differs from flat") {
+    import org.apache.spark.sql.functions.col
+    val n0 = graft.Tables.embeddings(spark, sf).count()
+    val hier = Hierarchy.costModelLayout(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getInt(3)))
+    // every effective comb appears exactly once
+    val combs = Hierarchy.effectiveUserRoles(spark, sf)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.concat_ws(",",
+        org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_set(col("role_id")))).as("ck"))
+      .select("ck").distinct().count()
+    assert(hier.length == combs)
+    // a comb reaching the WHOLE corpus has zero split benefit
+    // (ln(N/n) = 0) and must stay in the shared partition 0
+    hier.filter(_._2 == n0).foreach { case (ck, _, pid) =>
+      assert(pid == 0, s"full-corpus comb $ck must not get a dedicated partition") }
+    // and the distribution is genuinely different from the flat one
+    val flat = graft.rbac.Partitioned.costModelLayout(spark, sf).collect()
+      .map(_.getString(0)).toSet
+    assert(hier.map(_._1).toSet != flat,
+      "hierarchy combs must differ from flat combs")
+  }
 }
 
 class PartitionIvfSpec extends AnyFunSuite {
