@@ -78,14 +78,23 @@ object Dedup {
   /** Exact-verify candidate (doc1, doc2) pairs: attach both token sets,
     * apply the size-ratio bound implied by `jaccard >= threshold` (free
     * pruning), then exact Jaccard.
+    *
+    * The doc→set dictionary is corpus-sized, so it is never broadcast
+    * (bounded-frame policy, Analytics.scala:16). Instead it is first
+    * semi-joined down to the docs that actually appear in a candidate
+    * pair — candidates ≪ corpus by the banding FP math (see the band
+    * tuning notes at `ngramJaccard`) — and the attach joins are left
+    * unhinted: AQE broadcasts the reduced dictionary when it is small
+    * and falls back to a shuffle join at scale.
     */
   private def verifiedPairs(pairs: DataFrame, sets: DataFrame, setCol: String,
-                            threshold: Double): DataFrame =
-    // broadcast the doc→set dictionary: candidates attach their arrays
-    // map-side instead of shuffling pairs×arrays through a merge join
+                            threshold: Double): DataFrame = {
+    val ids = pairs.select(col("doc1").as("doc_id"))
+      .union(pairs.select(col("doc2").as("doc_id"))).distinct()
+    val needed = sets.join(ids, Seq("doc_id"), "left_semi")
     pairs
-      .join(broadcast(sets.select(col("doc_id").as("doc1"), col(setCol).as("x1"))), "doc1")
-      .join(broadcast(sets.select(col("doc_id").as("doc2"), col(setCol).as("x2"))), "doc2")
+      .join(needed.select(col("doc_id").as("doc1"), col(setCol).as("x1")), "doc1")
+      .join(needed.select(col("doc_id").as("doc2"), col(setCol).as("x2")), "doc2")
       .filter(size(col("x1")) * threshold <= size(col("x2")) &&
         size(col("x2")) * threshold <= size(col("x1")))
       .withColumn("jaccard", round(
@@ -93,6 +102,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc1", "doc2", "jaccard")
       .orderBy("doc1", "doc2")
+  }
 
   /** C6: dup-cluster assembly — near-dup PAIRS are not actionable until
     * they become CLUSTERS with one canonical doc each (what an actual

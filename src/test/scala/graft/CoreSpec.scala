@@ -1225,6 +1225,38 @@ class Round4PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup family: no forced BroadcastExchange reads the document corpus") {
+    // Same policy as the TPC-H test, applied to the near-dup pipelines:
+    // the doc→token-set dictionary is corpus-sized, so the exact-verify
+    // attach must never force-broadcast it. With auto-broadcast off, any
+    // BroadcastExchange left in these plans comes from a hint — and no
+    // hint in the dedup family may cover a scan of documents.parquet.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // fresh threshold keys so the C2 pairs cache can't hand back a
+      // DataFrame whose plan was already forced under the default conf
+      val queries = Seq(
+        "dedup_minhash_lsh" -> graft.dedup.Dedup.minhashLsh(spark, sf, threshold = 0.81),
+        "dedup_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccard(spark, sf, threshold = 0.81))
+      queries.foreach { case (name, df) =>
+        df.queryExecution.executedPlan.foreach {
+          case b: BroadcastExchangeExec =>
+            val scans = b.collect { case f: FileSourceScanExec =>
+              f.relation.location.rootPaths.map(_.getName).mkString(",") }
+            assert(scans.forall(!_.contains("documents.parquet")),
+              s"$name: forced broadcast reads the document corpus ($scans):\n$b")
+          case _ =>
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("pruned prefilter: permission predicate is PartitionFilters only, no doc-set join") {
     val df = graft.sources.Layouts.prefilterPruned(spark, sf, 1, 10)
     val plan = exec(df)
