@@ -239,22 +239,33 @@ object Partitioned {
 
   def dynamicPartitionTopK(spark: SparkSession, dir: String, userId: Long, k: Int,
                            alpha: Double = 2.0): DataFrame = {
-    val routedPid = costModelLayout(spark, dir, alpha)
+    // The reference materializes each dynamic partition as its own
+    // TABLE and scans only the routed one (search.py:31); the
+    // Spark-native equivalent is the materialized `partition_id=`
+    // parquet layout + directory pruning — the partition doc sets
+    // never enter the query plan (the SHARED partition 0 is a large
+    // corpus fraction by construction, far beyond broadcast bounds).
+    // The only driver-side state is the routed partition id(s): the
+    // user's comb maps to one partition — tiny index metadata, like
+    // prunedRoleSearch's role ids.
+    val pids = costModelLayout(spark, dir, alpha)
       .join(userCombs(spark, dir).filter(col("user_id") === userId), "comb_key")
-      .select("partition_id")
-    val scanDocs = costModelPartitionDocs(spark, dir, alpha)
-      .join(broadcast(routedPid), Seq("partition_id"), "left_semi")
+      .select("partition_id").distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    val layoutPath = graft.sources.Layouts.costModelLayoutPath(spark, dir, alpha)
+    // permission filter at merge time — the shared partition holds
+    // blocks of other combs the user cannot read; the per-user doc set
+    // is bounded by the prefilter family's documented assumption
     val acc = Rbac.accessibleDocs(spark, dir, userId)
-    Rbac.blocks(spark, dir)
-      .join(broadcast(scanDocs), "document_id") // routed-partition scan
+    spark.read.parquet(layoutPath)
+      .filter(col("partition_id").isin(pids: _*)) // directory pruning
       .crossJoin(broadcast(Rbac.queryVector(spark, dir)))
       .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
-      // permission filter at merge time — the shared partition holds
-      // blocks of other combs the user cannot read
       .join(broadcast(acc), Seq("document_id"), "left_semi")
       .orderBy(col("dist"), col("block_id"))
       .limit(k)
-      .select("block_id", "document_id", "partition_id")
+      .select(col("block_id"), col("document_id"),
+        col("partition_id").cast("int").as("partition_id"))
   }
 
   /** Per-user layout (initialize_partitions.py:103

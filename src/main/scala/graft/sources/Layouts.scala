@@ -414,6 +414,56 @@ object Layouts {
 
   private val layoutEnsureLock = new Object
 
+  /** Shared tmp root for a per-dataset materialized layout. Scoped by
+    * OS user and by a hash of the dataset's CANONICAL path (two
+    * checkouts with the same directory basename cannot collide), and
+    * stamped with (size, mtime) of EVERY source table the layout bakes
+    * in — regenerating any of them re-materializes the layout instead
+    * of serving a stale one.
+    */
+  private[graft] def layoutRoot(dir: String, prefix: String,
+                                sources: Seq[String]): String = {
+    val stamp = sources.map { f =>
+      val p = Paths.get(dir, f)
+      s"${Files.size(p)}_${Files.getLastModifiedTime(p).toMillis}"
+    }.mkString("_")
+    val dirId = java.lang.Integer.toHexString(
+      Paths.get(dir).toAbsolutePath.normalize.toString.hashCode)
+    val user = System.getProperty("user.name", "nouser")
+    s"${System.getProperty("java.io.tmpdir")}/graft_layouts_$user/" +
+      s"${prefix}_${new java.io.File(dir).getName}_${dirId}_$stamp"
+  }
+
+  /** Materialized COST-MODEL layout (A7's at-scale substrate): the
+    * greedy layout's (partition_id → doc set), joined to blocks and
+    * written as `partition_id=` parquet — the Spark-native equivalent
+    * of the reference materializing each dynamic partition as its own
+    * table (AnonySys_dynamic_partition.py; search.py:31 scans only the
+    * routed one). Built once per (dataset, α, workload) with the same
+    * lifetime as the index sidecars; the query-time routing is pure
+    * directory pruning (see `Partitioned.dynamicPartitionTopK`).
+    */
+  def costModelLayoutPath(spark: SparkSession, dir: String, alpha: Double = 2.0,
+                          nQueries: Int = 20): String = {
+    // layout bakes in blocks (embeddings), permissions (documents) and
+    // the user-comb workload weights (customer) — stamp all three
+    val out = layoutRoot(dir, s"costmodel_a${alpha}_q$nQueries",
+      Seq("embeddings.parquet", "documents.parquet", "customer.parquet"))
+    layoutEnsureLock.synchronized {
+      val path = s"$out/blocks_by_costmodel"
+      if (!Files.exists(Paths.get(path))) {
+        Rbac.blocks(spark, dir)
+          .join(graft.rbac.Partitioned.costModelPartitionDocs(spark, dir, alpha),
+            "document_id")
+          .select(col("partition_id"), col("block_id"), col("document_id"),
+            col("embedding"))
+          .repartition(col("partition_id")) // one writer per partition dir
+          .write.partitionBy("partition_id").mode("overwrite").parquet(path)
+      }
+      path
+    }
+  }
+
   /** A2's documented 100 TB default for LOW-SELECTIVITY users
     * (SURVEY §5): the pre-filter with NO accessible-doc-set broadcast
     * anywhere in the plan — the permission predicate is satisfied
@@ -431,12 +481,11 @@ object Layouts {
     * build.
     */
   def prefilterPruned(spark: SparkSession, dir: String, userId: Long, k: Int): DataFrame = {
-    // cache key carries the source file's (size, mtime): a regenerated
-    // dataset re-materializes the layout instead of serving a stale one
-    val src = Paths.get(dir, "embeddings.parquet")
-    val stamp = s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}"
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_role_layout_" +
-      s"${new java.io.File(dir).getName}_$stamp"
+    // the role layout bakes in blocks (embeddings) AND the permission
+    // dimension (documents) — the stamped root re-materializes when
+    // either regenerates, and is scoped per user/checkout
+    val out = layoutRoot(dir, "role",
+      Seq("embeddings.parquet", "documents.parquet"))
     val path = layoutEnsureLock.synchronized {
       materializeRoleLayout(spark, dir, out)
     }

@@ -1272,6 +1272,23 @@ class Round4PlanSpec extends AnyFunSuite {
     assert(got == exact, "partition-pruned prefilter must equal the broadcast prefilter")
   }
 
+  test("dynamic partition search: routing is PartitionFilters, no doc-set broadcast") {
+    val df = graft.rbac.Partitioned.dynamicPartitionTopK(spark, sf, 1, 10)
+    val plan = exec(df)
+    assert(plan.contains("PartitionFilters") && plan.contains("partition_id"),
+      s"routed search must prune partition directories:\n$plan")
+    // the partition doc sets never enter the plan — the only joins are
+    // the 1-row query vector and the per-user accessible-doc semi-join
+    // (bounded by the prefilter family's documented assumption); no
+    // inner join attaching (partition_id, document_id) state remains
+    assert(!plan.contains("SortMergeJoin"),
+      s"routed search must not shuffle-join partition doc sets:\n$plan")
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val exact = graft.rbac.Rbac.prefilterTopK(spark, sf, 1, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact, "routed dynamic-partition search must equal the prefilter")
+  }
+
   test("SQ8 encode scan stays inside whole-stage codegen") {
     val plan = exec(graft.ann.SqIndex.codes(spark, sf))
     // `*(n)` marks a WholeStageCodegen stage; the encode projection
