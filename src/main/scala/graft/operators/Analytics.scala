@@ -489,26 +489,35 @@ object Analytics {
   }
 
   /** TPC-H Q15 flavor: supplier(s) with the maximum quarterly revenue —
-    * scalar-subquery-against-own-aggregate shape. The max and the
-    * filter come from ONE aggregation (rank over the revenue view), so
-    * the comparison is between a value and the max of the SAME computed
-    * values — an eager collect-then-recompute would compare two
-    * independent executions, and partition-order-dependent float
-    * summation can round differently at the 4th decimal between them,
-    * silently dropping the true top supplier. The global window runs
-    * over the per-supplier AGGREGATE (dimension-sized, |supplier|
-    * rows), never the lineitem fact. All ties at the max are kept, as
-    * in the oracle's scalar subquery.
+    * scalar-subquery-against-own-aggregate shape. The filter compares
+    * each value against the max of the SAME computed values: the
+    * per-supplier revenue view is persisted (dimension-sized, compute
+    * once per dataset), so the max branch and the filter branch read
+    * one materialization — re-deriving the aggregate per branch would
+    * compare two independent executions, and partition-order-dependent
+    * float summation can round differently at the 4th decimal between
+    * them, silently dropping the true top supplier. The max itself is
+    * a two-level aggregate (per-partition max → 1-row global max), so
+    * no task ever sorts or scans the whole |supplier| frame alone —
+    * the global rank window this replaces funneled the full dimension
+    * through ONE task, which grows with SF. All ties at the max are
+    * kept, as in the oracle's scalar subquery.
     */
+  private val q15RevCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
-      .filter(col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-      .groupBy("l_suppkey")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-        .as("total_revenue"))
-    rev.withColumn("__r", rank().over(Window.orderBy(col("total_revenue").desc)))
-      .filter(col("__r") === 1).drop("__r")
+    val rev = q15RevCache.getOrElseUpdate(dir,
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("total_revenue"))
+        .persist())
+    val gmax = rev.agg(max(col("total_revenue")).as("__gmax"))
+    rev.join(broadcast(gmax), col("total_revenue") === col("__gmax"))
+      .drop("__gmax")
       .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "total_revenue")

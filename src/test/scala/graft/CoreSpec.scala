@@ -1272,6 +1272,12 @@ class Round4PlanSpec extends AnyFunSuite {
     assert(got == exact, "partition-pruned prefilter must equal the broadcast prefilter")
   }
 
+  test("q15: no unpartitioned Window funnels the supplier dimension") {
+    val plan = exec(graft.operators.Analytics.q15TopSupplier(spark, sf))
+    assert(!plan.contains("Window"),
+      s"q15 must use the two-level max, not a global rank window:\n$plan")
+  }
+
   test("dynamic partition search: routing is PartitionFilters, no doc-set broadcast") {
     val df = graft.rbac.Partitioned.dynamicPartitionTopK(spark, sf, 1, 10)
     val plan = exec(df)
