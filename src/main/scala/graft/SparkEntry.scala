@@ -75,6 +75,10 @@ object SparkEntry {
     "rbac_partition_index_build" -> ((s, d) => graft.ann.GroupedKMeans.partitionIndexBuild(s, d)),
     "rbac_partition_ivf_topk" -> ((s, d) => graft.ann.GroupedKMeans.partitionIvfTopK(s, d, 1, 10)),
     "ann_sq_search" -> ((s, d) => SqIndex.search(s, d)),
+    "ann_bq_build" -> ((s, d) => graft.ann.BqIndex.buildReport(s, d)),
+    "ann_hamming_topk" -> ((s, d) => graft.ann.BqIndex.hammingTopK(s, d)),
+    "ann_bq_jaccard_topk" -> ((s, d) => graft.ann.BqIndex.jaccardTopK(s, d)),
+    "ann_bq_search" -> ((s, d) => graft.ann.BqIndex.search(s, d)),
     "ann_recall_model" -> ((s, d) => graft.ann.RecallModel.report(s, d)),
     "ann_cost_frontier" -> ((s, d) => graft.ann.RecallModel.costFrontier(s, d)),
     "ann_pq_search" -> ((s, d) => PqIndex.search(s, d)),
@@ -214,6 +218,14 @@ object SparkEntry {
       |  JOIN perm p ON p.role_id = c.desc_id
       |)""".stripMargin
   private val qv = "q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)"
+
+  // BQ per-dim thresholds (mirrors BqIndex.buildReport): the mean of
+  // each dimension, rounded to 4dp like every cross-engine double.
+  private val bqThr =
+    """thr AS (
+      |  SELECT i, round(avg(list_extract(embedding, (i + 1)::INT)::DOUBLE), 4) AS t
+      |  FROM embeddings, range(64) t(i) GROUP BY 1
+      |)""".stripMargin
 
   // Cost-model layout replay (mirrors Partitioned.costModelLayout with
   // α = 2.0, workload users ≤ 20 — SURVEY.md §2 A17). Requires ur_all
@@ -1020,5 +1032,41 @@ object SparkEntry {
         |       round(max(list_extract(embedding, (i + 1)::INT))::DOUBLE, 4) AS hi
         |FROM embeddings, range(64) t(i)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // BQ bits replayed per dimension: bit(v, dim) = v > round(avg(dim), 4).
+    // The Spark kernel compares (double) v > t — float promotion is
+    // exact, so the per-dim comparisons cannot diverge between engines.
+    "ann_bq_build" ->
+      """SELECT i AS dim,
+        |       round(avg(list_extract(embedding, (i + 1)::INT)::DOUBLE), 4) AS thresh
+        |FROM embeddings, range(64) t(i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ann_hamming_topk" ->
+      s"""WITH $bqThr, qb AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |       sum(CASE WHEN (list_extract(e.embedding, (r.i + 1)::INT)::DOUBLE > thr.t)
+         |                 <> (list_extract(qb.qe, (r.i + 1)::INT)::DOUBLE > thr.t)
+         |            THEN 1 ELSE 0 END)::INT AS hamming
+         |FROM embeddings e, qb, range(64) r(i) JOIN thr ON thr.i = r.i
+         |WHERE e.vec_id <> 0
+         |GROUP BY e.vec_id
+         |ORDER BY hamming, e.vec_id
+         |LIMIT 10""".stripMargin,
+    "ann_bq_jaccard_topk" ->
+      s"""WITH $bqThr, qb AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |       round(CASE WHEN sum(CASE WHEN (list_extract(e.embedding, (r.i + 1)::INT)::DOUBLE > thr.t)
+         |                                  OR (list_extract(qb.qe, (r.i + 1)::INT)::DOUBLE > thr.t)
+         |                             THEN 1 ELSE 0 END) = 0 THEN 1.0
+         |             ELSE sum(CASE WHEN (list_extract(e.embedding, (r.i + 1)::INT)::DOUBLE > thr.t)
+         |                            AND (list_extract(qb.qe, (r.i + 1)::INT)::DOUBLE > thr.t)
+         |                       THEN 1 ELSE 0 END)::DOUBLE
+         |                  / sum(CASE WHEN (list_extract(e.embedding, (r.i + 1)::INT)::DOUBLE > thr.t)
+         |                              OR (list_extract(qb.qe, (r.i + 1)::INT)::DOUBLE > thr.t)
+         |                         THEN 1 ELSE 0 END) END, 4) AS jaccard
+         |FROM embeddings e, qb, range(64) r(i) JOIN thr ON thr.i = r.i
+         |WHERE e.vec_id <> 0
+         |GROUP BY e.vec_id
+         |ORDER BY jaccard DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
   )
 }

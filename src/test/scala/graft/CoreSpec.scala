@@ -1060,6 +1060,63 @@ class SqSpec extends AnyFunSuite {
   }
 }
 
+class BqSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.ann.{Ann, BqIndex}
+
+  private def exec(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("BQ codes pack 64 dims into one long and match the per-dim comparisons") {
+    val thr = BqIndex.getOrBuild(spark, sf)
+    val joined = BqIndex.codes(spark, sf)
+      .join(graft.Tables.embeddings(spark, sf), "vec_id")
+      .collect()
+    assert(joined.length == 500)
+    joined.foreach { r =>
+      val bits = r.getSeq[Long](r.fieldIndex("bits"))
+      val v = r.getSeq[Float](r.fieldIndex("embedding"))
+      assert(bits.length == 1) // 64 dims -> exactly one packed word
+      var i = 0
+      while (i < BqIndex.Dim) {
+        val expect = v(i).toDouble > thr(i)
+        val got = ((bits(i >> 6) >>> (i & 63)) & 1L) == 1L
+        assert(got == expect, s"dim $i: bit=$got vs ${v(i)} > ${thr(i)}")
+        i += 1
+      }
+    }
+  }
+
+  test("hamming/jaccard kernels: interpreted eval matches hand math") {
+    import graft.functions.{BitJaccard, HammingDistance}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def arr(v: Long*) = Literal.create(v, ArrayType(LongType))
+    val (x, y) = (arr(0x0F0FL, -1L), arr(0x00FFL, 0L))
+    assert(HammingDistance(x, y).eval(null) ==
+      java.lang.Long.bitCount(0x0F0FL ^ 0x00FFL) + 64)
+    val inter = java.lang.Long.bitCount(0x0F0FL & 0x00FFL).toDouble
+    val union = java.lang.Long.bitCount(0x0F0FL | 0x00FFL).toDouble + 64
+    assert(BitJaccard(x, y).eval(null) == inter / union)
+    assert(BitJaccard(arr(0L, 0L), arr(0L, 0L)).eval(null) == 1.0) // both empty = identical
+  }
+
+  test("BQ encode scan stays inside whole-stage codegen") {
+    val plan = exec(BqIndex.codes(spark, sf))
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("bq_encode")),
+      s"bq encode fell out of codegen:\n$plan")
+  }
+
+  test("BQ hamming short-list + exact re-rank recovers most of the exact top-k") {
+    val exact = Ann.bruteForceL2TopK(spark, sf, 10).collect().map(_.getLong(0)).toSet
+    val bq = BqIndex.search(spark, sf).collect().map(_.getLong(0)).toSet
+    val recall = bq.intersect(exact).size / 10.0
+    // 1 bit/dim at 256x compression: the overfetch+re-rank must carry
+    // the quality — expect well over half the exact set
+    assert(recall >= 0.5, s"BQ recall too low: $recall")
+  }
+}
+
 class RepetitionSpec extends AnyFunSuite {
   import SparkTest._
 
