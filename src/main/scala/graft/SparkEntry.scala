@@ -53,6 +53,8 @@ object SparkEntry {
     "ann_bruteforce_topk" -> ((s, d) => Ann.bruteForceCosineTopK(s, d, 10)),
     "ann_bruteforce_l2_topk" -> ((s, d) => Ann.bruteForceL2TopK(s, d, 10)),
     "ann_maxip_topk" -> ((s, d) => Ann.maxInnerProductTopK(s, d, 10)),
+    "ann_l1_topk" -> ((s, d) => Ann.bruteForceL1TopK(s, d, 10)),
+    "ann_sparse_topk" -> ((s, d) => graft.ann.Sparse.sparseTopK(s, d)),
     "ann_batch_topk" -> ((s, d) => Ann.batchTopK(s, d, nq = 8, k = 10)),
     "ann_range_search" -> ((s, d) => Ann.rangeSearch(s, d, tau = 1.3)),
     "ann_knn_graph" -> ((s, d) => Ann.knnGraph(s, d, 5)),
@@ -1032,6 +1034,32 @@ object SparkEntry {
         |       round(max(list_extract(embedding, (i + 1)::INT))::DOUBLE, 4) AS hi
         |FROM embeddings, range(64) t(i)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // L1 has no DuckDB list builtin — replay the |x-y| sum per dim
+    "ann_l1_topk" ->
+      """SELECT vec_id FROM (
+        |  SELECT e.vec_id,
+        |         sum(abs(list_extract(e.embedding, (i + 1)::INT)::DOUBLE
+        |                 - list_extract(qb.qe, (i + 1)::INT)::DOUBLE)) AS d
+        |  FROM embeddings e,
+        |       (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) qb,
+        |       range(64) t(i)
+        |  WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+        |ORDER BY d, vec_id LIMIT 10""".stripMargin,
+    // sparse dot replay: a dim contributes iff BOTH sides survive the
+    // magnitude sparsifier (v > 0.75) — mirrors Sparse.sparsify
+    "ann_sparse_topk" ->
+      """SELECT vec_id, round(dot, 4) AS dot FROM (
+        |  SELECT e.vec_id,
+        |         sum(CASE WHEN list_extract(e.embedding, (i + 1)::INT)::DOUBLE > 0.75
+        |                   AND list_extract(qb.qe, (i + 1)::INT)::DOUBLE > 0.75
+        |              THEN list_extract(e.embedding, (i + 1)::INT)::DOUBLE
+        |                   * list_extract(qb.qe, (i + 1)::INT)::DOUBLE
+        |              ELSE 0 END) AS dot
+        |  FROM embeddings e,
+        |       (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) qb,
+        |       range(64) t(i)
+        |  WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+        |ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin,
     // BQ bits replayed per dimension: bit(v, dim) = v > round(avg(dim), 4).
     // The Spark kernel compares (double) v > t — float promotion is
     // exact, so the per-dim comparisons cannot diverge between engines.

@@ -50,6 +50,18 @@ object Ann {
       .limit(k)
       .select("vec_id")
 
+  /** Exact L1 (Manhattan) top-k — pgvector `<+>` (vector.c:729);
+    * completes the dense distance family.
+    */
+  def bruteForceL1TopK(spark: SparkSession, dir: String, k: Int): DataFrame =
+    corpus(spark, dir)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(spark, dir, 0)))
+      .withColumn("dist", l1_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+      .select("vec_id")
+
   /** Batch exact top-k: `nq` query vectors × corpus, one partial-agg
     * pass (compute_ground_truth.py computes this per user with FAISS;
     * here it is a single distributed plan: corpus scanned once, queries

@@ -92,6 +92,32 @@ case class L2DistanceSq(left: Expression, right: Expression) extends VectorBinar
     copy(left = l, right = r)
 }
 
+/** Manhattan (taxicab) distance — pgvector `<+>` (vector.c:729
+  * l1_distance). Completes the dense distance family alongside
+  * L2/inner-product/cosine.
+  */
+case class L1Distance(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "l1_distance"
+  protected def kernel(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements(); var i = 0; var s = 0.0
+    while (i < n) { s += math.abs(x.getFloat(i).toDouble - y.getFloat(i).toDouble); i += 1 }
+    s
+  }
+  protected def genLoop(ctx: CodegenContext, x: String, y: String, result: String): String = {
+    val (n, s, i) = (ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("i"))
+    s"""
+       |int $n = $x.numElements();
+       |double $s = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $s += Math.abs((double) $x.getFloat($i) - (double) $y.getFloat($i));
+       |}
+       |$result = $s;
+     """.stripMargin
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Inner product — pgvector `<#>` is its negation. */
 case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "dot_product"
@@ -332,6 +358,7 @@ object vector {
   private def ex(c: Column): Expression = ExpressionUtils.expression(c)
 
   def l2_dist(a: Column, b: Column): Column    = col(L2Distance(ex(a), ex(b)))
+  def l1_dist(a: Column, b: Column): Column    = col(L1Distance(ex(a), ex(b)))
   def l2_dist_sq(a: Column, b: Column): Column = col(L2DistanceSq(ex(a), ex(b)))
   def dot(a: Column, b: Column): Column        = col(DotProduct(ex(a), ex(b)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))

@@ -1117,6 +1117,89 @@ class BqSpec extends AnyFunSuite {
   }
 }
 
+class SparseSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.ann.Sparse
+  import graft.functions.sparse._
+  import graft.functions.vector._
+
+  // dense vector with non-surviving dims zeroed — the sparse pair
+  // representation and this masked dense vector are the same object,
+  // so every sparse kernel must agree with its dense counterpart on it
+  private def masked(thresh: Double) =
+    expr(s"transform(embedding, v -> CASE WHEN v > ${thresh}D THEN v ELSE CAST(0.0 AS FLOAT) END)")
+
+  test("sparse dot/l2/cosine agree with dense kernels over the masked vectors") {
+    val s = Sparse.sparsify(spark, sf)
+      .join(graft.Tables.embeddings(spark, sf), "vec_id")
+      .withColumn("m", masked(0.75))
+    val q = s.filter(col("vec_id") === 0)
+      .select(col("sidx").as("qidx"), col("sval").as("qval"), col("m").as("qm"))
+    val rows = s.filter(col("vec_id") =!= 0).limit(50)
+      .crossJoin(broadcast(q))
+      .select(
+        sparse_dot(col("sidx"), col("sval"), col("qidx"), col("qval")).as("sd"),
+        dot(col("m"), col("qm")).as("dd"),
+        sparse_l2(col("sidx"), col("sval"), col("qidx"), col("qval")).as("sl"),
+        l2_dist(col("m"), col("qm")).as("dl"),
+        sparse_cosine(col("sidx"), col("sval"), col("qidx"), col("qval")).as("sc"),
+        cosine_sim(col("m"), col("qm")).as("dc"))
+      .collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9, "dot diverged")
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-9, "l2 diverged")
+      assert(math.abs(r.getDouble(4) - r.getDouble(5)) < 1e-9, "cosine diverged")
+    }
+  }
+
+  test("sparse kernels handle disjoint and empty index sets") {
+    import graft.functions.{SparseCosine, SparseDot, SparseL2}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+    def idx(v: Int*) = Literal.create(v, ArrayType(IntegerType))
+    def vals(v: Float*) = Literal.create(v, ArrayType(FloatType))
+    // disjoint: dot 0, l2 = sqrt of all squares, cosine 0 via dot
+    val d = SparseDot(idx(0, 2), vals(1f, 2f), idx(1, 3), vals(3f, 4f)).eval(null)
+    assert(d == 0.0)
+    val l = SparseL2(idx(0, 2), vals(1f, 2f), idx(1, 3), vals(3f, 4f)).eval(null)
+    assert(math.abs(l.asInstanceOf[Double] - math.sqrt(1 + 4 + 9 + 16)) < 1e-12)
+    // one side empty
+    assert(SparseDot(idx(), vals(), idx(0), vals(5f)).eval(null) == 0.0)
+    assert(SparseL2(idx(), vals(), idx(0), vals(5f)).eval(null) == 5.0)
+    assert(SparseCosine(idx(), vals(), idx(0), vals(5f)).eval(null) == 0.0) // zero norm
+    // overlap partial
+    val d2 = SparseDot(idx(1, 2, 5), vals(1f, 2f, 3f), idx(2, 5, 9), vals(4f, 5f, 6f)).eval(null)
+    assert(d2 == 2.0 * 4 + 3.0 * 5)
+  }
+
+  test("L1 kernel matches a manual sum and stays in codegen") {
+    import graft.ann.Ann
+    val exact = Ann.bruteForceL1TopK(spark, sf, 10)
+    exact.collect() // finalize the adaptive plan so codegen stages are visible
+    val plan = exact.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("l1_distance")),
+      s"l1 fell out of codegen:\n$plan")
+    // manual check on one pair
+    val two = graft.Tables.embeddings(spark, sf).filter(col("vec_id") < 2)
+      .orderBy("vec_id").collect().map(_.getSeq[Float](1))
+    val want = two(0).zip(two(1)).map { case (a, b) => math.abs(a.toDouble - b.toDouble) }.sum
+    val got = graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 1)
+      .crossJoin(graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec")))
+      .select(l1_dist(col("embedding"), col("qvec"))).head().getDouble(0)
+    assert(math.abs(got - want) < 1e-9)
+  }
+
+  test("sparse topk scan keeps the merge kernel inside whole-stage codegen") {
+    val df = Sparse.sparseTopK(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("sparse_dot")),
+      s"sparse dot fell out of codegen:\n$plan")
+  }
+}
+
 class RepetitionSpec extends AnyFunSuite {
   import SparkTest._
 
