@@ -46,6 +46,9 @@ object SparkEntry {
     "rbac_hierarchy_topk" -> ((s, d) => Hierarchy.hierarchyTopK(s, d, 7, 10)),
     "rbac_hierarchy_selectivity" -> ((s, d) => Hierarchy.selectivityStats(s, d)),
     "rbac_hierarchy_costmodel" -> ((s, d) => Hierarchy.costModelLayout(s, d)),
+    "rbac_hierarchy_dag_docs" -> ((s, d) => Hierarchy.dagAccessibleDocs(s, d, 7).orderBy("document_id")),
+    "rbac_hierarchy_dag_topk" -> ((s, d) => Hierarchy.dagTopK(s, d, 7, 10)),
+    "rbac_hierarchy_dag_costmodel" -> ((s, d) => Hierarchy.dagCostModelLayout(s, d)),
     "rbac_selectivity_stats" -> ((s, d) => Rbac.selectivityStats(s, d)),
     "rbac_permission_matrix" -> ((s, d) => Rbac.permissionMatrix(s, d)),
     "rbac_user_role_stats" -> ((s, d) => Rbac.userRoleStats(s, d)),
@@ -217,6 +220,24 @@ object SparkEntry {
     """hacc AS (
       |  SELECT DISTINCT p.document_id
       |  FROM ur JOIN closure c USING (role_id)
+      |  JOIN perm p ON p.role_id = c.desc_id
+      |)""".stripMargin
+  // DAG closure (mirrors Hierarchy.dagClosure): tree edges plus a
+  // second parent r/2 - 1 for every even role >= 4 — shared subtrees.
+  private val dagClosure =
+    """dclosure(role_id, desc_id) AS (
+      |  SELECT i, i FROM range(0, 10) t(i)
+      |  UNION
+      |  SELECT c.role_id, e.child FROM dclosure c
+      |  JOIN (SELECT i AS child, i // 2 AS parent FROM range(1, 10) t(i)
+      |        UNION ALL
+      |        SELECT i, i // 2 - 1 FROM range(4, 10) t(i) WHERE i % 2 = 0) e
+      |    ON e.parent = c.desc_id
+      |)""".stripMargin
+  private val dacc =
+    """dacc AS (
+      |  SELECT DISTINCT p.document_id
+      |  FROM ur JOIN dclosure c USING (role_id)
       |  JOIN perm p ON p.role_id = c.desc_id
       |)""".stripMargin
   private val qv = "q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)"
@@ -483,6 +504,25 @@ object SparkEntry {
          |FROM embeddings e JOIN hacc ON e.vec_id = hacc.document_id, q
          |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
          |LIMIT 10""".stripMargin,
+    "rbac_hierarchy_dag_docs" ->
+      s"""WITH RECURSIVE $ur7, $perm, $dagClosure, $dacc
+         |SELECT document_id FROM dacc ORDER BY document_id""".stripMargin,
+    "rbac_hierarchy_dag_topk" ->
+      s"""WITH RECURSIVE $ur7, $perm, $dagClosure, $dacc, $qv
+         |SELECT e.vec_id AS block_id, e.vec_id AS document_id
+         |FROM embeddings e JOIN dacc ON e.vec_id = dacc.document_id, q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
+    // the same layout CTE fed the DAG-expanded distribution — the third
+    // structurally different input to the greedy model
+    "rbac_hierarchy_dag_costmodel" ->
+      s"""WITH RECURSIVE $urBase, $dagClosure,
+         |ur_all AS (
+         |  SELECT DISTINCT u.user_id, c.desc_id AS role_id
+         |  FROM ur_base u JOIN dclosure c USING (role_id)
+         |), $perm, $costLayout
+         |SELECT comb_key, weight, n_docs, partition_id
+         |FROM layout ORDER BY comb_key""".stripMargin,
     // A17's layout CTE replayed over the hierarchy-expanded ur_all —
     // the same greedy model fed the second permission distribution
     "rbac_hierarchy_costmodel" ->

@@ -163,4 +163,94 @@ object Hierarchy {
       .orderBy(col("dist"), col("block_id"))
       .limit(k)
       .select("block_id", "document_id")
+
+  // ------------------------------------------------------------------
+  // DAG hierarchy: SHARED subtrees (multi-parent roles) — the
+  // reference's third generator family (services/rbac_generator/
+  // sharing_tree_based_rbac_data_generator.py and the store_sharing_*
+  // variants share a subtree under several parents). The derived rule
+  // adds a SECOND parent to every even role r ≥ 4: parent₂(r) = r/2 − 1
+  // — parents stay strictly smaller than children, so the graph is
+  // acyclic by construction, and role r's subtree is now reachable
+  // from two ancestors (a genuinely different closure than the tree's).
+  // ------------------------------------------------------------------
+
+  /** (parent, child) edges of the role DAG: the tree edges plus the
+    * second-parent edges of even roles ≥ 4.
+    */
+  def dagEdges(spark: SparkSession): DataFrame =
+    roleEdges(spark).union(
+      spark.range(4, Rbac.NumRoles)
+        .filter(col("id") % 2 === 0)
+        .select((expr("id div 2") - 1).as("parent"), col("id").as("child")))
+
+  /** Transitive closure of the DAG — the same one-edge-per-round join
+    * as `roleClosure`, but run to a FIXED POINT (stop when a round adds
+    * no new pairs) instead of a height bound: with multiple parents the
+    * longest path is no longer ⌈log₂ roles⌉ by construction. Exact —
+    * each round extends every path by one edge, so the loop terminates
+    * after longest-path rounds. Per-round `count()` actions run over
+    * role-metadata frames (|roles|² pairs at worst), never the corpus.
+    */
+  def dagClosure(spark: SparkSession): DataFrame = {
+    var closure = spark.range(0, Rbac.NumRoles)
+      .select(col("id").as("role_id"), col("id").as("desc_id"))
+    var prev = -1L
+    var cur = closure.count()
+    while (cur != prev) {
+      // fresh edge frame per round — see roleClosure's self-join note
+      val edges = dagEdges(spark)
+      closure = closure
+        .join(edges, col("desc_id") === col("parent"))
+        .select(col("role_id"), col("child").as("desc_id"))
+        .union(closure).distinct()
+      prev = cur
+      cur = closure.count()
+    }
+    closure
+  }
+
+  /** Effective user roles under the DAG — `effectiveUserRoles` with the
+    * multi-parent closure plugged in.
+    */
+  def dagEffectiveUserRoles(spark: SparkSession, dir: String): DataFrame =
+    Rbac.userRoles(spark, dir)
+      .join(broadcast(dagClosure(spark)), "role_id")
+      .select(col("user_id"), col("desc_id").as("role_id"))
+      .distinct()
+
+  /** Docs accessible to `userId` under the DAG hierarchy. */
+  def dagAccessibleDocs(spark: SparkSession, dir: String, userId: Long): DataFrame = {
+    val effective = dagEffectiveUserRoles(spark, dir)
+      .filter(col("user_id") === userId)
+      .select("role_id").distinct()
+    Rbac.permissions(spark, dir)
+      .join(broadcast(effective), "role_id")
+      .select("document_id")
+      .distinct()
+  }
+
+  /** Exact pre-filtered top-k under the DAG hierarchy — same corpus
+    * plan as `hierarchyTopK`, third permission derivation.
+    */
+  def dagTopK(spark: SparkSession, dir: String, userId: Long, k: Int): DataFrame =
+    Rbac.blocks(spark, dir)
+      .join(broadcast(dagAccessibleDocs(spark, dir, userId)), Seq("document_id"), "left_semi")
+      .crossJoin(broadcast(Rbac.queryVector(spark, dir)))
+      .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
+      .orderBy(col("dist"), col("block_id"))
+      .limit(k)
+      .select("block_id", "document_id")
+
+  /** A17's greedy layout fed the DAG's permission distribution — the
+    * THIRD structurally different input (flat / tree / shared-subtree
+    * DAG) chewed by the same cost model.
+    */
+  def dagCostModelLayout(spark: SparkSession, dir: String, alpha: Double = 2.0,
+                         nQueries: Int = 20): DataFrame =
+    layoutCache.synchronized {
+      layoutCache.getOrElseUpdate((dir + "#dag", alpha, nQueries),
+        Partitioned.buildCostModelLayoutFrom(spark, dir,
+          dagEffectiveUserRoles(spark, dir), alpha, nQueries).persist())
+    }
 }

@@ -1862,6 +1862,40 @@ class HierarchySpec extends AnyFunSuite {
     assert(topk.size == 10)
   }
 
+  test("DAG closure equals brute-force multi-parent reachability and exceeds the tree's") {
+    val n = Rbac.NumRoles
+    // independent model: parents(r) = {r/2} ∪ {r/2 − 1 if r even ∧ r ≥ 4}
+    def parents(r: Long): Seq[Long] =
+      if (r == 0) Seq.empty
+      else if (r >= 4 && r % 2 == 0) Seq(r / 2, r / 2 - 1) else Seq(r / 2)
+    def ancestors(r: Long): Set[Long] = {
+      var acc = Set(r); var frontier = Set(r)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(parents).diff(acc)
+        acc ++= frontier
+      }
+      acc
+    }
+    val brute = (for { r <- 0L until n.toLong; a <- ancestors(r) } yield (a, r)).toSet
+    val dag = Hierarchy.dagClosure(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dag == brute, s"dag closure mismatch: ${dag.diff(brute)} / ${brute.diff(dag)}")
+    val tree = Hierarchy.roleClosure(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tree.subsetOf(dag) && dag.size > tree.size,
+      "shared subtrees must add reachability beyond the tree")
+  }
+
+  test("DAG access contains tree access; topk drawn from the DAG set") {
+    val tree = Hierarchy.accessibleDocs(spark, sf, 7).collect().map(_.getLong(0)).toSet
+    val dag = Hierarchy.dagAccessibleDocs(spark, sf, 7).collect().map(_.getLong(0)).toSet
+    assert(tree.subsetOf(dag), "DAG closure is a superset of the tree closure")
+    assert(dag.size > tree.size,
+      "user 7 holds role 2, whose second-parent edge to role 6 must add grants")
+    val topk = Hierarchy.dagTopK(spark, sf, 7, 10).collect().map(_.getLong(1)).toSet
+    assert(topk.subsetOf(dag) && topk.size == 10)
+  }
+
   test("hierarchy selectivity dominates flat selectivity; root-holders reach everything") {
     val flat = Rbac.selectivityStats(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
