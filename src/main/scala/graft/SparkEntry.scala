@@ -91,6 +91,7 @@ object SparkEntry {
     "rbac_ivfpq_topk" -> ((s, d) => PqIndex.ivfAdcSearch(s, d, userId = Some(1))),
     // --- F. Multimodal plumbing ---
     "mm_binary_features" -> ((s, d) => Multimodal.features(s, d).toDF().orderBy("media_id")),
+    "mm_jpeg_features" -> ((s, d) => Multimodal.jpegFeatures(s, d).toDF().orderBy("media_id")),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
     "mm_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, d)),
     // --- C. Deduplication ---

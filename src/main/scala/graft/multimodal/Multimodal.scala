@@ -19,11 +19,13 @@ import graft.Tables
   *   - the decode kernels are REAL format parsers — magic/header
   *     validation, dimension extraction, and a pixel/sample scan — not
   *     hash stand-ins.
-  * What a production build would still swap in is COMPRESSED codec
-  * support (libjpeg/ffmpeg via JNI) — the decoder interface, the
-  * per-partition batching (one decoder init per partition, not per
-  * row), and the typed feature schema are exactly what those libraries
-  * plug into.
+  * Compressed-codec support: JPEG is REAL (the JDK's javax.imageio
+  * codec behind a magic-sniff branch — see `decodeImage`/`jpegTable`).
+  * Audio/video codecs (MP3/AAC, H.264) remain external (JNI libs not
+  * in this container) — the decoder interface, the per-partition
+  * batching (one decoder init per partition, not per row), and the
+  * typed feature schema are exactly what ffmpeg-class libraries plug
+  * into.
   */
 object Multimodal {
 
@@ -80,6 +82,22 @@ object Multimodal {
     bb.array()
   }
 
+  /** Real JPEG via the JDK's built-in encoder (javax.imageio — no new
+    * deps): the deterministic gray pixel plane compressed with the
+    * default JFIF writer. The first COMPRESSED codec behind the decoder
+    * interface.
+    */
+  private def synthJpeg(docId: Long, seed: Array[Byte]): Array[Byte] = {
+    val w = 16 + (docId % 16).toInt
+    val h = 16 + ((docId / 16) % 16).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, pixels(seed, w * h))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
   /** The media table: real-format binary payloads, one per document. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -100,7 +118,48 @@ object Multimodal {
       }
   }
 
+  /** JPEG variant of the media table: every image-slot document's gray
+    * plane as a REAL compressed JPEG (kind stays "image" — the decoder
+    * registry routes by MAGIC, not by table).
+    */
+  def jpegTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .filter(_._1 % 3 == 0) // the image slots of mediaTable
+      .map { case (docId, text) =>
+        MediaRow(docId, "image", synthJpeg(docId, text.getBytes("UTF-8")))
+      }
+  }
+
   // --- decode kernels (real parsers) ---
+
+  /** Image dispatch by MAGIC: JPEG's SOI marker (FF D8) routes to the
+    * imageio codec, netpbm's "P5" to the PGM parser — the sniff every
+    * real media pipeline does before touching a codec (content types
+    * lie; magic bytes don't).
+    */
+  private def decodeImage(p: Array[Byte]): (Int, Int, Double) =
+    if (p.length > 2 && (p(0) & 0xff) == 0xFF && (p(1) & 0xff) == 0xD8) decodeJpeg(p)
+    else decodePgm(p)
+
+  /** Decode JPEG via the JDK codec (javax.imageio): dims + mean luma
+    * of band 0 over the decoded raster.
+    */
+  private def decodeJpeg(p: Array[Byte]): (Int, Int, Double) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    require(img != null, "undecodable JPEG")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    var s = 0L; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w, h, s.toDouble / (w.toLong * h) / 255.0)
+  }
 
   /** Parse binary PGM: validate magic, read ASCII dims/maxval, mean
     * gray over the pixel plane.
@@ -163,12 +222,22 @@ object Multimodal {
     * build swaps them for JNI calls behind the same (Int, Int, Double)
     * interface.
     */
-  def features(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+  def features(spark: SparkSession, dir: String): Dataset[MediaFeatures] =
+    featuresOf(spark, mediaTable(spark, dir))
+
+  /** F1b: the same registry over the JPEG table — the magic sniff
+    * routes these to the imageio codec.
+    */
+  def jpegFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] =
+    featuresOf(spark, jpegTable(spark, dir))
+
+  private def featuresOf(spark: SparkSession,
+                         media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
-    mediaTable(spark, dir).mapPartitions { rows =>
+    media.mapPartitions { rows =>
       // per-partition decoder init happens HERE (once), not per row
       val decode: (String, Array[Byte]) => (Int, Int, Double) = {
-        case ("image", p) => decodePgm(p)
+        case ("image", p) => decodeImage(p) // magic sniff: JPEG vs PGM
         case ("audio", p) => decodeWav(p)
         case (_, p)       => decodeVideo(p)
       }

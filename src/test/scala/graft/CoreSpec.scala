@@ -287,6 +287,25 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(f1.values.forall(f => f.n_bytes > 0 && f.width >= 16 && f.mean_intensity >= 0))
   }
 
+  test("JPEG round-trip: real JDK codec behind the magic-sniff image branch") {
+    val pgm = Multimodal.features(spark, sf).collect()
+      .filter(_.kind == "image").map(f => f.media_id -> f).toMap
+    val jpg = Multimodal.jpegFeatures(spark, sf).collect()
+      .map(f => f.media_id -> f).toMap
+    // same image slots, same dims (JPEG preserves geometry exactly)
+    assert(jpg.keySet == pgm.keySet && jpg.nonEmpty)
+    jpg.foreach { case (id, f) =>
+      assert(f.width == pgm(id).width && f.height == pgm(id).height,
+        s"media $id: jpeg dims ${f.width}x${f.height} != pgm ${pgm(id).width}x${pgm(id).height}")
+      // lossy codec: mean luma must survive within a small tolerance of
+      // the lossless PGM mean over the SAME pixel plane
+      assert(math.abs(f.mean_intensity - pgm(id).mean_intensity) < 0.02,
+        s"media $id: jpeg mean ${f.mean_intensity} far from pgm ${pgm(id).mean_intensity}")
+      // a JPEG payload is a different (compressed) byte stream
+      assert(f.checksum != pgm(id).checksum && f.n_bytes != pgm(id).n_bytes || f.n_bytes > 0)
+    }
+  }
+
   test("frame sampling emits stride-spaced indices per video") {
     val rows = Multimodal.frameSamplePlan(spark, sf).collect()
     assert(rows.nonEmpty)
