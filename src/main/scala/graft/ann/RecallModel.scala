@@ -66,11 +66,18 @@ object RecallModel {
     def predict(nprobe: Int): Double =
       math.max(0.0, 1.0 - math.exp(-(alpha + beta * nprobe)))
 
-    /** Smallest nprobe whose predicted recall meets `target` (capped at
-      * `cells` — probing everything is always lossless).
+    /** Smallest nprobe whose MEASURED recall meets `target` (capped at
+      * `cells` — probing everything is always lossless). The measured
+      * points already cover every depth 1..cells at zero extra cost, so
+      * the pick never trusts the fit where a real measurement exists —
+      * a fitted pick can land below target on the very workload it was
+      * measured on (CALIBRATION.md round-5: 0.9-target pick measuring
+      * 0.871). The fitted curve remains for reporting and for
+      * extrapolating beyond the measured cell count (`predict`).
       */
     def nprobeFor(target: Double): Int =
-      (1 to cells).find(predict(_) >= target).getOrElse(cells)
+      points.sortBy(_._1).collectFirst { case (p, r) if r >= target => p }
+        .getOrElse(cells)
   }
 
   private val curveCache = TrieMap.empty[(String, Int, Int), Curve]
@@ -104,12 +111,22 @@ object RecallModel {
     * workload (one ground-truth pass + one tiny histogram), cached per
     * (dir, cells, k) like every other index sidecar.
     */
-  def measure(spark: SparkSession, dir: String, cells: Int = 16, k: Int = 10): Curve =
-    // synchronized like GroupedKMeans.roleCentroids: concurrent bench
-    // queries must share ONE ground-truth measurement, and TrieMap's
-    // getOrElseUpdate alone would run the thunk in every racing thread
-    curveCache.synchronized {
-      curveCache.getOrElseUpdate((dir, cells, k), {
+  private val curveLocks = TrieMap.empty[(String, Int, Int), Object]
+
+  def measure(spark: SparkSession, dir: String, cells: Int = 16, k: Int = 10): Curve = {
+    val key = (dir, cells, k)
+    // fast path: no lock once built
+    curveCache.get(key) match {
+      case Some(c) => c
+      case None =>
+        // PER-KEY lock (TrieMap.getOrElseUpdate is atomic, so each key
+        // gets exactly one monitor): concurrent first-touch callers for
+        // the same key share ONE distributed ground-truth build, while
+        // callers for a DIFFERENT (dir, cells, k) no longer serialize
+        // behind an unrelated job (a whole-object lock held across a
+        // Spark job blocked them)
+        curveLocks.getOrElseUpdate(key, new Object).synchronized {
+          curveCache.getOrElseUpdate(key, {
       // workload query vectors (A15: vec_id = 7·user mod n, users ≤ 20)
       val queries = workloadQueries(spark, dir)
       // exact top-k per query: one corpus scan, queries broadcast,
@@ -141,8 +158,10 @@ object RecallModel {
         p -> (1 to p).map(r => cellRankHist.getOrElse(r.toLong, 0L)).sum / total
       }
       Curve(cells, k, pts)
-      })
+          })
+        }
     }
+  }
 
   /** Query surface (`ann_recall_model`, rows-only): measured vs
     * predicted recall per nprobe — the engine's CALIBRATION.md table.

@@ -40,6 +40,13 @@ object RangeJoin {
     * 1-minute bucket width is half a million rows from one input row,
     * and the right response is a louder bucket-width choice, not a
     * quiet 500000× blowup.
+    *
+    * COMPATIBILITY NOTE (round-5 behavior change): calls that used to
+    * run — exact but catastrophically fanned-out — now fail at runtime
+    * once any interval spans more than `maxBucketsPerInterval`
+    * (default 4096) buckets. Existing callers hitting the error should
+    * widen `bucketMs` (preferred — it shrinks the join's blowup) or
+    * explicitly raise `maxBucketsPerInterval` to accept the fan-out.
     */
   def pointsInIntervals(points: DataFrame, tsCol: String,
                         intervals: DataFrame, startCol: String, endCol: String,
