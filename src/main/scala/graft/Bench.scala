@@ -47,6 +47,13 @@ object Bench {
       // one-time role-layout materialization (the pruned prefilter's
       // "index build" — steady state serves from the existing layout)
       graft.sources.Layouts.prefilterPruned(spark, sfDir, 1, 1).count()
+      // cost-model layout (A7's routed-scan substrate, round 6)
+      graft.sources.Layouts.costModelLayoutPath(spark, sfDir)
+      // BQ thresholds sidecar (B23)
+      graft.ann.BqIndex.getOrBuild(spark, sfDir)
+      // role closures (A19/A20 metadata sidecars, session-cached)
+      graft.rbac.Hierarchy.roleClosure(spark).count()
+      graft.rbac.Hierarchy.dagClosure(spark).count()
     } catch { case _: Throwable => () }
     // Overlap queries on a small pool: a single local session leaves
     // cores idle during per-query driver phases (planning, codegen,

@@ -40,30 +40,40 @@ object Hierarchy {
     spark.range(1, Rbac.NumRoles)
       .select(expr("id div 2").as("parent"), col("id").as("child"))
 
+  // Closures are ROLE METADATA (≤ |roles|² pairs, derived from the
+  // role ids alone) — computed once per session and persisted, like
+  // the centroid sidecars, so the per-query plans see a flat cached
+  // frame instead of re-running the iterative join chain (the tree
+  // loop is height many joins; the DAG loop adds a driver-side count
+  // per round).
+  private val closureCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Transitive closure (role_id, desc_id): desc_id is in role_id's
     * subtree (reflexive — a role is its own descendant). Iterative
     * one-level-per-round edge join, exact because the round count
     * equals the tree height.
     */
-  def roleClosure(spark: SparkSession): DataFrame = {
-    val height = math.ceil(math.log(Rbac.NumRoles) / math.log(2)).toInt
-    var closure = spark.range(0, Rbac.NumRoles)
-      .select(col("id").as("role_id"), col("id").as("desc_id"))
-    var level = 0
-    while (level < height) {
-      // a FRESH edge frame per round (new attribute ids): after round 1
-      // the closure's lineage already contains the edge relation, and
-      // re-joining the same Dataset instance trips Spark's
-      // DetectAmbiguousSelfJoin
-      val edges = roleEdges(spark)
-      val next = closure
-        .join(edges, col("desc_id") === col("parent"))
-        .select(col("role_id"), col("child").as("desc_id"))
-      closure = closure.union(next).distinct()
-      level += 1
-    }
-    closure
-  }
+  def roleClosure(spark: SparkSession): DataFrame =
+    closureCache.getOrElseUpdate((spark, "tree"), {
+      val height = math.ceil(math.log(Rbac.NumRoles) / math.log(2)).toInt
+      var closure = spark.range(0, Rbac.NumRoles)
+        .select(col("id").as("role_id"), col("id").as("desc_id"))
+      var level = 0
+      while (level < height) {
+        // a FRESH edge frame per round (new attribute ids): after round 1
+        // the closure's lineage already contains the edge relation, and
+        // re-joining the same Dataset instance trips Spark's
+        // DetectAmbiguousSelfJoin
+        val edges = roleEdges(spark)
+        val next = closure
+          .join(edges, col("desc_id") === col("parent"))
+          .select(col("role_id"), col("child").as("desc_id"))
+        closure = closure.union(next).distinct()
+        level += 1
+      }
+      closure.persist()
+    })
 
   /** Effective (user_id, role_id): every user's held roles expanded to
     * their subtrees — the hierarchical replacement for Rbac.userRoles,
@@ -192,23 +202,32 @@ object Hierarchy {
     * after longest-path rounds. Per-round `count()` actions run over
     * role-metadata frames (|roles|² pairs at worst), never the corpus.
     */
-  def dagClosure(spark: SparkSession): DataFrame = {
-    var closure = spark.range(0, Rbac.NumRoles)
-      .select(col("id").as("role_id"), col("id").as("desc_id"))
-    var prev = -1L
-    var cur = closure.count()
-    while (cur != prev) {
-      // fresh edge frame per round — see roleClosure's self-join note
-      val edges = dagEdges(spark)
-      closure = closure
-        .join(edges, col("desc_id") === col("parent"))
-        .select(col("role_id"), col("child").as("desc_id"))
-        .union(closure).distinct()
-      prev = cur
-      cur = closure.count()
-    }
-    closure
-  }
+  def dagClosure(spark: SparkSession): DataFrame =
+    closureCache.getOrElseUpdate((spark, "dag"), {
+      // each round persists BEFORE its count and releases the previous
+      // round's cache: the fixed-point check then reads one cached
+      // frame per round instead of recomputing the whole join chain
+      // from scratch (O(rounds) jobs, not O(rounds²))
+      var closure = spark.range(0, Rbac.NumRoles)
+        .select(col("id").as("role_id"), col("id").as("desc_id"))
+        .persist()
+      var prev = -1L
+      var cur = closure.count()
+      while (cur != prev) {
+        // fresh edge frame per round — see roleClosure's self-join note
+        val edges = dagEdges(spark)
+        val next = closure
+          .join(edges, col("desc_id") === col("parent"))
+          .select(col("role_id"), col("child").as("desc_id"))
+          .union(closure).distinct()
+          .persist()
+        prev = cur
+        cur = next.count()
+        closure.unpersist()
+        closure = next
+      }
+      closure
+    })
 
   /** Effective user roles under the DAG — `effectiveUserRoles` with the
     * multi-parent closure plugged in.
