@@ -99,7 +99,15 @@ object Bench {
     //                   the concurrent wall did)
     //   heavy:          re-time only the 5 heaviest concurrent queries
     //                   (the faster pre-round-6 behavior)
-    val serialMode = sys.env.getOrElse("SPARK_GRAFT_SERIAL", "full")
+    val serialMode = sys.env.getOrElse("SPARK_GRAFT_SERIAL", "full") match {
+      case m @ ("off" | "heavy" | "full") => m
+      case other =>
+        // an unrecognized value must not silently fall back to a SMALLER
+        // artifact (a typo'd "ful" would quietly drop 115 of 120 serial
+        // re-times from the cross-round comparison)
+        System.err.println(s"SPARK_GRAFT_SERIAL=$other unrecognized; using 'full'")
+        "full"
+    }
     val serialKey = if (serialMode == "full") "serial_full" else "serial_heavy"
     def retime(names: Seq[String]): Seq[(String, Double, Option[String])] =
       names.map { name =>

@@ -42,11 +42,15 @@ object BqIndex {
     * data (map-side combine).
     */
   def getOrBuild(spark: SparkSession, dir: String): Array[Double] =
-    cache.getOrElseUpdate(dir, {
-      val out = new Array[Double](Dim)
-      buildReport(spark, dir).collect().foreach(r => out(r.getLong(0).toInt) = r.getDouble(1))
-      out
-    })
+    // synchronized like the other sidecar caches: racing first-touch
+    // callers would each run the distributed training scan
+    cache.synchronized {
+      cache.getOrElseUpdate(dir, {
+        val out = new Array[Double](Dim)
+        buildReport(spark, dir).collect().foreach(r => out(r.getLong(0).toInt) = r.getDouble(1))
+        out
+      })
+    }
 
   /** BQ build observable: (dim, thresh) — deterministic (4dp-rounded
     * double mean), fully oracle-checked.

@@ -89,8 +89,14 @@ object Dedup {
     */
   private def verifiedPairs(pairs: DataFrame, sets: DataFrame, setCol: String,
                             threshold: Double): DataFrame = {
+    // the candidate-id frame is persisted: it feeds BOTH semi-join
+    // branches, and without the cache the whole banding pipeline
+    // (pairs' lineage) would be embedded once per branch on top of the
+    // main join's copy — ids is doc-id-slim, so the cache cost is
+    // negligible next to re-running candidate generation
     val ids = pairs.select(col("doc1").as("doc_id"))
       .union(pairs.select(col("doc2").as("doc_id"))).distinct()
+      .persist()
     val needed = sets.join(ids, Seq("doc_id"), "left_semi")
     pairs
       .join(needed.select(col("doc_id").as("doc1"), col(setCol).as("x1")), "doc1")

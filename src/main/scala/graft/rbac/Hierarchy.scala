@@ -55,7 +55,10 @@ object Hierarchy {
     * equals the tree height.
     */
   def roleClosure(spark: SparkSession): DataFrame =
-    closureCache.getOrElseUpdate((spark, "tree"), {
+    // synchronized like layoutCache: racing first-touch callers would
+    // each run the multi-job build and leak the losers' persisted frames
+    closureCache.synchronized {
+      closureCache.getOrElseUpdate((spark, "tree"), {
       val height = math.ceil(math.log(Rbac.NumRoles) / math.log(2)).toInt
       var closure = spark.range(0, Rbac.NumRoles)
         .select(col("id").as("role_id"), col("id").as("desc_id"))
@@ -73,7 +76,8 @@ object Hierarchy {
         level += 1
       }
       closure.persist()
-    })
+      })
+    }
 
   /** Effective (user_id, role_id): every user's held roles expanded to
     * their subtrees — the hierarchical replacement for Rbac.userRoles,
@@ -203,7 +207,8 @@ object Hierarchy {
     * role-metadata frames (|roles|² pairs at worst), never the corpus.
     */
   def dagClosure(spark: SparkSession): DataFrame =
-    closureCache.getOrElseUpdate((spark, "dag"), {
+    closureCache.synchronized {
+      closureCache.getOrElseUpdate((spark, "dag"), {
       // each round persists BEFORE its count and releases the previous
       // round's cache: the fixed-point check then reads one cached
       // frame per round instead of recomputing the whole join chain
@@ -227,7 +232,8 @@ object Hierarchy {
         closure = next
       }
       closure
-    })
+      })
+    }
 
   /** Effective user roles under the DAG — `effectiveUserRoles` with the
     * multi-parent closure plugged in.

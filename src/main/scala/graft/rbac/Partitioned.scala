@@ -231,9 +231,9 @@ object Partitioned {
     * for. Shared by the routed search and the space report.
     */
   def costModelPartitionDocs(spark: SparkSession, dir: String,
-                             alpha: Double = 2.0): DataFrame =
+                             alpha: Double = 2.0, nQueries: Int = 20): DataFrame =
     combAccessibleDocs(spark, dir)
-      .join(costModelLayout(spark, dir, alpha).select("comb_key", "partition_id"),
+      .join(costModelLayout(spark, dir, alpha, nQueries).select("comb_key", "partition_id"),
         "comb_key")
       .select("partition_id", "document_id").distinct()
 

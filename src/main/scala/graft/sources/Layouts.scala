@@ -453,7 +453,7 @@ object Layouts {
       val path = s"$out/blocks_by_costmodel"
       if (!Files.exists(Paths.get(path))) {
         Rbac.blocks(spark, dir)
-          .join(graft.rbac.Partitioned.costModelPartitionDocs(spark, dir, alpha),
+          .join(graft.rbac.Partitioned.costModelPartitionDocs(spark, dir, alpha, nQueries),
             "document_id")
           .select(col("partition_id"), col("block_id"), col("document_id"),
             col("embedding"))

@@ -301,8 +301,12 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       // the lossless PGM mean over the SAME pixel plane
       assert(math.abs(f.mean_intensity - pgm(id).mean_intensity) < 0.02,
         s"media $id: jpeg mean ${f.mean_intensity} far from pgm ${pgm(id).mean_intensity}")
-      // a JPEG payload is a different (compressed) byte stream
-      assert(f.checksum != pgm(id).checksum && f.n_bytes != pgm(id).n_bytes || f.n_bytes > 0)
+      // a JPEG payload is a different (compressed) byte stream — if the
+      // codec never ran, jpegTable would ship the PGM bytes unchanged
+      // and both checksum and size would coincide
+      assert(f.n_bytes > 0)
+      assert(f.checksum != pgm(id).checksum || f.n_bytes != pgm(id).n_bytes,
+        s"media $id: jpeg payload is byte-identical to the PGM payload")
     }
   }
 
