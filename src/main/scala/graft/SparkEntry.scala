@@ -129,6 +129,10 @@ object SparkEntry {
     "q10_returned_items" -> ((s, d) => Analytics.q10ReturnedItems(s, d)),
     "q12_priority_shipping" -> ((s, d) => Analytics.q12PriorityShipping(s, d)),
     "q14_promo_revenue" -> ((s, d) => Analytics.q14PromoRevenue(s, d)),
+    "q2_min_cost_supplier" -> ((s, d) => Analytics.q2MinCostSupplier(s, d)),
+    "q11_important_stock" -> ((s, d) => Analytics.q11ImportantStock(s, d)),
+    "q16_parts_supplier" -> ((s, d) => Analytics.q16PartsSupplier(s, d)),
+    "q20_potential_promotion" -> ((s, d) => Analytics.q20PotentialPromotion(s, d)),
     "q19_discounted_revenue" -> ((s, d) => Analytics.q19DiscountedRevenue(s, d)),
     "q_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
     "events_window_agg" -> ((s, d) => Analytics.eventsWindowAgg(s, d)),
@@ -242,6 +246,17 @@ object SparkEntry {
       |  JOIN perm p ON p.role_id = c.desc_id
       |)""".stripMargin
   private val qv = "q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)"
+
+  // Derived PartSupp replay (mirrors Analytics.partsupp, SURVEY §3
+  // style): 4 supplier rows per part, arithmetic availqty/supplycost.
+  private val psCte =
+    """ps AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey*7 + i*13) % (SELECT count(*) FROM supplier) AS ps_suppkey,
+      |         ((p_partkey*31 + ((p_partkey*7 + i*13) % (SELECT count(*) FROM supplier))*7) % 1000 + 1)::INT AS ps_availqty,
+      |         ((p_partkey*13 + ((p_partkey*7 + i*13) % (SELECT count(*) FROM supplier))*5) % 9000 + 100) / 100.0 AS ps_supplycost
+      |  FROM part, range(4) t(i)
+      |)""".stripMargin
 
   // BQ per-dim thresholds (mirrors BqIndex.buildReport): the mean of
   // each dimension, rounded to 4dp like every cross-engine double.
@@ -919,6 +934,56 @@ object SparkEntry {
         |FROM supplier s JOIN rev USING (s_suppkey)
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         |ORDER BY s.s_suppkey""".stripMargin,
+    "q2_min_cost_supplier" ->
+      s"""WITH $psCte,
+         |rs AS (
+         |  SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_regionkey = 1
+         |),
+         |pr AS (
+         |  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+         |  FROM ps JOIN rs ON ps_suppkey = s_suppkey
+         |),
+         |mc AS (SELECT ps_partkey, min(ps_supplycost) AS min_cost FROM pr GROUP BY 1)
+         |SELECT pr.s_acctbal, pr.s_name, pr.n_name, p.p_partkey, p.p_brand, pr.ps_supplycost
+         |FROM pr JOIN mc ON pr.ps_partkey = mc.ps_partkey AND pr.ps_supplycost = mc.min_cost
+         |JOIN part p ON pr.ps_partkey = p.p_partkey
+         |WHERE p.p_type = 'STANDARD'
+         |ORDER BY pr.s_acctbal DESC, pr.n_name, pr.s_name, p.p_partkey
+         |LIMIT 100""".stripMargin,
+    "q11_important_stock" ->
+      s"""WITH $psCte,
+         |v AS (
+         |  SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS value
+         |  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+         |  WHERE s_nationkey = 3
+         |  GROUP BY ps_partkey)
+         |SELECT ps_partkey, round(value, 4) AS value FROM v
+         |WHERE value > 0.004 * (SELECT sum(value) FROM v)
+         |ORDER BY value DESC, ps_partkey""".stripMargin,
+    "q16_parts_supplier" ->
+      s"""WITH $psCte
+         |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM ps JOIN part ON ps_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 4, 15, 22, 30, 44, 49)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_potential_promotion" ->
+      s"""WITH $psCte,
+         |lq AS (
+         |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty FROM lineitem
+         |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+         |  GROUP BY 1, 2)
+         |SELECT DISTINCT s_suppkey, s_name
+         |FROM ps
+         |JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'small%'
+         |JOIN lq ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |JOIN supplier ON ps_suppkey = s_suppkey
+         |WHERE ps_availqty > 0.5 * qty
+         |ORDER BY s_suppkey""".stripMargin,
     "q17_small_quantity_revenue" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey

@@ -614,4 +614,135 @@ object Analytics {
       .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 4).as("totacctbal"))
       .orderBy("c_nationkey")
   }
+
+  // ------------------------------------------------------------------
+  // The partsupp family (round 6): testdata ships no partsupp table,
+  // so the dimension is DERIVED deterministically like the RBAC
+  // entities (SURVEY §3) — 4 supplier rows per part with arithmetic
+  // availqty/supplycost — and the DuckDB oracles replay the derivation
+  // verbatim. This completes the TPC-H query family: q2/q11/q16/q20
+  // are the four members that need supplier-part relationships.
+  // ------------------------------------------------------------------
+
+  /** Derived PartSupp(ps_partkey, ps_suppkey, ps_availqty,
+    * ps_supplycost): supplier k of part p, k = (p·7 + i·13) mod |supplier|
+    * for i in 0..3 (distinct per part for any |supplier| not dividing
+    * 13·{1,2,3}); availqty in [1,1000]; supplycost = (integer mod
+    * arithmetic)/100 — an EXACT 2dp-derived double, identical across
+    * engines (no sums involved), so equality joins on cost are safe.
+    */
+  def partsupp(spark: SparkSession, dir: String): DataFrame = {
+    // |supplier| as a broadcast 1-row aggregate: the derivation stays
+    // lazy and cluster-side, and tracks the scale factor by itself
+    val nsupp = Tables.supplier(spark, dir).agg(count(lit(1)).as("nsupp"))
+    Tables.part(spark, dir).select("p_partkey")
+      .crossJoin(broadcast(nsupp))
+      .select(col("p_partkey"), explode(sequence(lit(0), lit(3))).as("i"), col("nsupp"))
+      .withColumn("ps_suppkey", (col("p_partkey") * 7 + col("i") * 13) % col("nsupp"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        col("ps_suppkey"),
+        ((col("p_partkey") * 31 + col("ps_suppkey") * 7) % 1000 + 1).cast("int")
+          .as("ps_availqty"),
+        (((col("p_partkey") * 13 + col("ps_suppkey") * 5) % 9000 + 100) / 100.0)
+          .as("ps_supplycost"))
+  }
+
+  /** TPC-H Q2 flavor: minimum-cost supplier — for every STANDARD-type
+    * part, the region-1 supplier(s) offering the part at the minimum
+    * cost among region-1 suppliers. The correlated scalar subquery is
+    * decorrelated into a per-part min aggregate joined back; the cost
+    * equality is exact (supplycost is derivation-exact, min picks one
+    * of those values — no float race).
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val regionSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_regionkey") === 1)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val ps = partsupp(spark, dir)
+      .join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
+    val mc = ps.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min("ps_supplycost").as("min_cost"))
+    ps.join(mc, col("ps_partkey") === col("mc_partkey") &&
+        col("ps_supplycost") === col("min_cost"))
+      .join(Tables.part(spark, dir).filter(col("p_type") === "STANDARD"),
+        col("ps_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_brand"), col("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11 flavor: important stock — parts whose nation-3 stock
+    * value exceeds a fixed fraction of the nation's total. Same
+    * scalar-subquery-against-own-aggregate shape as q15: the grouped
+    * value frame is persisted (part-dimension-sized) so the total and
+    * the filter read ONE materialization.
+    */
+  private val q11Cache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val v = q11Cache.getOrElseUpdate(dir,
+      partsupp(spark, dir)
+        .join(Tables.supplier(spark, dir).filter(col("s_nationkey") === 3),
+          col("ps_suppkey") === col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(sum(col("ps_supplycost") * col("ps_availqty")).as("value"))
+        .persist())
+    val total = v.agg(sum(col("value")).as("__tot"))
+    v.crossJoin(broadcast(total))
+      .filter(col("value") > lit(0.004) * col("__tot"))
+      .select(col("ps_partkey"), round(col("value"), 4).as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q16 flavor: parts/supplier relationship — distinct supplier
+    * count per (brand, type, size) over a size list, excluding one
+    * brand and excluding suppliers with negative account balance (the
+    * stand-in for Q16's complaint filter; testdata has no comment
+    * column). NOT IN becomes a left-anti join.
+    */
+  def q16PartsSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val complained = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    partsupp(spark, dir)
+      .join(complained, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Tables.part(spark, dir)
+          .filter(col("p_brand") =!= "Brand#5" &&
+            col("p_size").isin(1, 4, 15, 22, 30, 44, 49)),
+        col("ps_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 flavor: potential part promotion — suppliers of
+    * 'small%' parts whose 1996 stock exceeds half the quantity they
+    * shipped of that part in 1996 (overstocked → promotion candidates).
+    * The nested correlated IN becomes: shipped-quantity aggregate →
+    * equi-join on (part, supplier) → threshold filter → distinct
+    * suppliers. Quantities are integer-valued doubles, so the 0.5·qty
+    * comparison is exact in both engines.
+    */
+  def q20PotentialPromotion(spark: SparkSession, dir: String): DataFrame = {
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").as("qty"))
+    val smallParts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    partsupp(spark, dir)
+      .join(smallParts, col("ps_partkey") === col("p_partkey"))
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") > lit(0.5) * col("qty"))
+      .select("ps_suppkey").distinct()
+      .join(Tables.supplier(spark, dir), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
 }

@@ -1365,6 +1365,10 @@ class Round4PlanSpec extends AnyFunSuite {
       "q19" -> A.q19DiscountedRevenue(spark, sf),
       "q21" -> A.q21WaitingSuppliers(spark, sf),
       "q22" -> A.q22DormantCustomers(spark, sf),
+      "q2" -> A.q2MinCostSupplier(spark, sf),
+      "q11" -> A.q11ImportantStock(spark, sf),
+      "q16" -> A.q16PartsSupplier(spark, sf),
+      "q20" -> A.q20PotentialPromotion(spark, sf),
       "rollup" -> A.revenueRollup(spark, sf))
     val bounded = Set("nation.parquet", "region.parquet")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
