@@ -92,6 +92,7 @@ object SparkEntry {
     // --- F. Multimodal plumbing ---
     "mm_binary_features" -> ((s, d) => Multimodal.features(s, d).toDF().orderBy("media_id")),
     "mm_jpeg_features" -> ((s, d) => Multimodal.jpegFeatures(s, d).toDF().orderBy("media_id")),
+    "mm_png_features" -> ((s, d) => Multimodal.pngFeatures(s, d).toDF().orderBy("media_id")),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
     "mm_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, d)),
     // --- C. Deduplication ---
@@ -101,6 +102,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    "dedup_substring" -> ((s, d) => Dedup.substringSpans(s, d)),
     // --- D. Text analysis ---
     "text_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
@@ -117,6 +119,8 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextOps.tfidf(s, d)),
     "text_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
     "text_chunks" -> ((s, d) => TextOps.chunkDocuments(s, d)),
+    "text_scrub" -> ((s, d) => TextOps.textScrub(s, d)),
+    "docs_dsir_weights" -> ((s, d) => graft.operators.Sampling.dsirWeights(s, d)),
     // --- E. Relational analytics ---
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Analytics.q3ShippingPriority(s, d)),
@@ -155,6 +159,8 @@ object SparkEntry {
     "events_user_setops" -> ((s, d) => Analytics.userSetOps(s, d)),
     "docs_stratified_sample" -> ((s, d) => graft.operators.Sampling.docsStratifiedSample(s, d)),
     "docs_mixture_sample" -> ((s, d) => graft.operators.Sampling.docsMixtureSample(s, d)),
+    "events_funnel" -> ((s, d) => Analytics.eventsFunnel(s, d)),
+    "events_retention" -> ((s, d) => Analytics.eventsRetention(s, d)),
   )
 
   // Shared oracle CTE fragments (must mirror graft.rbac.Rbac's derivation
@@ -1048,6 +1054,89 @@ object SparkEntry {
     "events_user_reach" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // E39: first-touch ordered funnel — each stage's min(ts) must be
+    // strictly after the previous stage's; stage reached = 1 + the two
+    // completion flags. Timestamp comparisons are raw (no epoch math).
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT s1.user_id,
+        |       (1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT)::BIGINT
+        |         AS funnel_stage
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    // C9: duplicated-substring spans — exact 6-word-window replay with
+    // the same run-merge window arithmetic (gap > 6 starts a new span).
+    // The Spark side pre-filters candidates on xxhash64 but VERIFIES on
+    // the literal window text, so the hash never decides a row.
+    "dedup_substring" ->
+      """WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, len(ws)::BIGINT AS n_words, i - 1 AS pos,
+        |             array_to_string(ws[i:i+5], ' ') AS gram
+        |      FROM wd, unnest(generate_series(1, len(ws) - 5)) AS t(i)
+        |      WHERE len(ws) >= 6),
+        |shared AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        |m AS (SELECT doc_id, n_words, pos FROM g
+        |      WHERE gram IN (SELECT gram FROM shared)),
+        |r AS (SELECT doc_id, n_words, pos,
+        |             CASE WHEN lag(pos) OVER w IS NULL
+        |                    OR pos - lag(pos) OVER w > 6 THEN 1 ELSE 0 END AS newrun
+        |      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |rr AS (SELECT doc_id, n_words, pos,
+        |              sum(newrun) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+        |       FROM r),
+        |pr AS (SELECT doc_id, n_words, run, count(*) AS nw,
+        |              max(pos) + 6 - min(pos) AS cov
+        |       FROM rr GROUP BY 1, 2, 3)
+        |SELECT doc_id, sum(nw)::BIGINT AS n_dup_windows,
+        |       sum(cov)::BIGINT AS covered_words, n_words,
+        |       round(sum(cov)::DOUBLE / n_words, 4) AS coverage
+        |FROM pr GROUP BY doc_id, n_words ORDER BY doc_id""".stripMargin,
+    // D14: pattern scrub — the patterns are applied in the same order
+    // (marker, then email) in both engines; RE2 and Java agree on this
+    // regex subset.
+    "text_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\b(?:value|customer)\b'))::BIGINT AS n_marker,
+        |  len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        |  length(regexp_replace(
+        |      regexp_replace(text, '\b(?:value|customer)\b', '[X]', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[X]', 'g'
+        |    ))::BIGINT AS scrubbed_n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // D15: DSIR unigram importance replay — integer micro-nat ratios
+    // summed exactly, divided back only in the report (mirrors
+    // Sampling.dsirWeights' exactness discipline).
+    "docs_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |vocab AS (SELECT w,
+        |                 sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+        |                 sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cs
+        |          FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns, count(*) AS v FROM vocab),
+        |ratio AS (SELECT w,
+        |                 round((ln((ct + 1)::DOUBLE / (nt + v))
+        |                      - ln((cs + 1)::DOUBLE / (ns + v))) * 1e6, 0)::BIGINT AS lr6
+        |          FROM vocab, tot)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |       round(sum(lr6)::DOUBLE / 1e6, 4) AS dsir_logratio
+        |FROM tok JOIN ratio USING (w)
+        |WHERE source <> 'src0'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // E40: cohort retention triangle over event dates.
+    "events_retention" ->
+      """WITH cohort AS (SELECT user_id, min(ts::DATE) AS cohort_date
+        |                FROM events GROUP BY 1)
+        |SELECT cohort_date, date_diff('day', cohort_date, e.ts::DATE) AS day_offset,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_chunks" ->
       """WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws,
         |                  len(string_split(coalesce(text, ''), ' ')) AS n

@@ -328,4 +328,76 @@ object Dedup {
       .select("vec1", "vec2", "cos_sim")
       .orderBy("vec1", "vec2")
   }
+
+  /** C9: duplicated-substring spans — EXACT substring-level dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"): a W-word window is duplicated iff the identical
+    * window occurs in at least one OTHER document; overlapping or
+    * adjacent duplicated windows merge into maximal spans, and each
+    * affected doc reports its duplicated-window count, covered word
+    * count, and coverage fraction — the signal substring dedup cuts on
+    * (the reference paper removes spans ≥ 50 tokens; the
+    * count/coverage report is the policy-free form of the same
+    * computation).
+    *
+    * The reference implementation builds a corpus-wide suffix array —
+    * a single-machine structure. The Spark-native shape is a two-phase
+    * duplicated-window join, exact end to end:
+    *   1. SLIM candidate pass: every window position emits only
+    *      (xxhash64(window), doc_id) into a map-side-combined count —
+    *      the shuffle carries 16 bytes per window, never window text.
+    *      Hashes appearing in one doc only (the overwhelming majority
+    *      by the same FP math as the MinHash bands) are discarded.
+    *   2. STRING verify on the surviving trickle: candidate windows
+    *      re-grouped by their literal text, so a 64-bit hash collision
+    *      can only ever cause extra verify work, never a wrong row —
+    *      same exactness discipline as `verifiedPairs`.
+    * Span merge is a per-doc window function over marked positions
+    * (positions per doc ≤ doc length — the partition is a document,
+    * never the corpus), then two aggregations. No corpus broadcast,
+    * no crossJoin, no global window.
+    */
+  def substringSpans(spark: SparkSession, dir: String, w: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    // ordered window grams with their 0-based start position
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - w),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(w))))))
+      .toDF("doc_id", "n_words", "pos", "gram")
+    val g = grams.withColumn("h", xxhash64(col("gram")))
+    val candHashes = g.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val cand = g.join(candHashes, Seq("h"), "left_semi")
+    val sharedGrams = cand.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("gram")
+    val marked = cand.join(sharedGrams, Seq("gram"), "left_semi")
+      .select("doc_id", "n_words", "pos")
+    // maximal-span merge: a new run starts when the gap to the previous
+    // marked position exceeds W (pos − prev ≤ W keeps word coverage
+    // contiguous, including exactly-adjacent windows)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = marked
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("newrun",
+        when(col("prev").isNull || col("pos") - col("prev") > w, 1L).otherwise(0L))
+      .withColumn("run", sum("newrun").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy("doc_id", "n_words", "run")
+      .agg(count(lit(1)).as("nw"), (max("pos") + w - min("pos")).as("cov"))
+      .groupBy("doc_id", "n_words")
+      .agg(sum("nw").as("n_dup_windows"), sum("cov").as("covered_words"))
+      .select(col("doc_id"),
+        col("n_dup_windows").cast("bigint").as("n_dup_windows"),
+        col("covered_words").cast("bigint").as("covered_words"),
+        col("n_words"),
+        round(col("covered_words").cast("double") / col("n_words"), 4).as("coverage"))
+      .orderBy("doc_id")
+  }
 }

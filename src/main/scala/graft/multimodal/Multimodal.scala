@@ -133,23 +133,54 @@ object Multimodal {
       }
   }
 
+  /** Real PNG via the same JDK codec — the LOSSLESS compressed branch:
+    * unlike JPEG, the decoded plane is bit-identical to the source
+    * pixels, so the PNG spec asserts mean luma EXACTLY equal to the
+    * uncompressed PGM's, not within a lossy tolerance.
+    */
+  private def synthPng(docId: Long, seed: Array[Byte]): Array[Byte] = {
+    val w = 16 + (docId % 16).toInt
+    val h = 16 + ((docId / 16) % 16).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, pixels(seed, w * h))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** PNG variant of the media table (same image slots as jpegTable). */
+  def pngTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .filter(_._1 % 3 == 0)
+      .map { case (docId, text) =>
+        MediaRow(docId, "image", synthPng(docId, text.getBytes("UTF-8")))
+      }
+  }
+
   // --- decode kernels (real parsers) ---
 
-  /** Image dispatch by MAGIC: JPEG's SOI marker (FF D8) routes to the
-    * imageio codec, netpbm's "P5" to the PGM parser — the sniff every
-    * real media pipeline does before touching a codec (content types
-    * lie; magic bytes don't).
+  /** Image dispatch by MAGIC: JPEG's SOI marker (FF D8) and PNG's
+    * signature (89 'PNG') route to the imageio codec, netpbm's "P5" to
+    * the PGM parser — the sniff every real media pipeline does before
+    * touching a codec (content types lie; magic bytes don't).
     */
   private def decodeImage(p: Array[Byte]): (Int, Int, Double) =
-    if (p.length > 2 && (p(0) & 0xff) == 0xFF && (p(1) & 0xff) == 0xD8) decodeJpeg(p)
+    if (p.length > 2 && (p(0) & 0xff) == 0xFF && (p(1) & 0xff) == 0xD8) decodeImageIo(p)
+    else if (p.length > 4 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+      p(2) == 'N' && p(3) == 'G') decodeImageIo(p)
     else decodePgm(p)
 
-  /** Decode JPEG via the JDK codec (javax.imageio): dims + mean luma
-    * of band 0 over the decoded raster.
+  /** Decode JPEG/PNG via the JDK codec (javax.imageio — format picked
+    * by the codec's own signature scan): dims + mean luma of band 0
+    * over the decoded raster.
     */
-  private def decodeJpeg(p: Array[Byte]): (Int, Int, Double) = {
+  private def decodeImageIo(p: Array[Byte]): (Int, Int, Double) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-    require(img != null, "undecodable JPEG")
+    require(img != null, "undecodable image")
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
     var s = 0L; var y = 0
@@ -230,6 +261,10 @@ object Multimodal {
     */
   def jpegFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] =
     featuresOf(spark, jpegTable(spark, dir))
+
+  /** F4b: the registry over the PNG table — lossless compressed branch. */
+  def pngFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] =
+    featuresOf(spark, pngTable(spark, dir))
 
   private def featuresOf(spark: SparkSession,
                          media: Dataset[MediaRow]): Dataset[MediaFeatures] = {

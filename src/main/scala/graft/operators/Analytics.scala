@@ -745,4 +745,63 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"))
       .orderBy("s_suppkey")
   }
+
+  /** E39: ordered funnel — per user, the furthest stage reached in the
+    * strictly-ordered sequence view → click → purchase (each step's
+    * event must be strictly AFTER the previous step's earliest
+    * completion; the classic product-analytics funnel with
+    * first-touch semantics).
+    *
+    * Shape: one filtered aggregation per stage (event_type is a pushed
+    * scan filter, min(ts) partial-aggregates map-side) joined on the
+    * user dimension. The fact table is scanned once per stage but each
+    * scan reads one type's slice; every join key is user_id, so at
+    * scale all three stage frames share one user-keyed partitioning and
+    * AQE broadcasts them at small SF. No windows, no collect_list —
+    * a hot user costs one aggregation row, not a buffered event array.
+    *
+    * Sub-second timestamps: strictness (`>`), not equality-tolerance,
+    * decides stage advancement, and the comparison is on the raw
+    * timestamp in both engines — no epoch rounding anywhere.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def stage(t: String) = ev.filter(col("event_type") === t)
+    val s1 = stage("view").groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = stage("click").join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = stage("purchase").join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.join(s2.select(col("user_id"), lit(1).as("has2")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), lit(1).as("has3")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1L) + coalesce(col("has2"), lit(0)).cast("long")
+          + coalesce(col("has3"), lit(0)).cast("long")).as("funnel_stage"))
+      .orderBy("user_id")
+  }
+
+  /** E40: cohort retention — users grouped by the DATE of their first
+    * event (the cohort), counted on each later active day as an offset
+    * from that date. The output is the classic retention triangle
+    * (cohort_date, day_offset, n_users).
+    *
+    * Shape: one user-keyed aggregation for the cohort dimension
+    * (user-dim-sized), joined back to the fact on user_id (AQE
+    * broadcast at small SF, shuffle join on the same user key at
+    * scale), then a distinct-count aggregation on the slim
+    * (cohort, offset, user) triple. Dates only — no float arithmetic,
+    * the oracle matches bit-for-bit.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohort = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_date"))
+    ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_date"),
+        datediff(col("day"), col("cohort_date")).cast("long").as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_date", "day_offset")
+  }
 }

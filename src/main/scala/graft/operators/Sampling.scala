@@ -96,4 +96,56 @@ object Sampling {
       Tables.documents(spark, dir).select("doc_id", "source"),
       "doc_id", "source", D12Recipe)
       .orderBy("doc_id")
+
+  /** D15: DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw-pool document by how target-like it is under two
+    * unigram language models — per-token log-likelihood ratio
+    * log p_target(w) − log p_raw(w), summed over the document's
+    * tokens. Resampling the pool by these weights is the modern
+    * quality-targeting step between dedup and tokenization; the
+    * weights are the operator, thresholding/sampling is policy (the
+    * D11/D12 samplers compose downstream).
+    *
+    * Both LMs use add-1 smoothing over the JOINT vocabulary, so every
+    * token has finite mass under both models. Exactness discipline:
+    * the per-WORD log ratio is quantized to an INTEGER (micro-nats) in
+    * the vocabulary dimension, the per-doc sum runs on BIGINTs (exact
+    * under any aggregation order — a float sum here would be
+    * order-dependent in the last bits and could round differently in
+    * the two engines), and only the final report divides back to a
+    * 4-decimal double from identical integers.
+    *
+    * Shape at 100 TB: one exploded-token aggregation builds BOTH
+    * vocab count columns in a single shuffle (map-side combined; the
+    * vocabulary, not the corpus, is the aggregate's cardinality — it
+    * grows sublinearly by Heaps' law); totals are a 1-row broadcast;
+    * the token→ratio attach is an unhinted equi-join on the word
+    * (AQE broadcasts the vocab frame while it fits, shuffles past
+    * that); the per-doc sum is the second and last corpus shuffle.
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  targetSource: String = "src0"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    val vocab = tok.groupBy("w").agg(
+      sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("cs"))
+    // 1-row totals frame: target tokens, raw tokens, joint vocab size
+    val totals = vocab.agg(sum("ct").as("nt"), sum("cs").as("ns"),
+      count(lit(1)).as("v"))
+    val ratio = vocab.join(broadcast(totals))
+      .select(col("w"), round(
+        (log((col("ct") + 1).cast("double") / (col("nt") + col("v"))) -
+          log((col("cs") + 1).cast("double") / (col("ns") + col("v")))) * 1e6,
+        0).cast("bigint").as("lr6"))
+    tok.filter(col("source") =!= targetSource)
+      .join(ratio, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+        round(sum("lr6").cast("double") / 1e6, 4).as("dsir_logratio"))
+      .orderBy("doc_id")
+  }
 }

@@ -229,6 +229,53 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** The PII preset patterns every scrub pass starts from. Written in
+    * the common regex subset (character classes, bounded repetition,
+    * word boundaries, non-capturing groups) that Java's engine and the
+    * oracle's RE2 interpret identically.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+    "phone" -> "\\+?\\d[\\d -]{7,}\\d")
+
+  /** D14: pattern scrub — the redaction pass every training pipeline
+    * runs before text leaves the trust boundary (PII, secrets, markup).
+    * Per document: one match count per pattern plus the post-scrub
+    * character length, with the patterns applied IN ORDER (order is
+    * part of the contract — overlapping patterns see the previous
+    * pattern's replacements, and the oracle replays the same chain).
+    *
+    * Pure per-row column pipeline: regexp_extract_all / regexp_replace
+    * are codegen'd builtins, so the whole operator is one scan with no
+    * shuffle — per-row regex cost is the only cost, exactly what you
+    * want at 100 TB. Counts and scrub share the single text read.
+    */
+  def patternScrub(docs: DataFrame, patterns: Seq[(String, String)],
+                   token: String = "[X]"): DataFrame = {
+    val counts = patterns.map { case (nm, re) =>
+      size(regexp_extract_all(col("text"), lit(re), lit(0)))
+        .cast("bigint").as(s"n_$nm")
+    }
+    val scrubbed = patterns.foldLeft(col("text")) { case (c, (_, re)) =>
+      regexp_replace(c, re, token)
+    }
+    docs.select(
+      (col("doc_id") +: counts :+
+        length(scrubbed).cast("bigint").as("scrubbed_n_chars")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** The `text_scrub` query: the email PII preset plus a corpus-live
+    * marker pattern (the synthetic corpus carries no PII strings, so
+    * the preset column exercises the zero-match path while the marker
+    * pattern exercises real match/replace arithmetic; ScrubSpec plants
+    * genuine emails/IPs/phones and asserts the full preset list).
+    */
+  def textScrub(spark: SparkSession, dir: String): DataFrame =
+    patternScrub(Tables.documents(spark, dir),
+      Seq("marker" -> "\\b(?:value|customer)\\b", "email" -> piiPatterns.head._2))
+
   /** D5: corpus-level top word-bigrams (explode → one shuffle with
     * map-side partial aggregation — the canonical n-gram count shape).
     */

@@ -310,6 +310,24 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG round-trip: lossless codec branch reproduces the PGM plane exactly") {
+    val pgm = Multimodal.features(spark, sf).collect()
+      .filter(_.kind == "image").map(f => f.media_id -> f).toMap
+    val png = Multimodal.pngFeatures(spark, sf).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(png.keySet == pgm.keySet && png.nonEmpty)
+    png.foreach { case (id, f) =>
+      assert(f.width == pgm(id).width && f.height == pgm(id).height,
+        s"media $id: png dims ${f.width}x${f.height} != pgm")
+      // PNG is lossless: the decoded mean luma must be EXACTLY the
+      // PGM's (both rounded to 4dp from identical pixel sums)
+      assert(f.mean_intensity == pgm(id).mean_intensity,
+        s"media $id: png mean ${f.mean_intensity} != pgm ${pgm(id).mean_intensity}")
+      assert(f.checksum != pgm(id).checksum || f.n_bytes != pgm(id).n_bytes,
+        s"media $id: png payload is byte-identical to the PGM payload")
+    }
+  }
+
   test("frame sampling emits stride-spaced indices per video") {
     val rows = Multimodal.frameSamplePlan(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -1980,5 +1998,177 @@ class PartitionIvfSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val recall = probed.intersect(exact.toSet).size / 10.0
     assert(recall >= 0.5, s"nprobe=2 recall too low: $recall")
+  }
+}
+
+class FunnelRetentionSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.operators.Analytics
+
+  test("funnel stages are strictly ordered (out-of-order steps don't count)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    // Tables.events reads the driver's int64-nanosecond encoding
+    def t(min: Long): Long = min * 60L * 1000000000L
+    // u1: full ordered funnel; u2: click BEFORE first view (stage 1);
+    // u3: purchase before click (stage 2); u4: no view at all (absent)
+    Seq(
+      (1L, t(600), 1L, "view", 0.0, "{}"),
+      (2L, t(601), 1L, "click", 0.0, "{}"),
+      (3L, t(602), 1L, "purchase", 0.0, "{}"),
+      (4L, t(540), 2L, "click", 0.0, "{}"),
+      (5L, t(600), 2L, "view", 0.0, "{}"),
+      (6L, t(600), 3L, "view", 0.0, "{}"),
+      (7L, t(599), 3L, "purchase", 0.0, "{}"),
+      (8L, t(630), 3L, "click", 0.0, "{}"),
+      (9L, t(600), 4L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.eventsFunnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L), s"got $got")
+  }
+
+  test("retention triangle: offset 0 covers every user once per cohort") {
+    val rows = Analytics.eventsRetention(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every cohort has an offset-0 row (the first-activity day itself)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      assert(rs.exists(_._2 == 0L), s"cohort $c missing offset 0")
+      // no offset can count more users than the cohort's day-0 count
+      val day0 = rs.find(_._2 == 0L).get._3
+      rs.foreach { case (_, off, n) =>
+        assert(n <= day0, s"cohort $c offset $off: $n > day0 $day0") }
+    }
+    // total day-0 users = all users (everyone belongs to exactly one cohort)
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == users)
+  }
+}
+
+class ScrubSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.text.TextOps
+
+  test("PII presets find and redact planted emails, IPs and phones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob.smith+x@mail.co.uk today"),
+      (2L, "server at 10.0.255.7 and backup at 192.168.1.1"),
+      (3L, "call +1 555 123 4567 or 020-7946-0958 now"),
+      (4L, "clean text with no sensitive content at all"))
+      .toDF("doc_id", "text")
+    val got = TextOps.patternScrub(docs, TextOps.piiPatterns).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L)._1 == 2, s"emails: ${got(1L)}")
+    assert(got(2L)._2 == 2, s"ips: ${got(2L)}")
+    assert(got(3L)._3 == 2, s"phones: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0L, 43L)), s"clean doc changed: ${got(4L)}")
+    // redaction really shrinks the scrubbed length for every PII doc
+    Seq(1L, 2L, 3L).foreach { id =>
+      val orig = docs.filter(col("doc_id") === id).head().getString(1).length
+      assert(got(id)._4 < orig, s"doc $id not redacted")
+    }
+  }
+
+  test("scrub chains replacements in order; counts read the original text") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb aa")).toDF("doc_id", "text")
+    // replacement chain: "aa bb aa" -> "[X] bb [X]" -> "[X] [X]" (7
+    // chars) — the second pattern only matches the FIRST pattern's
+    // output, proving the chain; match counts run on the original
+    // text, so the second pattern counts 0 there
+    val r = TextOps.patternScrub(docs, Seq("a" -> "aa", "x" -> "\\[X\\] bb"))
+      .head()
+    assert(r.getLong(1) == 2 && r.getLong(2) == 0 && r.getLong(3) == 7,
+      s"${r.toSeq}")
+  }
+}
+
+class SubstringDedupSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.dedup.Dedup
+
+  test("duplicated spans: planted duplicate windows merge into maximal runs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("subdup").toString
+    val shared = (1 to 9).map(i => s"tok$i").mkString(" ") // 9 shared words
+    val docs = Seq(
+      (1L, s"alpha $shared omega"),
+      (2L, s"$shared beta gamma delta"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("srcX"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.substringSpans(spark, dir, w = 6).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    // doc1: shared block at positions 1..9 → windows start at 1..4 (4
+    // windows), one run covering words 1..9 (9 words of 11)
+    assert(got(1L) == ((4L, 9L, 11L, math.rint(9.0 / 11 * 10000) / 10000)), s"${got(1L)}")
+    // doc2: same block at positions 0..8 → 4 windows, 9 of 12 words
+    assert(got(2L) == ((4L, 9L, 12L, 0.75)), s"${got(2L)}")
+    assert(!got.contains(3L), "unique doc must not appear")
+  }
+
+  test("two-phase hash+verify equals a direct string-only formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val w = 6
+    val docs = graft.Tables.documents(spark, sf)
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - w),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(w))))))
+      .toDF("doc_id", "n_words", "pos", "gram")
+    // single-phase: group by the literal string only (no hash prefilter)
+    val sharedGrams = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > 1).select("gram")
+    val marked = grams.join(sharedGrams, Seq("gram"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val direct = marked
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("newrun",
+        when(col("prev").isNull || col("pos") - col("prev") > w, 1L).otherwise(0L))
+      .withColumn("run", sum("newrun").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "n_words", "run")
+      .agg(count(lit(1)).as("nw"), (max("pos") + w - min("pos")).as("cov"))
+      .groupBy("doc_id", "n_words")
+      .agg(sum("nw").as("n_dup_windows"), sum("cov").as("covered_words"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val twoPhase = Dedup.substringSpans(spark, sf, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twoPhase == direct, "hash-prefiltered result diverged from string-only")
+  }
+}
+
+class DsirSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.operators.Sampling
+
+  test("DSIR weights rank target-vocabulary docs above off-target docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    val target = "alpha beta gamma delta alpha beta gamma delta"
+    Seq(
+      (1L, target, "src0"),                          // the target defn
+      (2L, "alpha beta gamma delta alpha beta", "srcA"), // target-like
+      (3L, "zeta eta theta iota kappa lambda", "srcA"))  // off-target
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Sampling.dsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(2L, 3L), s"only pool docs scored: $got")
+    assert(got(2L) > got(3L),
+      s"target-like doc must outscore off-target: $got")
+    assert(got(2L) > 0 && got(3L) < 0,
+      s"signs must separate target-like from off-target: $got")
   }
 }
