@@ -161,6 +161,9 @@ object SparkEntry {
     "docs_mixture_sample" -> ((s, d) => graft.operators.Sampling.docsMixtureSample(s, d)),
     "events_funnel" -> ((s, d) => Analytics.eventsFunnel(s, d)),
     "events_retention" -> ((s, d) => Analytics.eventsRetention(s, d)),
+    "events_outliers" -> ((s, d) => Analytics.eventsOutliers(s, d)),
+    "docs_corpus_shuffle" -> ((s, d) => graft.operators.Sampling.corpusShuffle(s, d)),
+    "docs_upsert" -> ((s, d) => graft.operators.Cdc.docsUpsert(s, d)),
   )
 
   // Shared oracle CTE fragments (must mirror graft.rbac.Rbac's derivation
@@ -1129,6 +1132,58 @@ object SparkEntry {
         |FROM tok JOIN ratio USING (w)
         |WHERE source <> 'src0'
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // E41: Tukey-fence outliers — fences from 4dp-rounded exact
+    // quantiles with the identical expression shape as the Spark side,
+    // so the comparison doubles are bit-equal (fences deliberately NOT
+    // re-rounded: the ·1.5 products land on 4dp half-way ties where
+    // the engines' rounding modes disagree).
+    "events_outliers" ->
+      """WITH q AS (SELECT event_type,
+        |                  round(quantile_cont(value, 0.25), 4) AS q1,
+        |                  round(quantile_cont(value, 0.75), 4) AS q3
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |b AS (SELECT event_type,
+        |             q1 - 1.5 * (q3 - q1) AS lo,
+        |             q3 + 1.5 * (q3 - q1) AS hi FROM q)
+        |SELECT e.event_id, e.event_type, e.value, b.lo, b.hi,
+        |       CASE WHEN e.value < b.lo THEN 'low' ELSE 'high' END AS side
+        |FROM events e JOIN b USING (event_type)
+        |WHERE e.value IS NOT NULL AND (e.value < b.lo OR e.value > b.hi)
+        |ORDER BY e.event_id""".stripMargin,
+    // D16: seeded deterministic corpus shuffle — the oracle replays the
+    // identical md5(doc_id:seed) global ordering.
+    "docs_corpus_shuffle" ->
+      """SELECT doc_id,
+        |       (row_number() OVER (ORDER BY md5(doc_id::VARCHAR || ':42')) - 1)::BIGINT
+        |         AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // H8: CDC upsert — derivation, LWW window, anti-join/union replay.
+    "docs_upsert" ->
+      """WITH ch AS (
+        |  SELECT doc_id, text || ' u1' AS text, lang, source,
+        |         1::BIGINT AS version, 'upsert' AS op
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text || ' u2', lang, source, 2::BIGINT, 'upsert'
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL, lang, source, 3::BIGINT, 'delete'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'ins ' || doc_id::VARCHAR, lang, 'cdc',
+        |         1::BIGINT, 'upsert'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |latest AS (
+        |  SELECT doc_id, text, source, version, op FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT b.doc_id, b.source, length(b.text)::BIGINT AS n_chars_final,
+        |       0::BIGINT AS version
+        |FROM documents b WHERE b.doc_id NOT IN (SELECT doc_id FROM latest)
+        |UNION ALL
+        |SELECT doc_id, source, length(text)::BIGINT, version
+        |FROM latest WHERE op <> 'delete'
+        |ORDER BY doc_id""".stripMargin,
     // E40: cohort retention triangle over event dates.
     "events_retention" ->
       """WITH cohort AS (SELECT user_id, min(ts::DATE) AS cohort_date

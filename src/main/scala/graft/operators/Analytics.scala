@@ -782,6 +782,61 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** E41: exact-IQR outlier detection — events whose value falls
+    * outside [q1 − 1.5·IQR, q3 + 1.5·IQR] of their event type (the
+    * Tukey-fence anomaly screen every metrics pipeline runs). Exact
+    * quantiles, not approximations: q1/q3 reuse E8's distributed
+    * machinery verbatim — per-type count, one window-ranked shuffle
+    * keyed on the type, only the two bracketing ranks contribute to
+    * each quantile — so the fences are deterministic and the oracle
+    * replays them with quantile_cont.
+    *
+    * Float discipline: q1/q3 are rounded to 4dp (E8's contract), then
+    * the fences stay UNROUNDED — computed from the rounded quantiles
+    * with the identical expression shape on both engines
+    * (q1 − 1.5·(q3 − q1)), they are bit-identical doubles, whereas a
+    * second 4dp round would sit exactly on half-way ties (the ·1.5
+    * products end in …25/…75) where Spark's half-up and the oracle's
+    * rounding disagree. Identical doubles in, identical comparisons
+    * out. The fence frame is
+    * |event_type|-sized (a bounded dimension), so its broadcast is
+    * policy-compliant; the fact table is scanned once and never
+    * shuffled for the screen itself.
+    */
+  def eventsOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "event_type", "value")
+      .filter(col("value").isNotNull)
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("value")))
+      .join(broadcast(counts.withColumnRenamed("event_type", "__et")),
+        col("event_type") <=> col("__et"))
+      .drop("__et")
+    // E8's exact interpolated-quantile form — same arithmetic order as
+    // DuckDB's quantile_cont so the 4dp rounding cannot flip
+    def q(p: Double): Column = {
+      val pos = lit(p) * (col("n") - 1)
+      val lo = floor(pos)
+      val frac = pos - lo
+      val vlo = sum(when(col("rn") === lo + 1, col("value")))
+      val vhi = sum(when(col("rn") === lo + 2, col("value")))
+      round(vlo + (coalesce(vhi, vlo) - vlo) * max(frac), 4)
+    }
+    val fences = ranked.groupBy("event_type")
+      .agg(q(0.25).as("q1"), q(0.75).as("q3"))
+      .select(col("event_type").as("__et"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+    ev.join(broadcast(fences), col("event_type") === col("__et"))
+      .filter(col("value") < col("lo") || col("value") > col("hi"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("lo"), col("hi"),
+        when(col("value") < col("lo"), "low").otherwise("high").as("side"))
+      .orderBy("event_id")
+  }
+
   /** E40: cohort retention — users grouped by the DATE of their first
     * event (the cohort), counted on each later active day as an offset
     * from that date. The output is the classic retention triangle

@@ -97,6 +97,44 @@ object Sampling {
       "doc_id", "source", D12Recipe)
       .orderBy("doc_id")
 
+  /** D16: deterministic corpus shuffle — the global training-order
+    * randomization every pretraining run does between mixing and
+    * packing (a biased order — by source, by crawl date — measurably
+    * hurts convergence; the shuffle must also be REPRODUCIBLE, so
+    * "random" means a seeded hash of the stable doc id, never a
+    * runtime RNG).
+    *
+    * Shape at 100 TB: ordering by md5(doc_id:seed) is a range
+    * repartition on the hash key — Spark's range partitioner samples
+    * split points, so the sort is distributed and no task ever holds
+    * more than its partition. The GLOBAL position is then assigned
+    * with the same two-phase prefix sum as D8's packer: per-bucket
+    * local ranks (window partitioned by bucket — one bucket, not the
+    * corpus, per task) plus a ≤#buckets-row base-offset frame
+    * broadcast back. No global window, no driver collect; the oracle
+    * replays the identical md5 ordering.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(s":$seed")).cast("binary")).as("k"))
+    val nb = spark.sparkContext.defaultParallelism
+    // range partitions are ordered by key, so bucket order == key order
+    val bucketed = docs.repartitionByRange(nb, col("k"))
+      .withColumn("bucket", spark_partition_id())
+    val local = bucketed.withColumn("local_rn",
+      row_number().over(Window.partitionBy("bucket").orderBy("k")))
+    val bases = bucketed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("base", coalesce(sum("cnt").over(Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))) // ≤ nb rows
+      .select("bucket", "base")
+    local.join(broadcast(bases), "bucket")
+      .select(col("doc_id"),
+        (col("base") + col("local_rn") - 1).cast("bigint").as("shuffle_pos"))
+      .orderBy("doc_id")
+  }
+
   /** D15: DSIR-style importance weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every raw-pool document by how target-like it is under two

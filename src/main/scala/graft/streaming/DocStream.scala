@@ -97,4 +97,43 @@ object DocStream {
     graft.operators.Sampling.mixtureByHash(
       Tables.documents(spark, dir).select("doc_id", "source"),
       "doc_id", "source", mixtureWeights)
+
+  /** G10: streaming CDC apply — H8's last-writer-wins merge at the
+    * ingest edge: a stream of versioned changes is folded into
+    * per-key current state with `flatMapGroupsWithState`, so a sink
+    * always sees the highest-version row per key (or a delete
+    * tombstone). State is ONE row per live key — the streaming-native
+    * form of the batch window in `Cdc.latestChanges`, which the spec
+    * asserts it matches exactly. The change DERIVATION is
+    * `Cdc.changesOf` verbatim (a stateless column pipeline, so it
+    * runs identically on a streaming frame); only the LWW fold needs
+    * state.
+    */
+  def cdcApplyStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val changes = graft.operators.Cdc.changesOf(
+      spark.readStream.schema(rawSchema)
+        .parquet(Staging.stageFile(dir, "documents.parquet")))
+      .select(col("doc_id"), col("version"), col("op"),
+        coalesce(length(col("text")), lit(-1L)).cast("bigint").as("n_chars"))
+      .as[(Long, Long, String, Long)]
+    changes.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String, Long), (Long, Long, String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        val prior = state.getOption
+        val best = (prior.iterator ++ rows).maxBy(_._2)
+        state.update(best)
+        Iterator(best)
+      }.toDF("doc_id", "version", "op", "n_chars")
+  }
+
+  /** Batch mirror of the streaming CDC fold: the LWW winner per key
+    * from the SAME derived batch, shaped identically.
+    */
+  def cdcApplyBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.latestChanges(
+      graft.operators.Cdc.changesOf(Tables.documents(spark, dir)), "doc_id")
+      .select(col("doc_id"), col("version"), col("op"),
+        coalesce(length(col("text")), lit(-1L)).cast("bigint").as("n_chars"))
 }

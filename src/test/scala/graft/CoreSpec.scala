@@ -2172,3 +2172,106 @@ class DsirSpec extends AnyFunSuite {
       s"signs must separate target-like from off-target: $got")
   }
 }
+
+class CdcSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.operators.Cdc
+
+  test("upsert apply: LWW, deletes, inserts, untouched base") {
+    val got = Cdc.docsUpsert(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    val baseIds = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    baseIds.foreach { id =>
+      if (id % 7 == 0) assert(!got.contains(id), s"doc $id not deleted")
+      else if (id % 10 == 0) assert(got(id)._2 == 2L, s"doc $id LWW lost: ${got(id)}")
+      else if (id % 5 == 0) assert(got(id)._2 == 1L, s"doc $id not updated")
+      else assert(got(id)._2 == 0L, s"untouched doc $id got version ${got(id)}")
+      if (id % 11 == 0)
+        assert(got(id + 10000000L) == (("cdc", 1L)), s"insert for $id missing")
+    }
+    // updated docs really carry the winning text (length grew by the tag)
+    val lens = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Cdc.docsUpsert(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    baseIds.filter(id => id % 5 == 0 && id % 7 != 0).foreach { id =>
+      assert(n(id) == lens(id) + 3, s"doc $id length: ${n(id)} vs base ${lens(id)}")
+    }
+  }
+
+  test("upsert apply is idempotent on the final state") {
+    import graft.Tables
+    val base = Tables.documents(spark, sf).select("doc_id", "text", "lang", "source")
+    val ch = Cdc.changesOf(base)
+    val once = Cdc.upsertApply(base, ch, "doc_id")
+    // re-apply to the merged state (drop version to restore base shape)
+    val twice = Cdc.upsertApply(once.drop("version"), ch, "doc_id")
+    val a = once.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val b = twice.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(a == b, "second apply changed the state")
+  }
+
+  test("G10 streaming CDC fold equals the batch LWW winner per key") {
+    import graft.streaming.{DocStream, EventStream}
+    import org.apache.spark.sql.streaming.OutputMode
+    EventStream.runToMemory(spark,
+      DocStream.cdcApplyStream(spark, sf), "g10cdc", OutputMode.Update)
+    // Update-mode memory sink appends each emission; keep the LAST per key
+    val stream = spark.sql("SELECT * FROM g10cdc").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    val batch = DocStream.cdcApplyBatch(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(stream == batch, "stream state diverged from batch LWW")
+  }
+}
+
+class OutlierShuffleSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.operators.{Analytics, Sampling}
+
+  test("outlier fences catch planted extremes and only extremes") {
+    val rows = Analytics.eventsOutliers(spark, sf).collect()
+    // every reported row really violates its own reported fence
+    rows.foreach { r =>
+      val (v, lo, hi, side) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getString(5))
+      assert(v < lo || v > hi, s"row $r inside fences")
+      assert(side == (if (v < lo) "low" else "high"), s"side mislabeled: $r")
+    }
+    // fences are per-type: non-outliers all sit inside their fences
+    val fenced = rows.map(r => r.getString(1) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    val flagged = rows.map(_.getLong(0)).toSet
+    graft.Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").collect()
+      .filter(r => !r.isNullAt(2) && fenced.contains(r.getString(1)))
+      .filterNot(r => flagged(r.getLong(0)))
+      .foreach { r =>
+        val (lo, hi) = fenced(r.getString(1))
+        val v = r.getDouble(2)
+        assert(v >= lo && v <= hi, s"unflagged outlier: $r vs [$lo,$hi]")
+      }
+  }
+
+  test("corpus shuffle is a deterministic permutation that scatters sources") {
+    val rows = Sampling.corpusShuffle(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val n = rows.length
+    assert(rows.map(_._2).sorted.toSeq == (0L until n).toSeq,
+      "positions are not a 0..n-1 permutation")
+    val again = Sampling.corpusShuffle(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.toMap == again.toMap, "shuffle not deterministic")
+    // a different seed produces a different order
+    val other = Sampling.corpusShuffle(spark, sf, seed = 7L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.exists { case (id, p) => other(id) != p }, "seed ignored")
+    // doc_id order and shuffle order decorrelate: the first 10% of
+    // positions must not be the first 10% of ids
+    val firstTenth = rows.toMap.collect { case (id, p) if p < n / 10 => id }
+    assert(firstTenth.count(_ < n / 10) < n / 20, "shuffle preserved id order")
+  }
+}
