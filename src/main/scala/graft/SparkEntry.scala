@@ -164,6 +164,7 @@ object SparkEntry {
     "events_outliers" -> ((s, d) => Analytics.eventsOutliers(s, d)),
     "docs_corpus_shuffle" -> ((s, d) => graft.operators.Sampling.corpusShuffle(s, d)),
     "docs_upsert" -> ((s, d) => graft.operators.Cdc.docsUpsert(s, d)),
+    "q_revenue_incremental" -> ((s, d) => graft.operators.Ivm.revenueIncremental(s, d)),
   )
 
   // Shared oracle CTE fragments (must mirror graft.rbac.Rbac's derivation
@@ -1184,6 +1185,13 @@ object SparkEntry {
         |SELECT doc_id, source, length(text)::BIGINT, version
         |FROM latest WHERE op <> 'delete'
         |ORDER BY doc_id""".stripMargin,
+    // H10: the oracle is the PLAIN aggregate over all orders — passing
+    // it proves the incremental state-merge path lands on exactly the
+    // rows a full recompute would.
+    "q_revenue_incremental" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue,
+        |       count(*)::BIGINT AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // E40: cohort retention triangle over event dates.
     "events_retention" ->
       """WITH cohort AS (SELECT user_id, min(ts::DATE) AS cohort_date

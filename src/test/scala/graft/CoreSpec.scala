@@ -2275,3 +2275,104 @@ class OutlierShuffleSpec extends AnyFunSuite {
     assert(firstTenth.count(_ < n / 10) < n / 20, "shuffle preserved id order")
   }
 }
+
+class IvmSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.operators.Ivm
+
+  test("incremental merge equals full recompute, including retractions") {
+    import graft.Tables
+    val orders = Tables.orders(spark, sf)
+    // phase 1: insert delta (the query's own path)
+    val inc = graft.operators.Ivm.revenueIncremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val full = orders.groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 4).as("r"), count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(inc == full, "insert merge diverged from recompute")
+    // phase 2: retract the same 10% back out — state must equal the base
+    val base = orders.filter(col("o_orderkey") % 10 =!= 0)
+    val delta = orders.filter(col("o_orderkey") % 10 === 0)
+    val state0 = orders.groupBy("o_custkey").agg(
+      sum(col("o_totalprice")).as("m_sum"), count(lit(1)).as("n"))
+    val retracted = Ivm.mergeAggState(state0,
+      Ivm.deltaAgg(delta.withColumn("weight", lit(-1L)), "o_custkey", "o_totalprice"),
+      "o_custkey")
+    val got = retracted.select(col("o_custkey"), round(col("m_sum"), 4), col("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val want = base.groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 4).as("r"), count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got.keySet == want.keySet, "vanished/extra groups after retraction")
+    got.foreach { case (k, (r, n)) =>
+      assert(n == want(k)._2, s"cust $k count: $n vs ${want(k)._2}")
+      assert(math.abs(r - want(k)._1) < 1e-6, s"cust $k sum: $r vs ${want(k)._1}")
+    }
+    // a customer whose ONLY orders were retracted must vanish entirely
+    val onlyDelta = orders.groupBy("o_custkey").agg(
+      sum(when(col("o_orderkey") % 10 =!= 0, 1L).otherwise(0L)).as("nb"))
+      .filter(col("nb") === 0).select("o_custkey").collect().map(_.getLong(0))
+    onlyDelta.foreach(k => assert(!got.contains(k), s"cust $k should have vanished"))
+  }
+}
+
+class FileStatsSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.sources.FileStats
+
+  test("skipping scan prunes files on a clustered layout, results exact") {
+    val dir = java.nio.file.Files.createTempDirectory("fstats").toString
+    val table = s"$dir/events_by_value"
+    // clustered layout: range-sorted by value -> tight per-file envelopes
+    graft.Tables.events(spark, sf)
+      .select("event_id", "event_type", "value")
+      .filter(col("value").isNotNull)
+      .repartitionByRange(8, col("value"))
+      .sortWithinPartitions("value")
+      .write.mode("overwrite").parquet(table)
+    FileStats.writeSidecar(spark, table, "value")
+    // the table reads back identically with the sidecar in place
+    // (underscore paths are invisible to parquet discovery)
+    val n = spark.read.parquet(table).count()
+    assert(n == graft.Tables.events(spark, sf).filter(col("value").isNotNull).count())
+    // narrow band: prunes most files, rows identical to the full scan
+    val vals = spark.read.parquet(table).select("value")
+      .collect().map(_.getDouble(0)).sorted
+    val (lo, hi) = (vals(vals.length / 3), vals(vals.length / 3 + vals.length / 20))
+    val (pruned, matched, total) = FileStats.skippingScan(spark, table, "value", lo, hi)
+    assert(total == 8, s"expected 8 files, saw $total")
+    assert(matched <= 2, s"narrow band should touch <=2 of 8 files, touched $matched")
+    val got = pruned.select("event_id").collect().map(_.getLong(0)).toSet
+    val want = spark.read.parquet(table)
+      .filter(col("value") >= lo && col("value") <= hi)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, "pruned scan diverged from full scan")
+    // empty band short-circuits to zero files and zero rows
+    val (empty, m0, _) = FileStats.skippingScan(spark, table, "value",
+      vals.last + 1, vals.last + 2)
+    assert(m0 == 0 && empty.count() == 0)
+  }
+
+  test("stats only ever remove provably-empty files (unclustered safety)") {
+    val dir = java.nio.file.Files.createTempDirectory("fstats2").toString
+    val table = s"$dir/events_unclustered"
+    // unclustered: round-robin layout, every file spans ~the full range
+    graft.Tables.events(spark, sf)
+      .select("event_id", "value").filter(col("value").isNotNull)
+      .repartition(6)
+      .write.mode("overwrite").parquet(table)
+    FileStats.writeSidecar(spark, table, "value")
+    val vals = spark.read.parquet(table).select("value")
+      .collect().map(_.getDouble(0)).sorted
+    val (lo, hi) = (vals(vals.length / 2), vals(vals.length / 2 + 50))
+    val (pruned, matched, total) = FileStats.skippingScan(spark, table, "value", lo, hi)
+    // overlapping envelopes: skipping degrades to ~full scan but NEVER
+    // changes results
+    assert(matched == total, "unclustered files all overlap a central band")
+    val got = pruned.select("event_id").collect().map(_.getLong(0)).toSet
+    val want = spark.read.parquet(table)
+      .filter(col("value") >= lo && col("value") <= hi)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+}
