@@ -93,6 +93,7 @@ object SparkEntry {
     "mm_binary_features" -> ((s, d) => Multimodal.features(s, d).toDF().orderBy("media_id")),
     "mm_jpeg_features" -> ((s, d) => Multimodal.jpegFeatures(s, d).toDF().orderBy("media_id")),
     "mm_png_features" -> ((s, d) => Multimodal.pngFeatures(s, d).toDF().orderBy("media_id")),
+    "mm_audio_features" -> ((s, d) => Multimodal.audioFeatures(s, d).toDF().orderBy("media_id")),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
     "mm_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, d)),
     // --- C. Deduplication ---

@@ -232,6 +232,62 @@ object Multimodal {
     (n, 1, if (n == 0) 0.0 else s.toDouble / n / 128.0)
   }
 
+  case class AudioFeatures(media_id: Long, n_samples: Long, sample_rate: Long,
+                           duration_s: Double, rms: Double, zcr: Double, peak: Double)
+
+  /** REAL audio DSP over the PCM data chunk (F5): the standard
+    * first-stage audio features every speech/music pipeline extracts —
+    * RMS energy, zero-crossing rate (the cheap voicing/noisiness
+    * signal), peak amplitude, and wall-clock duration from the
+    * header's sample rate. Samples are normalized to [−1, 1] from the
+    * 8-bit midpoint; ZCR counts strict sign flips over adjacent
+    * samples (zero counts as non-negative), divided by n−1.
+    *
+    * Unlike the compressed codecs (MP3/AAC — declared external), PCM
+    * needs no codec: this is a complete, real decode path with zero
+    * dependencies, same as the PGM/PNG image branches.
+    */
+  private def audioDsp(mediaId: Long, p: Array[Byte]): AudioFeatures = {
+    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(at: Int): String = new String(p, at, 4, "US-ASCII")
+    require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE", "not a RIFF/WAVE")
+    require(fourcc(12) == "fmt " && bb.getShort(20) == 1, "not PCM")
+    val sampleRate = bb.getInt(24)
+    require(bb.getShort(34) == 8, "only 8-bit PCM")
+    require(fourcc(36) == "data", "missing data chunk")
+    val n = bb.getInt(40)
+    require(p.length >= 44 + n, "truncated WAV")
+    var sumSq = 0.0; var peak = 0.0; var flips = 0L
+    var prevPos = true; var j = 44
+    while (j < 44 + n) {
+      val x = ((p(j) & 0xff) - 128) / 128.0
+      sumSq += x * x
+      val ax = math.abs(x); if (ax > peak) peak = ax
+      val pos = x >= 0
+      if (j > 44 && pos != prevPos) flips += 1
+      prevPos = pos
+      j += 1
+    }
+    AudioFeatures(mediaId, n.toLong, sampleRate.toLong,
+      if (sampleRate == 0) 0.0 else n.toDouble / sampleRate,
+      if (n == 0) 0.0 else math.sqrt(sumSq / n),
+      if (n <= 1) 0.0 else flips.toDouble / (n - 1),
+      peak)
+  }
+
+  /** F5: the audio-feature extraction over the media table's audio
+    * slice — one typed map partition, same batching contract as F1.
+    */
+  def audioFeaturesOf(spark: SparkSession,
+                      media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.filter(_.kind == "audio")
+      .mapPartitions(_.map(r => audioDsp(r.media_id, r.payload)))
+  }
+
+  def audioFeatures(spark: SparkSession, dir: String): Dataset[AudioFeatures] =
+    audioFeaturesOf(spark, mediaTable(spark, dir))
+
   /** Parse the GFV0 container: validate magic, read frame geometry,
     * mean gray over ALL frames.
     */

@@ -803,9 +803,13 @@ object Analytics {
     * policy-compliant; the fact table is scanned once and never
     * shuffled for the screen itself.
     */
-  def eventsOutliers(spark: SparkSession, dir: String): DataFrame = {
+  /** E41's per-type fence frame (|event_type| rows: __et, lo, hi) —
+    * public so the G11 streaming gate screens against the IDENTICAL
+    * fences (stream-static join on the same frame object).
+    */
+  def outlierFences(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .select("event_id", "event_type", "value")
+      .select("event_type", "value")
       .filter(col("value").isNotNull)
     val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
     val ranked = ev
@@ -824,11 +828,18 @@ object Analytics {
       val vhi = sum(when(col("rn") === lo + 2, col("value")))
       round(vlo + (coalesce(vhi, vlo) - vlo) * max(frac), 4)
     }
-    val fences = ranked.groupBy("event_type")
+    ranked.groupBy("event_type")
       .agg(q(0.25).as("q1"), q(0.75).as("q3"))
       .select(col("event_type").as("__et"),
         (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
         (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+  }
+
+  def eventsOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "event_type", "value")
+      .filter(col("value").isNotNull)
+    val fences = outlierFences(spark, dir)
     ev.join(broadcast(fences), col("event_type") === col("__et"))
       .filter(col("value") < col("lo") || col("value") > col("hi"))
       .select(col("event_id"), col("event_type"), col("value"),

@@ -196,6 +196,25 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** G11: streaming outlier gate — E41's Tukey fences applied
+    * IN-STREAM as a stream-static join: the fence frame is a
+    * |event_type|-row STATIC dimension (computed from the reference
+    * window by E41's exact-quantile machinery — in production a
+    * materialized metadata table refreshed on its own cadence), so
+    * the screen is stateless, append-mode, and per-row — the shape
+    * that keeps an anomaly monitor alive at 100 TB/day. The spec
+    * asserts the streamed screen flags EXACTLY the batch E41 rows.
+    */
+  def outlierStream(spark: SparkSession, dir: String): DataFrame = {
+    val fences = graft.operators.Analytics.outlierFences(spark, dir)
+    readEvents(spark, dir)
+      .filter(col("value").isNotNull)
+      .join(fences, col("event_type") === col("__et"))
+      .filter(col("value") < col("lo") || col("value") > col("hi"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("value") < col("lo"), "low").otherwise("high").as("side"))
+  }
+
   /** G4: streaming exact dedup — `dropDuplicates` on event_id with a
     * watermark bounding the dedup state (the streaming mirror of C1;
     * state is evicted once the watermark passes, which is what makes

@@ -2376,3 +2376,59 @@ class FileStatsSpec extends AnyFunSuite {
     assert(got == want)
   }
 }
+
+class AudioStreamGateSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.multimodal.Multimodal
+
+  test("audio DSP recovers known sine-wave features") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 1 kHz sine at 8 kHz, amplitude 0.5, one second — RMS = A/sqrt(2),
+    // ZCR = 2 crossings per cycle = 2f/fs, peak = A (8-bit quantized)
+    val fs = 8000; val f = 1000; val amp = 0.5; val n = 8000
+    val bb = ByteBuffer.allocate(44 + n).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(fs).putInt(fs)
+      .putShort(1).putShort(8).put("data".getBytes("US-ASCII")).putInt(n)
+    (0 until n).foreach { i =>
+      val x = amp * math.sin(2 * math.Pi * f * i / fs)
+      bb.put((math.round(x * 128) + 128).min(255).max(0).toByte)
+    }
+    val media = Seq(Multimodal.MediaRow(1L, "audio", bb.array())).toDS()
+    val ftr = Multimodal.audioFeaturesOf(spark, media).head()
+    assert(ftr.n_samples == n && ftr.sample_rate == fs)
+    assert(math.abs(ftr.duration_s - 1.0) < 1e-9)
+    assert(math.abs(ftr.rms - amp / math.sqrt(2)) < 0.01, s"rms ${ftr.rms}")
+    assert(math.abs(ftr.zcr - 2.0 * f / fs) < 0.01, s"zcr ${ftr.zcr}")
+    assert(math.abs(ftr.peak - amp) < 0.01, s"peak ${ftr.peak}")
+    // silence: all features zero, no NaN
+    val silence = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+    silence.put(bb.array(), 0, 40).putInt(0)
+    val s0 = Multimodal.audioFeaturesOf(spark,
+      Seq(Multimodal.MediaRow(2L, "audio", silence.array())).toDS()).head()
+    assert(s0.n_samples == 0 && s0.rms == 0.0 && s0.zcr == 0.0 && s0.peak == 0.0)
+  }
+
+  test("corpus audio features are finite and bounded") {
+    val rows = Multimodal.audioFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.rms >= 0 && r.rms <= 1 && !r.rms.isNaN, s"rms ${r.rms}")
+      assert(r.zcr >= 0 && r.zcr <= 1, s"zcr ${r.zcr}")
+      assert(r.peak >= r.rms - 1e-12, s"peak ${r.peak} < rms ${r.rms}")
+      assert(r.sample_rate == 8000 && r.duration_s > 0)
+    }
+  }
+
+  test("G11 streaming outlier gate flags exactly the batch E41 rows") {
+    import graft.streaming.EventStream
+    EventStream.runToMemory(spark, EventStream.outlierStream(spark, sf), "g11out")
+    val stream = spark.sql("SELECT event_id, side FROM g11out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = graft.operators.Analytics.eventsOutliers(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(stream == batch, s"stream ${stream.size} rows vs batch ${batch.size}")
+  }
+}
