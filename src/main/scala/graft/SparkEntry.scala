@@ -55,6 +55,8 @@ object SparkEntry {
     // --- B. ANN / vector ops ---
     "ann_bruteforce_topk" -> ((s, d) => Ann.bruteForceCosineTopK(s, d, 10)),
     "ann_bruteforce_l2_topk" -> ((s, d) => Ann.bruteForceL2TopK(s, d, 10)),
+    "ann_pca_build" -> ((s, d) => graft.ann.Pca.pcaBuild(s, d)),
+    "ann_pca_topk" -> ((s, d) => graft.ann.Pca.pcaTopK(s, d)),
     "ann_maxip_topk" -> ((s, d) => Ann.maxInnerProductTopK(s, d, 10)),
     "ann_l1_topk" -> ((s, d) => Ann.bruteForceL1TopK(s, d, 10)),
     "ann_sparse_topk" -> ((s, d) => graft.ann.Sparse.sparseTopK(s, d)),

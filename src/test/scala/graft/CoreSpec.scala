@@ -2432,3 +2432,54 @@ class AudioStreamGateSpec extends AnyFunSuite {
     assert(stream == batch, s"stream ${stream.size} rows vs batch ${batch.size}")
   }
 }
+
+class PcaSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.ann.Pca
+
+  test("PCA build: spectrum ordered, ratios bounded, PC1 beats every axis") {
+    val m = Pca.model(spark, sf, 16)
+    val rows = Pca.pcaBuild(spark, sf, 16).collect()
+    assert(rows.length == 16)
+    val eig = rows.map(_.getDouble(1))
+    eig.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-9, "spectrum not sorted") }
+    assert(eig.forall(_ >= 0))
+    val cum = rows.map(_.getDouble(3))
+    assert(cum.last <= 1.0 + 1e-9 && cum.sliding(2).forall { case Array(a, b) => b >= a - 1e-12 })
+    // PC1 maximizes variance over ALL unit vectors, in particular axes
+    val axisVar = (0 until m.d).map(i => {
+      // per-axis variance from the model's own covariance diagonal is
+      // not exposed; recompute from data
+      val vals = graft.Tables.embeddings(spark, sf)
+        .select(col("embedding").getItem(i).cast("double")).collect().map(_.getDouble(0))
+      val mu = vals.sum / vals.length
+      vals.map(v => (v - mu) * (v - mu)).sum / vals.length
+    }).max
+    assert(m.eigenvalues(0) >= axisVar - 1e-6,
+      s"PC1 ${m.eigenvalues(0)} < best axis $axisVar")
+    // components are orthonormal
+    val comps = m.components
+    for (i <- comps.indices; j <- i until comps.length) {
+      val d = comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-4, s"comp ${i}x${j} = $d")
+    }
+  }
+
+  test("full-rank projection is lossless; truncated projection recalls >=0.8") {
+    import graft.ann.Ann
+    val exact = Ann.bruteForceL2TopK(spark, sf, 10).collect()
+      .map(_.getLong(0)).toSet
+    // k' = d: pure rotation, projected order IS the exact order — the
+    // shortlist equals k and must reproduce brute force exactly
+    val d = Pca.model(spark, sf, 16).d
+    val lossless = Pca.pcaTopK(spark, sf, k = 10, kPrime = d, shortlist = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(lossless == exact, s"full-rank projection lost neighbors: $lossless vs $exact")
+    // k' = 32 of 64 with a 5x shortlist: high recall at half kernel cost
+    val approx = Pca.pcaTopK(spark, sf, k = 10, kPrime = 32, shortlist = 50)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (approx & exact).size / 10.0
+    assert(recall >= 0.8, s"pca recall too low: $recall")
+  }
+}
