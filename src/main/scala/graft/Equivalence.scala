@@ -68,11 +68,42 @@ object Equivalence {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val decontamEqual = exact == bloomed
 
+    // substring dedup: hash-prefiltered two-phase vs string-only
+    // single-phase (the C9 exactness claim — a 64-bit collision could
+    // only ever add verify work, never a row; proven per-SF here)
+    val w = 6
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - w),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(w))))))
+      .toDF("doc_id", "n_words", "pos", "gram")
+    val sharedGrams = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > 1).select("gram")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val direct = grams.join(sharedGrams, Seq("gram"), "left_semi")
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("newrun",
+        when(col("prev").isNull || col("pos") - col("prev") > w, 1L).otherwise(0L))
+      .withColumn("run", sum("newrun").over(byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("doc_id", "n_words", "run")
+      .agg(count(lit(1)).as("nw"), (max("pos") + w - min("pos")).as("cov"))
+      .groupBy("doc_id", "n_words")
+      .agg(sum("nw").as("n_dup_windows"), sum("cov").as("covered_words"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val twoPhase = graft.dedup.Dedup.substringSpans(spark, sfDir, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val substrEqual = twoPhase == direct
+
     println(s"""{"sf":"${JsonOut.escape(sfDir)}","knn_graph_equal":$knnEqual,"knn_edges":${g.size},""" +
       s""""embedding_pairs_equal":$pairsEqual,"pairs":${p.size},""" +
       s""""range_triangle_equal":$rangeEqual,"range_rows":${brute.length},""" +
-      s""""decontam_bloom_equal":$decontamEqual,"contaminated":${exact.size}}""")
+      s""""decontam_bloom_equal":$decontamEqual,"contaminated":${exact.size},""" +
+      s""""substring_twophase_equal":$substrEqual,"substring_docs":${twoPhase.size}}""")
     spark.stop()
-    if (!(knnEqual && pairsEqual && rangeEqual && decontamEqual)) sys.exit(1)
+    if (!(knnEqual && pairsEqual && rangeEqual && decontamEqual && substrEqual)) sys.exit(1)
   }
 }
