@@ -168,6 +168,8 @@ object SparkEntry {
     "docs_corpus_shuffle" -> ((s, d) => graft.operators.Sampling.corpusShuffle(s, d)),
     "docs_upsert" -> ((s, d) => graft.operators.Cdc.docsUpsert(s, d)),
     "q_revenue_incremental" -> ((s, d) => graft.operators.Ivm.revenueIncremental(s, d)),
+    "events_gapfill" -> ((s, d) => Analytics.eventsGapfill(s, d)),
+    "docs_training_pipeline" -> ((s, d) => graft.operators.Pipeline.docsTrainingPipeline(s, d)),
   )
 
   // Shared oracle CTE fragments (must mirror graft.rbac.Rbac's derivation
@@ -1195,6 +1197,49 @@ object SparkEntry {
       """SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue,
         |       count(*)::BIGINT AS n_orders
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // E42: dense date spine per type, zero-filled, LAG deltas (null on
+    // each type's first day by contract).
+    "events_gapfill" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n_events
+        |               FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |                 unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |          FROM span),
+        |filled AS (SELECT s.event_type, s.day,
+        |                  coalesce(d.n_events, 0)::BIGINT AS n_events
+        |           FROM spine s LEFT JOIN daily d USING (event_type, day))
+        |SELECT event_type, day, n_events,
+        |       (n_events - lag(n_events) OVER
+        |          (PARTITION BY event_type ORDER BY day))::BIGINT AS delta
+        |FROM filled ORDER BY event_type, day""".stripMargin,
+    // D17: the fused training pipeline — quality gate, mixture recipe,
+    // exact-dedup canonical pick, decontamination screen, replayed as
+    // one SQL chain (each stage is its standalone operator's oracle).
+    "docs_training_pipeline" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws, text
+        |           FROM documents),
+        |canon AS (SELECT doc_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |  FROM documents) WHERE doc_id = keep_id),
+        |sh AS (SELECT doc_id, source,
+        |              list_distinct(list_transform(range(1, len(ws) - 6),
+        |                i -> array_to_string(ws[i:i+7], ' '))) AS s
+        |       FROM w WHERE len(ws) >= 8),
+        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
+        |cont AS (SELECT DISTINCT doc_id
+        |         FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0') c
+        |         JOIN ev USING (g))
+        |SELECT doc_id, source, len(ws)::BIGINT AS n_words
+        |FROM w
+        |WHERE source <> 'src0'
+        |  AND len(ws) >= 20
+        |  AND (((doc_id % 1000003) * 2654435761) % 1000000007) % 10000 <
+        |      CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500
+        |                  WHEN 'src2' THEN 1000 ELSE 0 END
+        |  AND doc_id IN (SELECT doc_id FROM canon)
+        |  AND doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY doc_id""".stripMargin,
     // E40: cohort retention triangle over event dates.
     "events_retention" ->
       """WITH cohort AS (SELECT user_id, min(ts::DATE) AS cohort_date

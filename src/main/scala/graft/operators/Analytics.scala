@@ -782,6 +782,35 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** E42: date-spine gap filling + day-over-day deltas — the
+    * time-series resample surface (dashboards and forecast features
+    * need a dense series; a LAG over a sparse one silently compares
+    * non-adjacent days). Per event type: daily counts, a generated
+    * min..max date spine (`sequence` — the spine derives from a
+    * |event_type|-row aggregate, so generation is dimension-sized),
+    * zero-filled left join back, then LAG deltas over the dense
+    * series (null on each type's first day, by contract). Types are
+    * screened non-null on both engines so the join semantics match
+    * bit-for-bit.
+    */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = daily.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .withColumn("delta", col("n_events") -
+        lag("n_events", 1).over(Window.partitionBy("event_type").orderBy("day")))
+      .select(col("event_type"), col("day"),
+        col("n_events").cast("bigint").as("n_events"),
+        col("delta").cast("bigint").as("delta"))
+      .orderBy("event_type", "day")
+  }
+
   /** E41: exact-IQR outlier detection — events whose value falls
     * outside [q1 − 1.5·IQR, q3 + 1.5·IQR] of their event type (the
     * Tukey-fence anomaly screen every metrics pipeline runs). Exact

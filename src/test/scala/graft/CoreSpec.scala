@@ -2483,3 +2483,55 @@ class PcaSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"pca recall too low: $recall")
   }
 }
+
+class PipelineGapfillSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("fused pipeline equals the composition of its component operators") {
+    import graft.dedup.Dedup
+    import graft.operators.{Pipeline, Sampling}
+    import graft.text.TextOps
+    val got = Pipeline.docsTrainingPipeline(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    // re-derive by composing the STANDALONE operators
+    val quality = TextOps.quality(spark, sf).collect()
+      .filter(_.getLong(2) >= 20).map(_.getLong(0)).toSet
+    val mixture = Sampling.docsMixtureSample(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val canonical = Dedup.exact(spark, sf).collect()
+      .filter(r => r.getLong(0) == r.getLong(3)).map(_.getLong(0)).toSet
+    val contaminated = Dedup.decontaminate(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val pool = graft.Tables.documents(spark, sf)
+      .filter(col("source") =!= "src0").collect().map(_.getLong(0)).toSet
+    val want = pool & quality & mixture & canonical &~ contaminated
+    assert(got == want, s"fused ${got.size} vs composed ${want.size}")
+    assert(got.nonEmpty, "pipeline must keep at least one doc")
+  }
+
+  test("gapfill emits a dense per-type spine with consistent deltas") {
+    val rows = graft.operators.Analytics.eventsGapfill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_._2.toEpochDay)
+      // dense: consecutive days, no gaps
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(b._2.toEpochDay == a._2.toEpochDay + 1, s"$et gap $a -> $b") }
+      // first day delta is null, every later delta = n - prev n
+      assert(sorted.head._4.isEmpty, s"$et first delta not null")
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(b._4.contains(b._3 - a._3), s"$et delta wrong at ${b._2}") }
+      // end points carry data (spine is min..max of OBSERVED days)
+      assert(sorted.head._3 > 0 && sorted.last._3 > 0, s"$et spine overshoots")
+    }
+    // zero-filled days really have no events
+    val observed = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .distinct().collect().map(r => (r.getString(0), r.getDate(1).toLocalDate)).toSet
+    rows.filter(_._3 == 0).foreach { case (et, day, _, _) =>
+      assert(!observed((et, day)), s"zero-filled $et $day has events") }
+  }
+}
