@@ -2535,3 +2535,56 @@ class PipelineGapfillSpec extends AnyFunSuite {
       assert(!observed((et, day)), s"zero-filled $et $day has events") }
   }
 }
+
+class Round6PlanSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("round-6 batch: broadcast policy holds with auto-broadcast off") {
+    // With auto-broadcast disabled and AQE off, any BroadcastExchange
+    // left in a plan comes from an explicit hint. The round-5 policy
+    // (SURVEY §5): hints only on BOUNDED frames. Encoded two ways:
+    //  - the unhinted queries must plan ZERO broadcasts;
+    //  - the hinted ones may broadcast only aggregation-reduced frames
+    //    (global aggregates, event_type/bucket-grouped dims, the
+    //    distinct eval dictionary) — never raw corpus rows, the class
+    //    of bug rounds 4/5 kept finding.
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val unhinted = Seq(
+        "dedup_substring" -> graft.dedup.Dedup.substringSpans(spark, sf, w = 7),
+        "docs_upsert" -> graft.operators.Cdc.docsUpsert(spark, sf),
+        "events_funnel" -> graft.operators.Analytics.eventsFunnel(spark, sf),
+        "events_retention" -> graft.operators.Analytics.eventsRetention(spark, sf),
+        "events_gapfill" -> graft.operators.Analytics.eventsGapfill(spark, sf),
+        "q_revenue_incremental" -> graft.operators.Ivm.revenueIncremental(spark, sf))
+      unhinted.foreach { case (name, df) =>
+        val n = df.queryExecution.executedPlan.collect {
+          case b: BroadcastExchangeExec => b }.length
+        assert(n == 0, s"$name is unhinted but plans $n BroadcastExchange(s)")
+      }
+      val hinted = Seq(
+        "events_outliers" -> graft.operators.Analytics.eventsOutliers(spark, sf),
+        "docs_corpus_shuffle" -> graft.operators.Sampling.corpusShuffle(spark, sf, seed = 43L),
+        "docs_dsir_weights" -> graft.operators.Sampling.dsirWeights(spark, sf),
+        "docs_training_pipeline" -> graft.operators.Pipeline.docsTrainingPipeline(spark, sf, minWords = 21))
+      hinted.foreach { case (name, df) =>
+        df.queryExecution.executedPlan.foreach {
+          case b: BroadcastExchangeExec =>
+            val reduced = b.exists {
+              case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
+              case _ => false
+            }
+            assert(reduced,
+              s"$name: forced broadcast of a non-aggregated (raw corpus) frame:\n$b")
+          case _ =>
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+}
