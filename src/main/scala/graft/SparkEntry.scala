@@ -29,6 +29,7 @@ object SparkEntry {
     "rbac_prefilter_pruned" -> ((s, d) => graft.sources.Layouts.prefilterPruned(s, d, 1, 10)),
     "sql_prefilter_topk" -> ((s, d) => SqlSurface.prefilterTopKSql(s, d)),
     "sql_batch_topk" -> ((s, d) => SqlSurface.batchTopKSql(s, d)),
+    "sql_funnel" -> ((s, d) => SqlSurface.funnelSql(s, d)),
     "rbac_postfilter_topk" -> ((s, d) => Rbac.postfilterTopK(s, d, 1, 10)),
     "rbac_rls_topk" -> ((s, d) => Rbac.rlsTopK(s, d, 1, 10)),
     "rbac_role_partition_topk" -> ((s, d) => Partitioned.rolePartitionTopK(s, d, 1, 10)),
@@ -222,6 +223,19 @@ object SparkEntry {
 
   // Shared C7/C8 decontamination replay (both keys map to this one
   // value — the Spark operators are asserted row-identical).
+  private val funnelOracle =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      |SELECT s1.user_id,
+      |       (1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT)::BIGINT
+      |         AS funnel_stage
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   private val decontOracle =
     """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
       |sh AS (
@@ -1066,18 +1080,9 @@ object SparkEntry {
     // E39: first-touch ordered funnel — each stage's min(ts) must be
     // strictly after the previous stage's; stage reached = 1 + the two
     // completion flags. Timestamp comparisons are raw (no epoch math).
-    "events_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-        |            WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
-        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
-        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
-        |SELECT s1.user_id,
-        |       (1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT)::BIGINT
-        |         AS funnel_stage
-        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-        |ORDER BY user_id""".stripMargin,
+    // The pure-SQL spelling (sql_funnel) shares the same oracle.
+    "events_funnel" -> funnelOracle,
+    "sql_funnel" -> funnelOracle,
     // C9: duplicated-substring spans — exact 6-word-window replay with
     // the same run-merge window arithmetic (gap > 6 starts a new span).
     // The Spark side pre-filters candidates on xxhash64 but VERIFIES on

@@ -48,6 +48,28 @@ object SqlSurface {
         |LIMIT 10""".stripMargin)
   }
 
+  /** SQL spelling of the strictly-ordered funnel (same rows as
+    * Analytics.eventsFunnel — the DataFrame and SQL paths share the
+    * E39 oracle): product analytics is the surface users most often
+    * reach through raw SQL.
+    */
+  def funnelSql(spark: SparkSession, dir: String): DataFrame = {
+    init(spark, dir)
+    spark.sql(
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |       CAST(1 + CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |              + CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS funnel_stage
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin)
+  }
+
   /** SQL spelling of grouped ANN top-k via the registered bounded-heap
     * aggregate.
     */
