@@ -147,7 +147,7 @@ object Pca {
     * float precision of the inputs; a production system with d in the
     * thousands would swap in LAPACK via a JNI BLAS, same sidecar shape.
     */
-  private def topEigen(cov: Array[Array[Double]], k: Int): (Array[Double], Array[Array[Double]]) = {
+  private[graft] def topEigen(cov: Array[Array[Double]], k: Int): (Array[Double], Array[Array[Double]]) = {
     val d = cov.length
     val a = Array.tabulate(d, d)((i, j) => cov(i)(j)) // deflated copy
     val vals = new Array[Double](k)

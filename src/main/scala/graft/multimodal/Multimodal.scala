@@ -247,7 +247,7 @@ object Multimodal {
     * needs no codec: this is a complete, real decode path with zero
     * dependencies, same as the PGM/PNG image branches.
     */
-  private def audioDsp(mediaId: Long, p: Array[Byte]): AudioFeatures = {
+  private[graft] def audioDsp(mediaId: Long, p: Array[Byte]): AudioFeatures = {
     val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
     def fourcc(at: Int): String = new String(p, at, 4, "US-ASCII")
     require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE", "not a RIFF/WAVE")

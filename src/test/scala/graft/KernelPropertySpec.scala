@@ -204,3 +204,107 @@ class Round4KernelPropertySpec extends AnyFunSuite {
     }
   }
 }
+
+class Round6KernelPropertySpec extends AnyFunSuite {
+  private val trials = 200
+
+  test("CovBuffer moments equal direct loops; merge and serde preserve them") {
+    val rnd = new Random(61)
+    (1 to trials).foreach { t =>
+      val d = 1 + rnd.nextInt(8)
+      val n = 1 + rnd.nextInt(30)
+      val vecs = Seq.fill(n)(Array.fill(d)(rnd.nextFloat() * 2 - 1))
+      def toAd(v: Array[Float]) = new GenericArrayData(v)
+      // single buffer
+      val one = new graft.ann.Pca.CovBuffer(d)
+      vecs.foreach(v => one.add(toAd(v)))
+      // split + merge at a random cut
+      val cut = rnd.nextInt(n + 1)
+      val a = new graft.ann.Pca.CovBuffer(d)
+      val b = new graft.ann.Pca.CovBuffer(d)
+      vecs.take(cut).foreach(v => a.add(toAd(v)))
+      vecs.drop(cut).foreach(v => b.add(toAd(v)))
+      a.mergeFrom(b)
+      // direct reference sums
+      val sum = Array.fill(d)(0.0)
+      val prod = Array.fill(d * (d + 1) / 2)(0.0)
+      vecs.foreach { v =>
+        var idx = 0
+        for (i <- 0 until d) {
+          sum(i) += v(i)
+          for (j <- i until d) { prod(idx) += v(i).toDouble * v(j); idx += 1 }
+        }
+      }
+      Seq(("one", one), ("merged", a)).foreach { case (nm, buf) =>
+        assert(buf.n == n, s"$nm count")
+        (0 until d).foreach(i => assert(math.abs(buf.sum(i) - sum(i)) < 1e-9, s"$nm sum $i"))
+        prod.indices.foreach(i => assert(math.abs(buf.prod(i) - prod(i)) < 1e-9, s"$nm prod $i"))
+      }
+      // serde round-trip
+      val agg = graft.ann.Pca.CovMoments(null, d)
+      val back = agg.deserialize(agg.serialize(one))
+      assert(back.n == one.n && back.sum.sameElements(one.sum) &&
+        back.prod.sameElements(one.prod), s"serde trial $t")
+    }
+  }
+
+  test("audioDsp equals a direct reference loop on random PCM") {
+    val rnd = new Random(62)
+    (1 to trials).foreach { _ =>
+      val n = rnd.nextInt(300)
+      val fs = 1000 + rnd.nextInt(47000)
+      val data = Array.fill(n)(rnd.nextInt(256).toByte)
+      val bb = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+        .putInt(16).putShort(1).putShort(1).putInt(fs).putInt(fs)
+        .putShort(1).putShort(8).put("data".getBytes("US-ASCII")).putInt(n)
+      bb.put(data)
+      val f = graft.multimodal.Multimodal.audioDsp(1L, bb.array())
+      val xs = data.map(b => ((b & 0xff) - 128) / 128.0)
+      val rms = if (n == 0) 0.0 else math.sqrt(xs.map(x => x * x).sum / n)
+      val peak = if (n == 0) 0.0 else xs.map(math.abs).max
+      val zcr = if (n <= 1) 0.0
+        else xs.sliding(2).count { case Array(a, b) => (a >= 0) != (b >= 0) }.toDouble / (n - 1)
+      assert(f.n_samples == n && f.sample_rate == fs)
+      assert(math.abs(f.rms - rms) < 1e-12, s"rms ${f.rms} vs $rms")
+      assert(math.abs(f.peak - peak) < 1e-12)
+      assert(math.abs(f.zcr - zcr) < 1e-12, s"zcr ${f.zcr} vs $zcr")
+    }
+  }
+
+  test("power iteration recovers a planted spectrum with orthonormal vectors") {
+    val rnd = new Random(63)
+    (1 to 40).foreach { t =>
+      val d = 4 + rnd.nextInt(8)
+      val k = 1 + rnd.nextInt(3)
+      // random orthonormal Q via Gram-Schmidt on random vectors
+      val q = Array.ofDim[Double](d, d)
+      for (i <- 0 until d) {
+        var v = Array.fill(d)(rnd.nextGaussian())
+        for (j <- 0 until i) {
+          val dp = (0 until d).map(x => v(x) * q(j)(x)).sum
+          v = v.zipWithIndex.map { case (x, idx) => x - dp * q(j)(idx) }
+        }
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        q(i) = v.map(_ / nrm)
+      }
+      // planted spectrum with clear gaps: d, d-1, ..., 1 scaled
+      val lam = Array.tabulate(d)(i => (d - i).toDouble)
+      val a = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- 0 until d)
+        a(i)(j) = (0 until d).map(c => lam(c) * q(c)(i) * q(c)(j)).sum
+      val (vals, vecs) = graft.ann.Pca.topEigen(a, k)
+      (0 until k).foreach { c =>
+        assert(math.abs(vals(c) - lam(c)) < 1e-6, s"trial $t eig $c: ${vals(c)} vs ${lam(c)}")
+        val align = math.abs((0 until d).map(i => vecs(c)(i) * q(c)(i)).sum)
+        assert(align > 1 - 1e-6, s"trial $t vec $c alignment $align")
+        for (c2 <- 0 until c) {
+          val dp = (0 until d).map(i => vecs(c)(i) * vecs(c2)(i)).sum
+          assert(math.abs(dp) < 1e-6, s"trial $t vecs $c,$c2 not orthogonal")
+        }
+      }
+    }
+  }
+}
