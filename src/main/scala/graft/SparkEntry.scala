@@ -167,6 +167,7 @@ object SparkEntry {
     "events_retention" -> ((s, d) => Analytics.eventsRetention(s, d)),
     "events_outliers" -> ((s, d) => Analytics.eventsOutliers(s, d)),
     "docs_corpus_shuffle" -> ((s, d) => graft.operators.Sampling.corpusShuffle(s, d)),
+    "docs_kcenter" -> ((s, d) => graft.operators.Sampling.kcenterSelect(s, d)),
     "docs_upsert" -> ((s, d) => graft.operators.Cdc.docsUpsert(s, d)),
     "q_revenue_incremental" -> ((s, d) => graft.operators.Ivm.revenueIncremental(s, d)),
     "events_gapfill" -> ((s, d) => Analytics.eventsGapfill(s, d)),

@@ -97,6 +97,45 @@ object Sampling {
       "doc_id", "source", D12Recipe)
       .orderBy("doc_id")
 
+  /** D18: k-center greedy (farthest-point) selection — the DIVERSITY
+    * half of data selection (DSIR weights pick for quality, k-center
+    * picks for coverage: the classic coreset construction, 2-approx
+    * optimal for the k-center objective). Greedy invariant: each pick
+    * is the corpus point farthest from every already-selected center,
+    * and its distance at selection time — the coverage radius — is
+    * non-increasing by construction.
+    *
+    * Scale shape: the selected-center set is k rows of metadata (the
+    * same class as IVF centroids), carried as a BROADCAST-LITERAL
+    * matrix into one codegen'd min-distance kernel pass per pick —
+    * `centroid_dists` against the growing center matrix, then a
+    * TakeOrdered(1) argmax. k corpus scans, zero shuffles beyond the
+    * 1-row argmax; each iteration is a FRESH plan over the source
+    * (constant depth — no lineage growth across picks). Ties broken
+    * by vec_id so the selection is deterministic.
+    */
+  def kcenterSelect(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import graft.functions.vector.centroid_dists
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // deterministic seed: the smallest vec_id
+    val seedRow = emb.orderBy("vec_id").head()
+    var centers = Vector((seedRow.getLong(0),
+      seedRow.getSeq[Float](1).toArray, Double.PositiveInfinity))
+    while (centers.length < k) {
+      val mat = centers.map(_._2).toArray
+      val next = emb
+        .withColumn("d", array_min(centroid_dists(col("embedding"), mat)))
+        .orderBy(col("d").desc, col("vec_id"))
+        .head()
+      centers = centers :+ ((next.getLong(0),
+        next.getSeq[Float](1).toArray, next.getDouble(2)))
+    }
+    centers.zipWithIndex.map { case ((id, _, r), i) =>
+      (i.toLong, id, if (r.isInfinity) -1.0 else math.rint(r * 1e4) / 1e4)
+    }.toDF("pick", "vec_id", "radius")
+  }
+
   /** D16: deterministic corpus shuffle — the global training-order
     * randomization every pretraining run does between mixing and
     * packing (a biased order — by source, by crawl date — measurably

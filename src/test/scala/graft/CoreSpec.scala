@@ -2588,3 +2588,36 @@ class Round6PlanSpec extends AnyFunSuite {
     }
   }
 }
+
+class KcenterSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.operators.Sampling
+
+  test("k-center greedy matches a driver-side reference and shrinks radii") {
+    val got = Sampling.kcenterSelect(spark, sf, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 8)
+    assert(got.map(_._2).distinct.length == 8, "centers must be distinct")
+    // radii non-increasing after the seed's sentinel
+    val radii = got.drop(1).map(_._3)
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"radius grew: $a -> $b") }
+    // driver-side greedy reference on the full sf0.001 corpus
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+    var centers = Vector(vecs.head)
+    var expect = Vector((vecs.head._1, -1.0))
+    while (centers.length < 8) {
+      val (bestId, bestVec, bestD) = vecs.map { case (id, v) =>
+        (id, v, centers.map(c => l2(c._2, v)).min)
+      }.maxBy { case (id, _, d) => (d, -id) }
+      centers = centers :+ ((bestId, bestVec))
+      expect = expect :+ ((bestId, math.rint(bestD * 1e4) / 1e4))
+    }
+    assert(got.map(r => (r._2, r._3)).toSeq == expect,
+      s"greedy picks diverged:\n got ${got.toSeq}\n want $expect")
+  }
+}
