@@ -224,12 +224,16 @@ object SparkEntry {
 
   // Shared C7/C8 decontamination replay (both keys map to this one
   // value — the Spark operators are asserted row-identical).
+  // ts::TIMESTAMP truncates the parquet TIMESTAMP(NANOS) to micros —
+  // the same precision Tables.events reads on the Spark side, so the
+  // strict > comparisons agree even for nano-offset events.
   private val funnelOracle =
-    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+    """WITH ev AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+      |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
       |            WHERE event_type = 'view' GROUP BY 1),
-      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN s1 USING (user_id)
       |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
-      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN s2 USING (user_id)
       |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
       |SELECT s1.user_id,
       |       (1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT)::BIGINT

@@ -253,17 +253,21 @@ object Analytics {
     * the two bracketing ranks per quantile contribute to the final
     * per-group sum, so aggregation state is 3 doubles per group.
     */
-  def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+  /** The ONE copy of the distributed exact-quantile machinery — E8 and
+    * E41 both consume it (per the repo's own warning, this arithmetic
+    * is ulp-sensitive and must never fork): per-type null-skipping
+    * counts, a ranked window over the non-null values, and the
+    * interpolated quantile in quantile_cont's exact arithmetic form
+    * (lower + (upper − lower)·frac — a rearranged-but-equal form can
+    * drift an ulp and flip the 4dp rounding against the oracle).
+    * Returns one row per type WITH ≥1 non-null value; all-null groups
+    * are absent (E8 re-adds them from its own counts pass).
+    */
+  private def typeQuantiles(spark: SparkSession, dir: String,
+                            qs: Seq[(String, Double)]): DataFrame = {
     val events = Tables.events(spark, dir).select("event_type", "value")
-    // ONE unfiltered pass supplies both the complete group list and the
-    // null-skipping n (count(col) ignores nulls) — GROUP BY +
-    // quantile_cont semantics keep a group whose values are all NULL
-    // (its quantiles are NULL), and a NULL group key is a real group,
-    // so every join below is null-SAFE (<=>), never an equi-join that
-    // would drop it
     val counts = events.groupBy("event_type").agg(count(col("value")).as("n"))
-    val ev = events.filter(col("value").isNotNull)
-    val ranked = ev
+    val ranked = events.filter(col("value").isNotNull)
       .withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy("value")))
       .join(broadcast(counts.withColumnRenamed("event_type", "__et")),
@@ -273,17 +277,25 @@ object Analytics {
       val pos = lit(p) * (col("n") - 1) // 0-indexed fractional position
       val lo = floor(pos)
       val frac = pos - lo
-      // lower + (upper − lower)·frac, the exact arithmetic form both
-      // Spark's percentile and DuckDB's quantile_cont use — a
-      // rearranged-but-equal form can drift an ulp and flip the 4dp
-      // rounding against the oracle
       val vlo = sum(when(col("rn") === lo + 1, col("value")))
       val vhi = sum(when(col("rn") === lo + 2, col("value")))
       round(vlo + (coalesce(vhi, vlo) - vlo) * max(frac), 4)
     }
+    val aggs = qs.map { case (name, p) => q(p).as(name) }
+    ranked.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+  }
+
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir).select("event_type", "value")
+    // ONE unfiltered pass supplies the complete group list (count(col)
+    // skips nulls) — GROUP BY + quantile_cont semantics keep a group
+    // whose values are all NULL (its quantiles are NULL), and a NULL
+    // group key is a real group, so the join below is null-SAFE (<=>),
+    // never an equi-join that would drop it
+    val counts = events.groupBy("event_type").agg(count(col("value")).as("n"))
     counts.select("event_type")
-      .join(ranked.groupBy("event_type")
-        .agg(q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"))
+      .join(typeQuantiles(spark, dir,
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
         .withColumnRenamed("event_type", "__et"),
         col("event_type") <=> col("__et"), "left_outer")
       .drop("__et")
@@ -761,8 +773,10 @@ object Analytics {
     * a hot user costs one aggregation row, not a buffered event array.
     *
     * Sub-second timestamps: strictness (`>`), not equality-tolerance,
-    * decides stage advancement, and the comparison is on the raw
-    * timestamp in both engines — no epoch rounding anywhere.
+    * decides stage advancement. Both engines compare at MICROSECOND
+    * precision — Tables.events truncates the parquet nanos to micros
+    * (the repo-wide convention) and the oracle casts ts::TIMESTAMP to
+    * match — so a nano-offset pair is simultaneous on both sides.
     */
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -836,33 +850,13 @@ object Analytics {
     * public so the G11 streaming gate screens against the IDENTICAL
     * fences (stream-static join on the same frame object).
     */
-  def outlierFences(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select("event_type", "value")
-      .filter(col("value").isNotNull)
-    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val ranked = ev
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("event_type").orderBy("value")))
-      .join(broadcast(counts.withColumnRenamed("event_type", "__et")),
-        col("event_type") <=> col("__et"))
-      .drop("__et")
-    // E8's exact interpolated-quantile form — same arithmetic order as
-    // DuckDB's quantile_cont so the 4dp rounding cannot flip
-    def q(p: Double): Column = {
-      val pos = lit(p) * (col("n") - 1)
-      val lo = floor(pos)
-      val frac = pos - lo
-      val vlo = sum(when(col("rn") === lo + 1, col("value")))
-      val vhi = sum(when(col("rn") === lo + 2, col("value")))
-      round(vlo + (coalesce(vhi, vlo) - vlo) * max(frac), 4)
-    }
-    ranked.groupBy("event_type")
-      .agg(q(0.25).as("q1"), q(0.75).as("q3"))
+  def outlierFences(spark: SparkSession, dir: String): DataFrame =
+    // the quantile arithmetic is E8's shared `typeQuantiles` — ONE
+    // copy, so an interpolation fix can never fork between the oracles
+    typeQuantiles(spark, dir, Seq("q1" -> 0.25, "q3" -> 0.75))
       .select(col("event_type").as("__et"),
         (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
         (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
-  }
 
   def eventsOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)

@@ -30,9 +30,18 @@ object Cdc {
   /** Last-writer-wins winner per key: the change row with the highest
     * version. The window partitions by the CHANGE key — the change
     * batch, not the base, pays the sort.
+    *
+    * Tie-break contract (a batch with DUPLICATE versions for one key
+    * is legal input): (version, op, payload length) descending — op
+    * descending makes an upsert beat a same-version delete, and the
+    * G10 streaming fold applies the IDENTICAL tuple order, so batch
+    * and stream cannot disagree. Rows tied on all three (same
+    * version, op, and length but different text) are equivalent under
+    * every exposed output; which text survives is unspecified.
     */
   def latestChanges(changes: DataFrame, key: String): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(col("version").desc)
+    val w = Window.partitionBy(key).orderBy(col("version").desc, col("op").desc,
+      coalesce(length(col("text")), lit(-1L)).desc)
     changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

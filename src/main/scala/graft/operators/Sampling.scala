@@ -122,13 +122,18 @@ object Sampling {
     val seedRow = emb.orderBy("vec_id").head()
     var centers = Vector((seedRow.getLong(0),
       seedRow.getSeq[Float](1).toArray, Double.PositiveInfinity))
-    while (centers.length < k) {
+    var exhausted = false
+    while (centers.length < k && !exhausted) {
       val mat = centers.map(_._2).toArray
       val next = emb
         .withColumn("d", array_min(centroid_dists(col("embedding"), mat)))
         .orderBy(col("d").desc, col("vec_id"))
         .head()
-      centers = centers :+ ((next.getLong(0),
+      // radius 0 means every remaining point coincides with a selected
+      // center (k exceeds the number of DISTINCT vectors): stop early
+      // rather than emit duplicate centers with zero coverage gain
+      if (next.getDouble(2) == 0.0) exhausted = true
+      else centers = centers :+ ((next.getLong(0),
         next.getSeq[Float](1).toArray, next.getDouble(2)))
     }
     centers.zipWithIndex.map { case ((id, _, r), i) =>
@@ -143,30 +148,32 @@ object Sampling {
     * "random" means a seeded hash of the stable doc id, never a
     * runtime RNG).
     *
-    * Shape at 100 TB: ordering by md5(doc_id:seed) is a range
-    * repartition on the hash key — Spark's range partitioner samples
-    * split points, so the sort is distributed and no task ever holds
-    * more than its partition. The GLOBAL position is then assigned
-    * with the same two-phase prefix sum as D8's packer: per-bucket
-    * local ranks (window partitioned by bucket — one bucket, not the
-    * corpus, per task) plus a ≤#buckets-row base-offset frame
-    * broadcast back. No global window, no driver collect; the oracle
-    * replays the identical md5 ordering.
+    * Shape at 100 TB: the bucket is the md5 key's FIRST TWO HEX CHARS
+    * — 256 hash-range buckets that are uniform by construction (the
+    * key is a hash) and, critically, DETERMINISTIC: a sampled
+    * `repartitionByRange` would compute split points independently in
+    * the two plan branches below (local ranks, bucket counts) unless
+    * the physical planner happened to reuse one exchange, and
+    * diverging boundaries would silently break the permutation. A
+    * prefix of the sort key cannot diverge, and bucket order == key
+    * order because the bucket IS the key's leading characters. The
+    * GLOBAL position is then the same two-phase prefix sum as D8's
+    * packer: per-bucket local ranks (window partitioned by bucket —
+    * one bucket, not the corpus, per task) plus a 256-row base-offset
+    * frame broadcast back. No global window, no sampling, no driver
+    * collect; the oracle replays the identical md5 ordering.
     */
   def corpusShuffle(spark: SparkSession, dir: String, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         md5(concat(col("doc_id").cast("string"), lit(s":$seed")).cast("binary")).as("k"))
-    val nb = spark.sparkContext.defaultParallelism
-    // range partitions are ordered by key, so bucket order == key order
-    val bucketed = docs.repartitionByRange(nb, col("k"))
-      .withColumn("bucket", spark_partition_id())
-    val local = bucketed.withColumn("local_rn",
+      .withColumn("bucket", substring(col("k"), 1, 2)) // deterministic prefix range
+    val local = docs.withColumn("local_rn",
       row_number().over(Window.partitionBy("bucket").orderBy("k")))
-    val bases = bucketed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val bases = docs.groupBy("bucket").agg(count(lit(1)).as("cnt"))
       .withColumn("base", coalesce(sum("cnt").over(Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))) // ≤ nb rows
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))) // ≤ 256 rows
       .select("bucket", "base")
     local.join(broadcast(bases), "bucket")
       .select(col("doc_id"),

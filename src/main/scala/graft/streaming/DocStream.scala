@@ -122,7 +122,10 @@ object DocStream {
       .flatMapGroupsWithState[(Long, Long, String, Long), (Long, Long, String, Long)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
         val prior = state.getOption
-        val best = (prior.iterator ++ rows).maxBy(_._2)
+        // same total order as Cdc.latestChanges: (version, op, length)
+        // descending — duplicate versions resolve identically in batch
+        // and stream
+        val best = (prior.iterator ++ rows).maxBy(r => (r._2, r._3, r._4))
         state.update(best)
         Iterator(best)
       }.toDF("doc_id", "version", "op", "n_chars")

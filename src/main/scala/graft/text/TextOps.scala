@@ -242,9 +242,12 @@ object TextOps {
   /** D14: pattern scrub — the redaction pass every training pipeline
     * runs before text leaves the trust boundary (PII, secrets, markup).
     * Per document: one match count per pattern plus the post-scrub
-    * character length, with the patterns applied IN ORDER (order is
-    * part of the contract — overlapping patterns see the previous
-    * pattern's replacements, and the oracle replays the same chain).
+    * character length. The REPLACEMENT chain applies the patterns IN
+    * ORDER (order is part of the contract — a later pattern scrubs
+    * the earlier patterns' output, and the oracle replays the same
+    * chain); the per-pattern COUNTS all read the ORIGINAL text (they
+    * report what each pattern found in the input, not in the
+    * partially-scrubbed intermediate — ScrubSpec pins both halves).
     *
     * Pure per-row column pipeline: regexp_extract_all / regexp_replace
     * are codegen'd builtins, so the whole operator is one scan with no
