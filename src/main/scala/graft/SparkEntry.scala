@@ -171,6 +171,7 @@ object SparkEntry {
     "docs_upsert" -> ((s, d) => graft.operators.Cdc.docsUpsert(s, d)),
     "q_revenue_incremental" -> ((s, d) => graft.operators.Ivm.revenueIncremental(s, d)),
     "events_gapfill" -> ((s, d) => Analytics.eventsGapfill(s, d)),
+    "events_histogram" -> ((s, d) => Analytics.eventsHistogram(s, d)),
     "docs_training_pipeline" -> ((s, d) => graft.operators.Pipeline.docsTrainingPipeline(s, d)),
   )
 
@@ -1250,6 +1251,20 @@ object SparkEntry {
         |  AND doc_id IN (SELECT doc_id FROM canon)
         |  AND doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY doc_id""".stripMargin,
+    // E43: fixed-bin histogram — identical bin arithmetic shape
+    // (floor((v - min) / width), top edge closed into the last bin).
+    "events_histogram" ->
+      """WITH ev AS (SELECT event_type, value FROM events
+        |            WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT event_type, min(value) AS vmin, max(value) AS vmax
+        |      FROM ev GROUP BY 1)
+        |SELECT e.event_type,
+        |       CASE WHEN r.vmax = r.vmin THEN 0
+        |            ELSE least(floor((e.value - r.vmin) / ((r.vmax - r.vmin) / 16)), 15)
+        |       END::BIGINT AS bin,
+        |       count(*)::BIGINT AS n
+        |FROM ev e JOIN r USING (event_type)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // E40: cohort retention triangle over event dates.
     "events_retention" ->
       """WITH cohort AS (SELECT user_id, min(ts::DATE) AS cohort_date

@@ -871,6 +871,36 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** E43: fixed-bin histogram per event type — the distribution view
+    * every metrics dashboard renders (and the binned form quantile
+    * sketches approximate; this is the exact version). 16 equal-width
+    * bins over each type's [min, max]; the top edge closes into the
+    * last bin (`least`), empty bins are absent (the oracle replays
+    * presence exactly). Bin arithmetic is the identical expression
+    * shape on both engines — floor((v − min) / width) on doubles
+    * derived from the same min/max — so no rounding can diverge.
+    *
+    * Shape: one pass for the |event_type|-row min/max frame (bounded
+    * broadcast), one pass binning the fact against it with map-side
+    * partial aggregation — shuffle = types × bins rows.
+    */
+  def eventsHistogram(spark: SparkSession, dir: String, bins: Int = 16): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("event_type", "value")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+    val ranges = ev.groupBy("event_type")
+      .agg(min("value").as("vmin"), max("value").as("vmax"))
+      .withColumnRenamed("event_type", "__et")
+    ev.join(broadcast(ranges), col("event_type") === col("__et"))
+      .withColumn("bin",
+        when(col("vmax") === col("vmin"), lit(0L)).otherwise(
+          least(floor((col("value") - col("vmin")) /
+            ((col("vmax") - col("vmin")) / bins)).cast("bigint"), lit(bins - 1L))))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bin")
+  }
+
   /** E40: cohort retention — users grouped by the DATE of their first
     * event (the cohort), counted on each later active day as an offset
     * from that date. The output is the classic retention triangle

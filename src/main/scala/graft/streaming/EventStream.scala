@@ -53,6 +53,28 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** G13: SLIDING windowed aggregates — 2-hour windows every 30
+    * minutes (each event lands in 4 overlapping windows; `window`'s
+    * slide argument is what G1's tumbling form lacks). The
+    * trend-smoothing surface every rate monitor uses. Same watermark
+    * bound on state; the batch mirror below is the spec's oracle.
+    */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Batch mirror of G13 (identical window spec over the batch read). */
+  def slidingAggBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double, seq: Long)

@@ -2644,3 +2644,51 @@ class KcenterSpec extends AnyFunSuite {
     assert(got.forall(_._2 != 0.0), "no zero-radius duplicate centers")
   }
 }
+
+class HistogramSlidingSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("histogram bins partition each type's values exactly") {
+    val rows = graft.operators.Analytics.eventsHistogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, bin, n) =>
+      assert(bin >= 0 && bin < 16 && n > 0, s"bad bin row ($bin, $n)") }
+    // per type: bin counts sum to the type's non-null value count
+    val want = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (et, rs) =>
+      assert(rs.map(_._3).sum == want(et), s"$et bins lose rows") }
+    // extremes land in the terminal bins
+    val byType = rows.groupBy(_._1)
+    want.keys.foreach { et =>
+      assert(byType(et).exists(_._2 == 0L), s"$et: min not in bin 0")
+      assert(byType(et).exists(_._2 == 15L), s"$et: max not in bin 15")
+    }
+  }
+
+  test("G13 sliding windows equal the batch mirror; each event hits 4 windows") {
+    import graft.streaming.EventStream
+    EventStream.runToMemory(spark, EventStream.slidingAgg(spark, sf), "g13slide",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val stream = spark.sql("SELECT * FROM g13slide").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStream.slidingAggBatch(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // append mode holds back windows the watermark hasn't closed: the
+    // stream is a subset missing at most the trailing 2h of windows
+    // per type (8 slides × 5 types) — same contract as the G1 test
+    assert(stream.nonEmpty && stream.subsetOf(batch),
+      s"stream windows not a subset (${stream.size} vs ${batch.size})")
+    assert(stream.size >= batch.size - 40,
+      s"stream missing too many windows: ${stream.size} vs ${batch.size}")
+    // overlap factor on the deterministic batch mirror: every event
+    // contributes to exactly 2h/30m = 4 windows
+    val totalWindowed = batch.toSeq.map(_._3).sum
+    val nEvents = graft.Tables.events(spark, sf).count()
+    assert(totalWindowed == 4 * nEvents,
+      s"windowed counts $totalWindowed != 4 x $nEvents")
+  }
+}
