@@ -32,11 +32,17 @@ object EventStream {
     Staging.stageFile(dir, "events.parquet")
 
   /** Unbounded read of the events parquet as a stream. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    readEventsPath(spark, stageDir(dir))
+
+  /** Same stream over an explicit directory (no staging) — lets tests
+    * grow the input between runs for checkpoint-restart coverage.
+    */
+  def readEventsPath(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)
-      .parquet(stageDir(dir))
+      .parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -197,10 +203,11 @@ object EventStream {
     * (asserted in StreamingSketchSpec).
     */
   def reachSketchStream(spark: SparkSession, dir: String,
-                        lgK: Int = 12): Dataset[ReachOut] = {
+                        lgK: Int = 12,
+                        srcPath: Option[String] = None): Dataset[ReachOut] = {
     import spark.implicits._
     import org.apache.datasketches.hll.{HllSketch, TgtHllType}
-    val events = readEvents(spark, dir)
+    val events = srcPath.map(readEventsPath(spark, _)).getOrElse(readEvents(spark, dir))
       .select(col("event_type"), col("user_id")).as[(String, Long)]
 
     def fn(et: String, rows: Iterator[(String, Long)],

@@ -2692,3 +2692,62 @@ class HistogramSlidingSpec extends AnyFunSuite {
       s"windowed counts $totalWindowed != 4 x $nEvents")
   }
 }
+
+class CheckpointRestartSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.streaming.EventStream
+  import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+  test("stateful stream recovers state and offsets across a restart") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val inDir = java.nio.file.Files.createTempDirectory("ckpt_in").toString
+    val cp = java.nio.file.Files.createTempDirectory("ckpt_cp").toString
+    val raw = spark.read.schema(EventStream.rawSchema)
+      .parquet(s"$sf/events.parquet")
+    // arrival in two batches, split by event id
+    raw.filter(col("event_id") % 2 === 0)
+      .write.mode("append").parquet(inDir)
+
+    // foreachBatch is the recoverable sink (the memory sink refuses
+    // checkpoint recovery); each run collects its emissions here
+    val emitted = new scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    def runOnce(): Unit = {
+      val q = EventStream.reachSketchStream(spark, sf, srcPath = Some(inDir))
+        .writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStream.ReachOut], _: Long) =>
+          emitted.synchronized {
+            emitted ++= batch.collect().map(r => (r.event_type, r.est_users, r.n_events))
+          }
+          () // foreachBatch wants Unit
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce() // processes batch A, checkpoints offsets + state
+    raw.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(inDir)
+    emitted.clear() // keep only the post-restart emissions
+    runOnce() // must resume from the checkpoint: only batch B
+
+    // last emission per type after the restart reflects ALL events —
+    // and n is EXACT, so any reprocessing of batch A (lost offsets) or
+    // lost sketch state (lost state store) would show immediately
+    val rows = emitted.map(t => t._1 -> ((t._2, t._3)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    val want = raw.groupBy("event_type")
+      .agg(countDistinct("user_id").as("u"), count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == want.keySet, s"types ${rows.keySet} vs ${want.keySet}")
+    rows.foreach { case (et, (est, n)) =>
+      assert(n == want(et)._2,
+        s"$et: processed-row count $n != ${want(et)._2} (offsets or state lost)")
+      val exact = want(et)._1.toDouble
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"$et: estimate $est too far from $exact after restart")
+    }
+  }
+}
