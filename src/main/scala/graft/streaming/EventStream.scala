@@ -81,6 +81,49 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** G15: STREAM-STREAM interval join — click→purchase attribution
+    * (each purchase matched to the same user's clicks in the
+    * preceding hour). The genuinely stateful join primitive: BOTH
+    * sides buffer rows in the state store, and the combination of the
+    * two watermarks + the time-range predicate is what lets Spark
+    * evict state (a click older than the purchase watermark minus 1 h
+    * can never match again). Without the range condition the state
+    * would grow unboundedly — the eviction bound is the 100 TB/day
+    * design constraint, not an optimization. Inner join: matches emit
+    * as they arrive, so the drained stream equals the batch mirror
+    * exactly (asserted).
+    */
+  def attributionJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(purchases,
+      expr("""user_id = p_user AND p_ts > click_ts AND
+              p_ts <= click_ts + INTERVAL 1 HOUR"""))
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
+  }
+
+  /** Batch mirror of the attribution join (same predicate, batch read). */
+  def attributionJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    clicks.join(purchases,
+      expr("""user_id = p_user AND p_ts > click_ts AND
+              p_ts <= click_ts + INTERVAL 1 HOUR"""))
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double, seq: Long)

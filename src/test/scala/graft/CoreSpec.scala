@@ -2751,3 +2751,28 @@ class CheckpointRestartSpec extends AnyFunSuite {
     }
   }
 }
+
+class StreamStreamJoinSpec extends AnyFunSuite {
+  import SparkTest._
+  import graft.streaming.EventStream
+
+  test("G15 stream-stream attribution join equals the batch interval join") {
+    EventStream.runToMemory(spark, EventStream.attributionJoin(spark, sf), "g15attr")
+    val stream = spark.sql("SELECT * FROM g15attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStream.attributionJoinBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // inner stream-stream joins emit on match: the drained stream is
+    // the complete batch result, not a watermark-truncated subset
+    assert(stream == batch && stream.nonEmpty,
+      s"stream ${stream.size} pairs vs batch ${batch.size}")
+    // every pair respects the attribution window on the raw data
+    val ts = graft.Tables.events(spark, sf)
+      .select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    stream.foreach { case (_, clickId, purchaseId, _) =>
+      val (c, p) = (ts(clickId), ts(purchaseId))
+      assert(p > c && p <= c + 3600 * 1000L, s"pair ($clickId,$purchaseId) outside window")
+    }
+  }
+}
