@@ -65,21 +65,22 @@ object EventStream {
     * trend-smoothing surface every rate monitor uses. Same watermark
     * bound on state; the batch mirror below is the spec's oracle.
     */
-  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
-    readEvents(spark, dir)
-      .withWatermark("ts", "2 hours")
+  /** The ONE copy of the G13 window spec — stream and batch share it,
+    * same rationale as `attributionOf`.
+    */
+  private def slidingAggOf(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** Batch mirror of G13 (identical window spec over the batch read). */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
+    slidingAggOf(readEvents(spark, dir).withWatermark("ts", "2 hours"))
+
+  /** Batch mirror of G13 (the identical shared window spec). */
   def slidingAggBatch(spark: SparkSession, dir: String): DataFrame =
-    graft.Tables.events(spark, dir)
-      .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
+    slidingAggOf(graft.Tables.events(spark, dir))
 
   /** G15: STREAM-STREAM interval join — click→purchase attribution
     * (each purchase matched to the same user's clicks in the
@@ -93,36 +94,33 @@ object EventStream {
     * as they arrive, so the drained stream equals the batch mirror
     * exactly (asserted).
     */
-  def attributionJoin(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = readEvents(spark, dir)
-      .filter(col("event_type") === "click")
+  /** The ONE copy of the attribution contract — stream and batch both
+    * call it, so the G15 stream==batch assertion can never silently
+    * validate two diverged predicates (the repo's G10/Cdc.changesOf
+    * pattern). `events` is either the streaming or the batch read.
+    */
+  private def attributionOf(events: DataFrame,
+                            watermarked: Boolean): DataFrame = {
+    def wm(df: DataFrame, tsCol: String): DataFrame =
+      if (watermarked) df.withWatermark(tsCol, "2 hours") else df
+    val clicks = wm(events.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("click_ts", "2 hours")
-    val purchases = readEvents(spark, dir)
-      .filter(col("event_type") === "purchase")
+        col("event_id").as("click_id")), "click_ts")
+    val purchases = wm(events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("purchase_id"), col("value"))
-      .withWatermark("p_ts", "2 hours")
+        col("event_id").as("purchase_id"), col("value")), "p_ts")
     clicks.join(purchases,
       expr("""user_id = p_user AND p_ts > click_ts AND
               p_ts <= click_ts + INTERVAL 1 HOUR"""))
       .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
   }
 
-  /** Batch mirror of the attribution join (same predicate, batch read). */
-  def attributionJoinBatch(spark: SparkSession, dir: String): DataFrame = {
-    val ev = graft.Tables.events(spark, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("purchase_id"), col("value"))
-    clicks.join(purchases,
-      expr("""user_id = p_user AND p_ts > click_ts AND
-              p_ts <= click_ts + INTERVAL 1 HOUR"""))
-      .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
-  }
+  def attributionJoin(spark: SparkSession, dir: String): DataFrame =
+    attributionOf(readEvents(spark, dir), watermarked = true)
+
+  /** Batch mirror of the attribution join (same shared contract). */
+  def attributionJoinBatch(spark: SparkSession, dir: String): DataFrame =
+    attributionOf(graft.Tables.events(spark, dir), watermarked = false)
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)

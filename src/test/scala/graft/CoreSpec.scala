@@ -2574,6 +2574,7 @@ class Round6PlanSpec extends AnyFunSuite {
       }
       val hinted = Seq(
         "events_outliers" -> graft.operators.Analytics.eventsOutliers(spark, sf),
+        "events_histogram" -> graft.operators.Analytics.eventsHistogram(spark, sf, bins = 17),
         "docs_corpus_shuffle" -> graft.operators.Sampling.corpusShuffle(spark, sf, seed = 43L),
         "docs_dsir_weights" -> graft.operators.Sampling.dsirWeights(spark, sf),
         "docs_training_pipeline" -> graft.operators.Pipeline.docsTrainingPipeline(spark, sf, minWords = 21))
@@ -2766,13 +2767,17 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     // the complete batch result, not a watermark-truncated subset
     assert(stream == batch && stream.nonEmpty,
       s"stream ${stream.size} pairs vs batch ${batch.size}")
-    // every pair respects the attribution window on the raw data
+    // every pair respects the attribution window on the raw data —
+    // compared in MICROS (getTime truncates to ms and would falsely
+    // fail strict > for same-millisecond neighbors)
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     val ts = graft.Tables.events(spark, sf)
       .select("event_id", "ts").collect()
-      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+      .map(r => r.getLong(0) -> micros(r.getTimestamp(1))).toMap
     stream.foreach { case (_, clickId, purchaseId, _) =>
       val (c, p) = (ts(clickId), ts(purchaseId))
-      assert(p > c && p <= c + 3600 * 1000L, s"pair ($clickId,$purchaseId) outside window")
+      assert(p > c && p <= c + 3600 * 1000000L, s"pair ($clickId,$purchaseId) outside window")
     }
   }
 }
