@@ -107,6 +107,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringSpans(s, d)),
+    "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
     // --- D. Text analysis ---
     "text_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
@@ -125,6 +126,8 @@ object SparkEntry {
     "text_chunks" -> ((s, d) => TextOps.chunkDocuments(s, d)),
     "text_scrub" -> ((s, d) => TextOps.textScrub(s, d)),
     "docs_dsir_weights" -> ((s, d) => graft.operators.Sampling.dsirWeights(s, d)),
+    "text_bpe_train" -> ((s, d) => graft.text.Bpe.trainReport(s, d)),
+    "text_bpe_encode" -> ((s, d) => graft.text.Bpe.encodeReport(s, d)),
     // --- E. Relational analytics ---
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Analytics.q3ShippingPriority(s, d)),

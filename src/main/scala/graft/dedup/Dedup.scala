@@ -400,4 +400,65 @@ object Dedup {
         round(col("covered_words").cast("double") / col("n_words"), 4).as("coverage"))
       .orderBy("doc_id")
   }
+
+  /** C10: SemDeDup semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication") — k-means cluster the embeddings, compare pairs
+    * only WITHIN a cluster, and for each duplicate pair (cos ≥ τ)
+    * remove the member closer to its centroid (the paper's rule: keep
+    * the low-centroid-similarity "outlier" representative, drop the
+    * redundant near-centroid copy). This is the deliberately-lossy,
+    * near-linear sibling of C5: C5's triangle-inequality cell-pair
+    * blocking is exact (a near-dup pair straddling two cells is still
+    * found); SemDeDup trades those straddling pairs away for a strictly
+    * within-cluster O(Σ|cellᵢ|²) comparison bound — the knob web-scale
+    * dedup actually ships (the paper runs 50k clusters over 12.8 B
+    * docs; cluster count caps the quadratic term). DedupSemanticSpec
+    * pins the contract: every reported pair is also found by exact C5
+    * (subset), coverage vs C5 is reported and floored, and the removal
+    * rule is re-verified row by row.
+    *
+    * Plan shape: one broadcast of the k-row centroid table (bounded —
+    * policy-compliant), one cell equi-join self-pairing (no crossJoin),
+    * aggregation-reduced loser set. At 100 TB, `cells` scales with the
+    * corpus to hold per-cell membership ~constant.
+    *
+    * Output: the REMOVED rows — (vec_id, cell, centroid_sim, n_dups),
+    * deterministic under the seeded k-means + (sim, vec_id) tie-break.
+    */
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.45,
+                    cells: Int = 8): DataFrame = {
+    import graft.ann.IvfIndex
+    val idx = IvfIndex.getOrBuildUnit(spark, dir, cells)
+    val cents = broadcast(
+      spark.createDataFrame(idx.centroids.toIndexedSeq.zipWithIndex.map {
+        case (c, i) => (i, c)
+      }).toDF("cell", "centroid"))
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
+        nearest_centroid(vec_normalize(col("embedding")), idx.centroids).as("cell"))
+      .join(cents, "cell")
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        round(cosine_sim(col("embedding"), col("centroid")), 4).as("centroid_sim"))
+    val a = e.select(col("cell"), col("vec_id").as("vec1"),
+      col("embedding").as("e1"), col("centroid_sim").as("cs1"))
+    val b = e.select(col("cell"), col("vec_id").as("vec2"),
+      col("embedding").as("e2"), col("centroid_sim").as("cs2"))
+    val pairs = a.join(b, "cell")
+      .filter(col("vec1") < col("vec2"))
+      .withColumn("cos_sim", round(cosine_sim(col("e1"), col("e2")), 4))
+      .filter(col("cos_sim") >= tau)
+    // the paper's keep rule: the HIGHER-centroid-sim member of a dup
+    // pair is redundant; ties fall to the larger vec_id so the result
+    // is a function of the data alone
+    val losers = pairs.select(
+      when(col("cs1") > col("cs2") ||
+        (col("cs1") === col("cs2") && col("vec1") > col("vec2")), col("vec1"))
+        .otherwise(col("vec2")).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_dups"))
+    losers.join(e.select(col("vec_id"), col("cell"), col("centroid_sim")), "vec_id")
+      .select("vec_id", "cell", "centroid_sim", "n_dups")
+      .orderBy("vec_id")
+  }
 }

@@ -2781,3 +2781,42 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     }
   }
 }
+
+/** H11: ORC source/sink — the second columnar format the Spark image
+  * ships natively. The contract is identical to the parquet layouts:
+  * partitioned write, partition-pruned + predicate-pushed scan, value
+  * parity with the parquet-backed tables.
+  */
+class OrcFormatSpec extends AnyFunSuite {
+  import SparkTest._
+  import org.apache.spark.sql.functions.{col, sum}
+
+  test("partitioned orc layout round-trips with partition pruning and pushdown") {
+    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val ev = Tables.events(spark, sf)
+    ev.write.mode("overwrite").partitionBy("event_type").orc(s"$out/events_orc")
+    val back = spark.read.orc(s"$out/events_orc")
+    assert(back.count() == ev.count())
+    val q = back
+      .filter(col("event_type") === "view" && col("user_id") === 7L)
+      .agg(sum("value").as("v"))
+    val plan = q.queryExecution.executedPlan.toString
+    // event_type must prune at the directory level, never scan-filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"),
+      s"expected event_type as a partition filter:\n$plan")
+    // user_id must reach the ORC reader as a pushed filter
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(user_id,7)"),
+      s"expected user_id pushdown into the orc scan:\n$plan")
+    // column pruning: the scan must read only the 2 referenced columns
+    val readSchema = plan.replaceAll("(?s).*ReadSchema: ([^\\n,]*struct<[^>]*>).*", "$1")
+    assert(readSchema.contains("user_id") && readSchema.contains("value") &&
+      !readSchema.contains("props") && !readSchema.contains("event_id"),
+      s"expected a pruned ReadSchema, got $readSchema")
+    // value parity with the parquet-backed path
+    val expect = ev.filter(col("event_type") === "view" && col("user_id") === 7L)
+      .agg(sum("value")).head().getDouble(0)
+    assert(math.abs(q.head().getDouble(0) - expect) < 1e-9)
+  }
+}
