@@ -61,6 +61,7 @@ object SparkEntry {
     "ann_maxip_topk" -> ((s, d) => Ann.maxInnerProductTopK(s, d, 10)),
     "ann_l1_topk" -> ((s, d) => Ann.bruteForceL1TopK(s, d, 10)),
     "ann_sparse_topk" -> ((s, d) => graft.ann.Sparse.sparseTopK(s, d)),
+    "ann_sparse_inverted_topk" -> ((s, d) => graft.ann.Sparse.invertedTopK(s, d)),
     "ann_batch_topk" -> ((s, d) => Ann.batchTopK(s, d, nq = 8, k = 10)),
     "ann_range_search" -> ((s, d) => Ann.rangeSearch(s, d, tau = 1.3)),
     "ann_knn_graph" -> ((s, d) => Ann.knnGraph(s, d, 5)),
@@ -1380,12 +1381,12 @@ object SparkEntry {
         |  WHERE e.vec_id <> 0 GROUP BY e.vec_id)
         |ORDER BY d, vec_id LIMIT 10""".stripMargin,
     // sparse dot replay: a dim contributes iff BOTH sides survive the
-    // magnitude sparsifier (v > 0.75) — mirrors Sparse.sparsify
+    // magnitude sparsifier (v > 0.15) — mirrors Sparse.sparsify
     "ann_sparse_topk" ->
       """SELECT vec_id, round(dot, 4) AS dot FROM (
         |  SELECT e.vec_id,
-        |         sum(CASE WHEN list_extract(e.embedding, (i + 1)::INT)::DOUBLE > 0.75
-        |                   AND list_extract(qb.qe, (i + 1)::INT)::DOUBLE > 0.75
+        |         sum(CASE WHEN list_extract(e.embedding, (i + 1)::INT)::DOUBLE > 0.15
+        |                   AND list_extract(qb.qe, (i + 1)::INT)::DOUBLE > 0.15
         |              THEN list_extract(e.embedding, (i + 1)::INT)::DOUBLE
         |                   * list_extract(qb.qe, (i + 1)::INT)::DOUBLE
         |              ELSE 0 END) AS dot
@@ -1393,6 +1394,27 @@ object SparkEntry {
         |       (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) qb,
         |       range(64) t(i)
         |  WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+        |ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin,
+    // inverted-index retrieval set: only vectors sharing ≥1 surviving
+    // dim with the query are scored (a zero-overlap candidate is never
+    // materialized by a posting join) — the oracle replays the same
+    // per-dim products plus the shared-dim count gate
+    "ann_sparse_inverted_topk" ->
+      """SELECT vec_id, round(dot, 4) AS dot FROM (
+        |  SELECT e.vec_id,
+        |         sum(CASE WHEN list_extract(e.embedding, (i + 1)::INT)::DOUBLE > 0.15
+        |                   AND list_extract(qb.qe, (i + 1)::INT)::DOUBLE > 0.15
+        |              THEN list_extract(e.embedding, (i + 1)::INT)::DOUBLE
+        |                   * list_extract(qb.qe, (i + 1)::INT)::DOUBLE
+        |              ELSE 0 END) AS dot,
+        |         sum(CASE WHEN list_extract(e.embedding, (i + 1)::INT)::DOUBLE > 0.15
+        |                   AND list_extract(qb.qe, (i + 1)::INT)::DOUBLE > 0.15
+        |              THEN 1 ELSE 0 END) AS shared
+        |  FROM embeddings e,
+        |       (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) qb,
+        |       range(64) t(i)
+        |  WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+        |WHERE shared >= 1
         |ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin,
     // BQ bits replayed per dimension: bit(v, dim) = v > round(avg(dim), 4).
     // The Spark kernel compares (double) v > t — float promotion is

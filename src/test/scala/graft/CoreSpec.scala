@@ -1173,7 +1173,7 @@ class SparseSpec extends AnyFunSuite {
   test("sparse dot/l2/cosine agree with dense kernels over the masked vectors") {
     val s = Sparse.sparsify(spark, sf)
       .join(graft.Tables.embeddings(spark, sf), "vec_id")
-      .withColumn("m", masked(0.75))
+      .withColumn("m", masked(0.15))
     val q = s.filter(col("vec_id") === 0)
       .select(col("sidx").as("qidx"), col("sval").as("qval"), col("m").as("qm"))
     val rows = s.filter(col("vec_id") =!= 0).limit(50)
@@ -1238,6 +1238,31 @@ class SparseSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("sparse_dot")),
       s"sparse dot fell out of codegen:\n$plan")
+  }
+
+  test("inverted-index topk matches a driver reference over the sparse frame") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Sparse.sparsify(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getSeq[Int](1).toArray, r.getSeq[Float](2).toArray)
+    }
+    val (qidx, qval) = rows.find(_._1 == 0L).map(r => (r._2, r._3)).get
+    val qmap = qidx.zip(qval).toMap
+    val expect = rows.filter(_._1 != 0L).flatMap { case (id, is, vs) =>
+      val terms = is.zip(vs).collect {
+        case (i, v) if qmap.contains(i) => v.toDouble * qmap(i).toDouble
+      }
+      if (terms.isEmpty) None else Some((id, r4(terms.sum)))
+    }.sortBy { case (id, dt) => (-dt, id) }.take(10).toSeq
+    val got = Sparse.invertedTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect, s"spark=$got\nref=$expect")
+    // on this corpus every top-k candidate overlaps the query, so the
+    // inverted retrieval must agree row-for-row with the full-scan
+    // merge-kernel path
+    val full = Sparse.sparseTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == full, s"inverted=$got\nfull-scan=$full")
   }
 }
 
