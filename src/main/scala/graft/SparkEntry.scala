@@ -118,6 +118,7 @@ object SparkEntry {
     "dedup_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "dedup_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     "events_user_reach" -> ((s, d) => graft.operators.Sketches.userReach(s, d)),
+    "events_heavy_hitters" -> ((s, d) => graft.operators.Sketches.heavyHitters(s, d)),
     "events_reach_sketch" -> ((s, d) => graft.operators.Sketches.reachSketch(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "text_ngram_stats" -> ((s, d) => TextOps.ngramStats(s, d)),
@@ -1087,6 +1088,18 @@ object SparkEntry {
     "events_user_reach" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // E44: heavy hitters — the sketch phase only proposes candidates
+    // (Misra-Gries guarantees a superset of everything above
+    // total/(m+1) under any merge order); the exact re-count + filter
+    // make the output order-independent, so the oracle is the plain
+    // frequency threshold
+    "events_heavy_hitters" ->
+      """WITH t AS (SELECT event_type, count(*) AS total FROM events GROUP BY 1)
+        |SELECT e.event_type, e.user_id, count(*) AS n
+        |FROM events e JOIN t USING (event_type)
+        |GROUP BY e.event_type, e.user_id, t.total
+        |HAVING count(*) > t.total / 129.0
+        |ORDER BY event_type, n DESC, user_id""".stripMargin,
     // E39: first-touch ordered funnel — each stage's min(ts) must be
     // strictly after the previous stage's; stage reached = 1 + the two
     // completion flags. Timestamp comparisons are raw (no epoch math).

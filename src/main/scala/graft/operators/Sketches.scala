@@ -1,6 +1,10 @@
 package graft.operators
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
@@ -55,4 +59,172 @@ object Sketches {
       .select("event_type", "est_users", "n_events")
       .orderBy("event_type")
   }
+
+  /** E44 `events_heavy_hitters`: per-type heavy users via the
+    * sketch-then-verify two-phase — Misra-Gries candidates (capacity m,
+    * bounded state per group, map-side partial merges) → exact
+    * re-count restricted to the candidate pairs → keep count >
+    * n_type/(m+1).
+    *
+    * Why this is EXACT and oracle-checkable despite routing through an
+    * order-sensitive sketch: Misra-Gries guarantees every item with
+    * true frequency > n/(m+1) survives in the summary under ANY update
+    * and merge order (Misra & Gries 1982; merge rule and the merged
+    * bound from Agarwal et al. 2012, "Mergeable Summaries"). The
+    * candidate set is therefore always a superset of the true heavy
+    * hitters, the exact re-count is over ≤ groups×m pairs (bounded —
+    * broadcastable by construction), and the final threshold filter
+    * discards every false candidate. Nondeterminism in the sketch
+    * content never reaches the output.
+    *
+    * At 100 TB: phase 1 shuffles groups×m summaries (not rows);
+    * phase 2's recount aggregates only rows matching a bounded
+    * candidate set. The all-pairs exact alternative shuffles every
+    * (group, user) pair — the two-phase is the shape that survives a
+    * high-cardinality user dimension.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, m: Int = 128): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sk = ev.groupBy("event_type")
+      .agg(HeavyHitterAgg.misra_gries(col("user_id"), m).as("cand"),
+        count(lit(1)).as("total"))
+    val cands = sk.select(col("event_type"), col("total"),
+        explode(col("cand")).as("c"))
+      .select(col("event_type"), col("total"), col("c.id").as("user_id"))
+    ev.join(broadcast(cands), Seq("event_type", "user_id"))
+      .groupBy(col("event_type"), col("user_id"), col("total"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > col("total").cast("double") / (m + 1))
+      .select("event_type", "user_id", "n")
+      .orderBy(col("event_type"), col("n").desc, col("user_id"))
+  }
+}
+
+/** Misra-Gries summary buffer: at most `m` (item, count) counters.
+  * update = classic decrement-all-on-overflow; merge = pointwise add,
+  * then subtract the (m+1)-th largest count and drop non-positives
+  * (the Mergeable Summaries rule — keeps the n/(m+1) error bound).
+  */
+final class MgBuffer(val m: Int) {
+  val counts = new java.util.HashMap[java.lang.Long, Long]()
+
+  def add(x: Long): Unit = {
+    val cur = counts.get(x)
+    if (cur != null) counts.put(x, cur + 1L)
+    else if (counts.size < m) counts.put(x, 1L)
+    else {
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+  }
+
+  def mergeFrom(other: MgBuffer): Unit = {
+    val oit = other.counts.entrySet().iterator()
+    while (oit.hasNext) {
+      val e = oit.next()
+      val cur = counts.get(e.getKey)
+      counts.put(e.getKey, (if (cur == null) 0L else cur.longValue()) + e.getValue)
+    }
+    if (counts.size > m) {
+      val vals = new Array[Long](counts.size)
+      var i = 0
+      val vit = counts.values().iterator()
+      while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val cut = vals(vals.length - m - 1) // (m+1)-th largest
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= cut) it.remove() else e.setValue(e.getValue - cut)
+      }
+    }
+  }
+}
+
+/** `misra_gries(item, m)` — per-group Misra-Gries summary as
+  * `array<struct<id bigint, est bigint>>` (est desc, id asc). The
+  * SUMMARY is order-sensitive (like any MG); its guaranteed-superset
+  * property is what `Sketches.heavyHitters` builds on.
+  */
+case class MisraGriesAgg(
+    item: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgBuffer] {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  override def children: Seq[Expression] = Seq(item)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("est", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "misra_gries"
+
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(m)
+
+  override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {
+    val v = item.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: MgBuffer, other: MgBuffer): MgBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: MgBuffer): Any = {
+    val entries = new Array[(Long, Long)](buf.counts.size)
+    var i = 0
+    val it = buf.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); entries(i) = (e.getKey.longValue(), e.getValue); i += 1
+    }
+    val sorted = entries.sortBy { case (id, est) => (-est, id) }
+    new GenericArrayData(sorted.map { case (id, est) =>
+      new GenericInternalRow(Array[Any](id, est))
+    })
+  }
+
+  override def serialize(buf: MgBuffer): Array[Byte] = {
+    val n = buf.counts.size
+    val bb = java.nio.ByteBuffer.allocate(4 + n * 16)
+    bb.putInt(n)
+    val it = buf.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); bb.putLong(e.getKey.longValue()); bb.putLong(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MgBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new MgBuffer(m)
+    var i = 0
+    while (i < n) { buf.counts.put(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(item = cs(0))
+}
+
+object HeavyHitterAgg {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.{GraftInternal => ExpressionUtils}
+
+  def misra_gries(item: Column, m: Int): Column =
+    ExpressionUtils.column(
+      MisraGriesAgg(
+        ExpressionUtils.expression(item.cast("bigint")), m).toAggregateExpression())
 }

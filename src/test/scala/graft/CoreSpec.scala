@@ -1342,6 +1342,55 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == c)
   }
+
+  test("misra-gries candidates cover every true heavy hitter with bounded error") {
+    val m = 128
+    val ev = graft.Tables.events(spark, sf)
+    val exact = ev.groupBy("event_type", "user_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val totals = exact.groupBy(_._1._1).map { case (t, xs) => t -> xs.values.sum }
+    val sk = ev.groupBy("event_type")
+      .agg(graft.operators.HeavyHitterAgg.misra_gries(col("user_id"), m).as("cand"))
+      .collect().map { r =>
+        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => e.getLong(0) -> e.getLong(1)).toMap
+      }.toMap
+    totals.foreach { case (t, n) =>
+      val thresh = n.toDouble / (m + 1)
+      val cands = sk(t)
+      // guarantee 1: everything above n/(m+1) survives the sketch
+      exact.foreach { case ((et, u), c) =>
+        if (et == t && c > thresh)
+          assert(cands.contains(u), s"heavy hitter ($t,$u,$c) missing, thresh=$thresh")
+      }
+      // guarantee 2: estimates undercount by at most n/(m+1)
+      cands.foreach { case (u, est) =>
+        val truth = exact.getOrElse((t, u), 0L)
+        assert(est <= truth && truth <= est + thresh.ceil.toLong,
+          s"($t,$u): est=$est truth=$truth thresh=$thresh")
+      }
+    }
+  }
+
+  test("heavy-hitter output equals the exact frequency threshold, deterministically") {
+    val m = 128
+    val ev = graft.Tables.events(spark, sf)
+    val exact = ev.groupBy("event_type", "user_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val totals = exact.groupBy(_._1._1).map { case (t, xs) => t -> xs.values.sum }
+    val expect = exact.collect {
+      case ((t, u), c) if c > totals(t).toDouble / (m + 1) => (t, u, c)
+    }.toSet
+    assert(expect.nonEmpty, "test needs at least one true heavy hitter")
+    val run1 = graft.operators.Sketches.heavyHitters(spark, sf, m).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run1 == expect)
+    // the sketch content is order-sensitive; the OUTPUT must not be
+    val run2 = graft.operators.Sketches.heavyHitters(
+      spark, sf, m).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run2 == run1)
+  }
 }
 
 class Round4PlanSpec extends AnyFunSuite {
