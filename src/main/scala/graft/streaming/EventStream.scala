@@ -266,6 +266,50 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class HhState(ids: Array[Long], counts: Array[Long], n: Long)
+  case class HhOut(event_type: String, candidates: Array[Long], n_events: Long)
+
+  /** G16: streaming heavy-hitter candidates — E44's Misra-Gries phase
+    * as per-type flatMapGroupsWithState state. The state is the m
+    * (item, count) counters themselves (≤ m rows per event type —
+    * bounded like G8's HLL, never per-user), folded with the same
+    * `MgBuffer` object the batch aggregate uses, so the stream carries
+    * E44's exact guarantee: after any prefix, every user above
+    * n_seen/(m+1) is in the candidate set. The exact-verify half stays
+    * a batch job over the emitted candidates (E44 phase 2) — the
+    * standard lambda split for frequency monitoring.
+    */
+  def heavyHitterStream(spark: SparkSession, dir: String, m: Int = 128,
+                        srcPath: Option[String] = None): Dataset[HhOut] = {
+    import spark.implicits._
+    val events = srcPath.map(readEventsPath(spark, _)).getOrElse(readEvents(spark, dir))
+      .select(col("event_type"), col("user_id")).as[(String, Long)]
+
+    def fn(et: String, rows: Iterator[(String, Long)],
+           state: GroupState[HhState]): Iterator[HhOut] = {
+      val buf = new graft.operators.MgBuffer(m)
+      val prev = state.getOption
+      prev.foreach { s =>
+        var i = 0
+        while (i < s.ids.length) { buf.counts.put(s.ids(i), s.counts(i)); i += 1 }
+      }
+      var n = prev.map(_.n).getOrElse(0L)
+      rows.foreach { case (_, uid) => buf.add(uid); n += 1 }
+      val entries = new Array[(Long, Long)](buf.counts.size)
+      var i = 0
+      val it = buf.counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); entries(i) = (e.getKey.longValue(), e.getValue); i += 1
+      }
+      val sorted = entries.sortBy { case (id, c) => (-c, id) }
+      state.update(HhState(sorted.map(_._1), sorted.map(_._2), n))
+      Iterator(HhOut(et, sorted.map(_._1), n))
+    }
+
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** G11: streaming outlier gate — E41's Tukey fences applied
     * IN-STREAM as a stream-static join: the fence frame is a
     * |event_type|-row STATIC dimension (computed from the reference

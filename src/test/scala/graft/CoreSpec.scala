@@ -1664,6 +1664,41 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(streamed == d12, "the in-stream recipe must be the D12 recipe")
     assert(streamed.nonEmpty && streamed.size < graft.Tables.documents(spark, sf).count())
   }
+
+  test("streaming heavy-hitter state carries E44's guarantee with bounded state") {
+    val m = 128
+    EventStream.runToMemory(spark,
+      EventStream.heavyHitterStream(spark, sf, m).toDF(), "g16hh",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    // last emission per type (n_events monotone per type)
+    val streamed = spark.sql("SELECT event_type, candidates, n_events FROM g16hh")
+      .collect().map(r => (r.getString(0), (r.getSeq[Long](1).toSet, r.getLong(2))))
+      .groupBy(_._1).map { case (t, rows) => t -> rows.map(_._2).maxBy(_._2) }
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy("event_type", "user_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val totals = exact.groupBy(_._1._1).map { case (t, xs) => t -> xs.values.sum }
+    streamed.foreach { case (t, (cands, nSeen)) =>
+      assert(nSeen == totals(t), s"$t: stream saw $nSeen of ${totals(t)} events")
+      assert(cands.size <= m, s"$t: state exceeded capacity: ${cands.size}")
+      // the Misra-Gries guarantee after the full prefix: every true
+      // heavy hitter is in the candidate state
+      exact.foreach { case ((et, u), c) =>
+        if (et == t && c > totals(t).toDouble / (m + 1))
+          assert(cands.contains(u), s"stream lost heavy hitter ($t,$u,$c)")
+      }
+    }
+    // exact-verify half (E44 phase 2) over the streamed candidates
+    // reproduces the batch operator's rows
+    val batch = graft.operators.Sketches.heavyHitters(spark, sf, m).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val verified = streamed.flatMap { case (t, (cands, _)) =>
+      cands.toSeq.flatMap { u =>
+        exact.get((t, u)).filter(_ > totals(t).toDouble / (m + 1)).map(c => (t, u, c))
+      }
+    }.toSet
+    assert(verified == batch, s"stream-verified $verified vs batch $batch")
+  }
 }
 
 class ApproxQuantileSpec extends AnyFunSuite {
