@@ -451,13 +451,17 @@ object Dedup {
       .filter(col("cos_sim") >= tau)
     // the paper's keep rule: the HIGHER-centroid-sim member of a dup
     // pair is redundant; ties fall to the larger vec_id so the result
-    // is a function of the data alone
-    val losers = pairs.select(
-      when(col("cs1") > col("cs2") ||
-        (col("cs1") === col("cs2") && col("vec1") > col("vec2")), col("vec1"))
-        .otherwise(col("vec2")).as("vec_id"))
-      .groupBy("vec_id").agg(count(lit(1)).as("n_dups"))
-    losers.join(e.select(col("vec_id"), col("cell"), col("centroid_sim")), "vec_id")
+    // is a function of the data alone. The pair rows already carry the
+    // loser's cell and centroid_sim — projecting them here saves a
+    // third corpus scan + assignment pass
+    val loserWins = col("cs1") > col("cs2") ||
+      (col("cs1") === col("cs2") && col("vec1") > col("vec2"))
+    pairs.select(
+        when(loserWins, col("vec1")).otherwise(col("vec2")).as("vec_id"),
+        col("cell"),
+        when(loserWins, col("cs1")).otherwise(col("cs2")).as("centroid_sim"))
+      .groupBy("vec_id", "cell", "centroid_sim")
+      .agg(count(lit(1)).as("n_dups"))
       .select("vec_id", "cell", "centroid_sim", "n_dups")
       .orderBy("vec_id")
   }

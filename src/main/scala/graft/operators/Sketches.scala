@@ -106,17 +106,23 @@ object Sketches {
   * (the Mergeable Summaries rule — keeps the n/(m+1) error bound).
   */
 final class MgBuffer(val m: Int) {
-  val counts = new java.util.HashMap[java.lang.Long, Long]()
+  // value type MUST be the boxed java.lang.Long: with a scala.Long
+  // value the compiler null-unboxes get() misses to 0L and a
+  // null-check on it is constant-true — which silently disables the
+  // capacity check (MgBufferSpec pins eviction with > m distinct items
+  // so this class of bug cannot come back)
+  val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
 
   def add(x: Long): Unit = {
     val cur = counts.get(x)
-    if (cur != null) counts.put(x, cur + 1L)
+    if (cur != null) counts.put(x, cur.longValue() + 1L)
     else if (counts.size < m) counts.put(x, 1L)
     else {
       val it = counts.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+        if (e.getValue.longValue() <= 1L) it.remove()
+        else e.setValue(e.getValue.longValue() - 1L)
       }
     }
   }
@@ -126,21 +132,38 @@ final class MgBuffer(val m: Int) {
     while (oit.hasNext) {
       val e = oit.next()
       val cur = counts.get(e.getKey)
-      counts.put(e.getKey, (if (cur == null) 0L else cur.longValue()) + e.getValue)
+      counts.put(e.getKey,
+        (if (cur == null) 0L else cur.longValue()) + e.getValue.longValue())
     }
     if (counts.size > m) {
       val vals = new Array[Long](counts.size)
       var i = 0
       val vit = counts.values().iterator()
-      while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
+      while (vit.hasNext) { vals(i) = vit.next().longValue(); i += 1 }
       java.util.Arrays.sort(vals)
       val cut = vals(vals.length - m - 1) // (m+1)-th largest
       val it = counts.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getValue <= cut) it.remove() else e.setValue(e.getValue - cut)
+        if (e.getValue.longValue() <= cut) it.remove()
+        else e.setValue(e.getValue.longValue() - cut)
       }
     }
+  }
+
+  /** Counters as (id, est) sorted (est desc, id asc) — the one
+    * extraction shared by the batch aggregate's eval and the streaming
+    * state fold.
+    */
+  def sortedEntries: Array[(Long, Long)] = {
+    val entries = new Array[(Long, Long)](counts.size)
+    var i = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      entries(i) = (e.getKey.longValue(), e.getValue.longValue()); i += 1
+    }
+    entries.sortBy { case (id, est) => (-est, id) }
   }
 }
 
@@ -178,18 +201,10 @@ case class MisraGriesAgg(
     buf.mergeFrom(other); buf
   }
 
-  override def eval(buf: MgBuffer): Any = {
-    val entries = new Array[(Long, Long)](buf.counts.size)
-    var i = 0
-    val it = buf.counts.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next(); entries(i) = (e.getKey.longValue(), e.getValue); i += 1
-    }
-    val sorted = entries.sortBy { case (id, est) => (-est, id) }
-    new GenericArrayData(sorted.map { case (id, est) =>
+  override def eval(buf: MgBuffer): Any =
+    new GenericArrayData(buf.sortedEntries.map { case (id, est) =>
       new GenericInternalRow(Array[Any](id, est))
     })
-  }
 
   override def serialize(buf: MgBuffer): Array[Byte] = {
     val n = buf.counts.size
@@ -197,7 +212,8 @@ case class MisraGriesAgg(
     bb.putInt(n)
     val it = buf.counts.entrySet().iterator()
     while (it.hasNext) {
-      val e = it.next(); bb.putLong(e.getKey.longValue()); bb.putLong(e.getValue)
+      val e = it.next()
+      bb.putLong(e.getKey.longValue()); bb.putLong(e.getValue.longValue())
     }
     bb.array()
   }

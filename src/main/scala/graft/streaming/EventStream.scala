@@ -295,13 +295,7 @@ object EventStream {
       }
       var n = prev.map(_.n).getOrElse(0L)
       rows.foreach { case (_, uid) => buf.add(uid); n += 1 }
-      val entries = new Array[(Long, Long)](buf.counts.size)
-      var i = 0
-      val it = buf.counts.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next(); entries(i) = (e.getKey.longValue(), e.getValue); i += 1
-      }
-      val sorted = entries.sortBy { case (id, c) => (-c, id) }
+      val sorted = buf.sortedEntries
       state.update(HhState(sorted.map(_._1), sorted.map(_._2), n))
       Iterator(HhOut(et, sorted.map(_._1), n))
     }

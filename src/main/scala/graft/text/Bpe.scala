@@ -106,14 +106,17 @@ object Bpe {
       slice(syms, lit(1), size(syms) - 1),
       (x, i) => struct(x.as("a"), element_at(syms, i + 2).as("b")))
 
-  private val modelCache = TrieMap.empty[(String, Int), Model]
+  // keyed by applicationId too: the cached Model holds localCheckpoint
+  // blocks owned by ONE SparkContext — serving them to a new session
+  // in the same JVM would fail on dead block references
+  private val modelCache = TrieMap.empty[(String, String, Int), Model]
 
   /** Train a BPE vocabulary of `numMerges` merges over the corpus.
     * Deterministic: seedless — the argmax tie-break (count desc, left
     * asc, right asc) pins every pick.
     */
   def train(spark: SparkSession, dir: String, numMerges: Int = 24): Model =
-    modelCache.getOrElseUpdate((dir, numMerges), {
+    modelCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, numMerges), {
       // localCheckpoint (not bare persist) each round: the fold
       // expression is large, and 24 rounds of accreted lineage make
       // re-planning and plan stringification quadratic — checkpointing
@@ -173,15 +176,29 @@ object Bpe {
   def encodeReport(spark: SparkSession, dir: String, numMerges: Int = 24): DataFrame = {
     val m = train(spark, dir, numMerges)
     val dict = m.words.select(col("word"), size(col("syms")).as("word_tokens"))
-    Tables.documents(spark, dir)
+    val perDoc = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(wordsOf(col("text"))).as("word"))
-      .join(dict, Seq("word"))
+      // left join + fallback: an OOV word (possible whenever the
+      // encoded corpus is not the training corpus) costs its
+      // character count + 1, the untrained-symbol floor — never a
+      // silently dropped row
+      .join(dict, Seq("word"), "left")
+      .withColumn("word_tokens",
+        coalesce(col("word_tokens"), length(col("word")) + 1))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_words"),
         sum("word_tokens").as("n_tokens"))
+    // a doc with no [a-z0-9] runs has no exploded rows — report it as
+    // (0, 0) instead of dropping it
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
       .withColumn("tokens_per_word",
-        round(col("n_tokens").cast("double") / col("n_words"), 4))
+        when(col("n_words") > 0,
+          round(col("n_tokens").cast("double") / col("n_words"), 4)))
       .orderBy("doc_id")
   }
 }

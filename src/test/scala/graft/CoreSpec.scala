@@ -1343,6 +1343,48 @@ class SketchSpec extends AnyFunSuite {
     assert(a == c)
   }
 
+  test("MgBuffer keeps capacity and the n/(m+1) guarantee past m distinct items") {
+    // the corpus fixtures have fewer distinct users than m, so MG
+    // eviction/merge-trim never fire there — this synthetic stream
+    // (3 heavy items above threshold, ~300 tail items, m=8) exercises
+    // both paths deterministically
+    val m = 8
+    val stream = (0 until 4000).map { i =>
+      if (i % 2 == 0) ((i / 2) % 3).toLong else (3 + (i % 300)).toLong
+    }
+    val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = stream.size
+    val thresh = n.toDouble / (m + 1)
+    assert(exact.count(_._2 > thresh) == 3, "fixture must have 3 true heavies")
+    val buf = new graft.operators.MgBuffer(m)
+    stream.foreach { x =>
+      buf.add(x)
+      assert(buf.counts.size <= m, s"sequential state exceeded m: ${buf.counts.size}")
+    }
+    exact.foreach { case (x, c) =>
+      if (c > thresh) assert(buf.counts.containsKey(x), s"lost heavy item $x ($c)")
+    }
+    buf.sortedEntries.foreach { case (id, est) =>
+      val t = exact.getOrElse(id, 0L)
+      assert(est <= t && t <= est + thresh.ceil.toLong, s"$id: est=$est true=$t")
+    }
+    // distributed shape: chunked partial buffers merged pairwise
+    val merged = stream.grouped(600).map { chunk =>
+      val b = new graft.operators.MgBuffer(m); chunk.foreach(b.add); b
+    }.reduce { (a, b) =>
+      a.mergeFrom(b)
+      assert(a.counts.size <= m, s"merged state exceeded m: ${a.counts.size}")
+      a
+    }
+    exact.foreach { case (x, c) =>
+      if (c > thresh) assert(merged.counts.containsKey(x), s"merge lost heavy $x ($c)")
+    }
+    merged.sortedEntries.foreach { case (id, est) =>
+      val t = exact.getOrElse(id, 0L)
+      assert(est <= t && t <= est + thresh.ceil.toLong, s"merged $id: est=$est true=$t")
+    }
+  }
+
   test("misra-gries candidates cover every true heavy hitter with bounded error") {
     val m = 128
     val ev = graft.Tables.events(spark, sf)
@@ -2675,18 +2717,30 @@ class Round6PlanSpec extends AnyFunSuite {
         "events_funnel" -> graft.operators.Analytics.eventsFunnel(spark, sf),
         "events_retention" -> graft.operators.Analytics.eventsRetention(spark, sf),
         "events_gapfill" -> graft.operators.Analytics.eventsGapfill(spark, sf),
-        "q_revenue_incremental" -> graft.operators.Ivm.revenueIncremental(spark, sf))
+        "q_revenue_incremental" -> graft.operators.Ivm.revenueIncremental(spark, sf),
+        // dictionary attach is unhinted by design (AQE decides at SF)
+        "text_bpe_encode" -> graft.text.Bpe.encodeReport(spark, sf))
       unhinted.foreach { case (name, df) =>
         val n = df.queryExecution.executedPlan.collect {
           case b: BroadcastExchangeExec => b }.length
         assert(n == 0, s"$name is unhinted but plans $n BroadcastExchange(s)")
       }
+      // Hinted queries: every BroadcastExchange subtree must be one of
+      // the bounded classes — aggregation-reduced, a driver-built
+      // local frame (never a file scan), or a single-vector point
+      // selection (vec_id = const) whose size is one row's nonzeros.
+      import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+      import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, LocalTableScanExec}
       val hinted = Seq(
         "events_outliers" -> graft.operators.Analytics.eventsOutliers(spark, sf),
         "events_histogram" -> graft.operators.Analytics.eventsHistogram(spark, sf, bins = 17),
         "docs_corpus_shuffle" -> graft.operators.Sampling.corpusShuffle(spark, sf, seed = 43L),
         "docs_dsir_weights" -> graft.operators.Sampling.dsirWeights(spark, sf),
-        "docs_training_pipeline" -> graft.operators.Pipeline.docsTrainingPipeline(spark, sf, minWords = 21))
+        "docs_training_pipeline" -> graft.operators.Pipeline.docsTrainingPipeline(spark, sf, minWords = 21),
+        "events_heavy_hitters" -> graft.operators.Sketches.heavyHitters(spark, sf),
+        "dedup_semantic" -> graft.dedup.Dedup.semanticDedup(spark, sf),
+        "ann_sparse_topk" -> graft.ann.Sparse.sparseTopK(spark, sf),
+        "ann_sparse_inverted_topk" -> graft.ann.Sparse.invertedTopK(spark, sf))
       hinted.foreach { case (name, df) =>
         df.queryExecution.executedPlan.foreach {
           case b: BroadcastExchangeExec =>
@@ -2694,8 +2748,19 @@ class Round6PlanSpec extends AnyFunSuite {
               case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
               case _ => false
             }
-            assert(reduced,
-              s"$name: forced broadcast of a non-aggregated (raw corpus) frame:\n$b")
+            val localOnly = b.exists(_.isInstanceOf[LocalTableScanExec]) &&
+              !b.exists(_.isInstanceOf[FileSourceScanExec])
+            val pointSelected = b.exists {
+              case f: FilterExec => f.condition.exists {
+                case eq: EqualTo =>
+                  (eq.left.references ++ eq.right.references).exists(_.name == "vec_id") &&
+                    (eq.left.isInstanceOf[Literal] || eq.right.isInstanceOf[Literal])
+                case _ => false
+              }
+              case _ => false
+            }
+            assert(reduced || localOnly || pointSelected,
+              s"$name: forced broadcast of a non-bounded (raw corpus) frame:\n$b")
           case _ =>
         }
       }
