@@ -130,6 +130,7 @@ object SparkEntry {
     "docs_dsir_weights" -> ((s, d) => graft.operators.Sampling.dsirWeights(s, d)),
     "text_bpe_train" -> ((s, d) => graft.text.Bpe.trainReport(s, d)),
     "text_bpe_encode" -> ((s, d) => graft.text.Bpe.encodeReport(s, d)),
+    "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     // --- E. Relational analytics ---
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Analytics.q3ShippingPriority(s, d)),
@@ -1166,6 +1167,25 @@ object SparkEntry {
         |FROM tok JOIN ratio USING (w)
         |WHERE source <> 'src0'
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // D21: bigram-LM scoring — the identical add-1 probability,
+    // micro-nat quantization in the BIGRAM-vocab dimension, BIGINT
+    // per-doc sum, one divide in the report (the D15 recipe)
+    "text_lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bi AS (SELECT doc_id,
+        |              CASE WHEN i = 1 THEN '<s>' ELSE ws[i - 1] END AS w1,
+        |              ws[i] AS w2
+        |       FROM d, unnest(generate_series(1, len(ws))) AS t(i)),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |uc AS (SELECT w1, sum(cb) AS cu FROM bc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS v FROM bi),
+        |mn AS (SELECT w1, w2,
+        |              round(ln((cb + 1)::DOUBLE / (cu + v.v)::DOUBLE) * 1e6, 0)::BIGINT AS lp6
+        |       FROM bc JOIN uc USING (w1), v)
+        |SELECT bi.doc_id, count(*)::BIGINT AS n_bigrams,
+        |       round(-sum(lp6)::DOUBLE / 1e6 / count(*), 4) AS nll
+        |FROM bi JOIN mn USING (w1, w2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // E41: Tukey-fence outliers — fences from 4dp-rounded exact
     // quantiles with the identical expression shape as the Spark side,
     // so the comparison doubles are bit-equal (fences deliberately NOT

@@ -291,4 +291,43 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram"))
       .limit(topN)
   }
+
+  /** D21 `text_lm_score`: bigram language-model quality scoring — the
+    * CCNet/RefinedWeb perplexity gate (Wenzek et al. 2019 score with a
+    * KenLM model; here the LM is trained ON the corpus in the same
+    * job): add-1-smoothed bigram probabilities with a BOS context,
+    * per-doc mean negative log-likelihood. High nll = improbable text
+    * under the corpus LM — the standard junk/outlier signal between
+    * the surface heuristics (D2/D10) and model-based scoring.
+    *
+    * Exactness contract (the D15 recipe): each VOCAB-dimension log
+    * probability is quantized once to integer micro-nats, per-doc sums
+    * run on BIGINT (order-independent), one divide in the report —
+    * so the DuckDB oracle replays bit-for-bit. Plan shape: one corpus
+    * explode → vocab-sized bigram/context aggregates, a 1-row
+    * vocab-size broadcast, unhinted vocab attaches (AQE), one per-doc
+    * aggregate.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), ws(col("text")).as("words"))
+      .select(col("doc_id"), explode(expr(
+        "transform(words, (w, i) -> named_struct(" +
+          "'w1', IF(i = 0, '<s>', element_at(words, i)), 'w2', w))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val uc = bc.groupBy("w1").agg(sum("cb").as("cu"))
+    val v = bi.agg(countDistinct("w2").as("v"))
+    val mn = bc.join(uc, "w1").join(broadcast(v))
+      .select(col("w1"), col("w2"),
+        round(log((col("cb") + 1).cast("double") /
+          (col("cu") + col("v")).cast("double")) * 1e6, 0).cast("bigint").as("lp6"))
+    bi.join(mn, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp6").as("s6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s6").cast("double") / 1e6 / col("n_bigrams"), 4).as("nll"))
+      .orderBy("doc_id")
+  }
 }

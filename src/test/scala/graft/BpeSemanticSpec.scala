@@ -113,6 +113,33 @@ class BpeSpec extends AnyFunSuite {
   }
 }
 
+/** D21: bigram-LM scoring (oracle-checked; this spec pins the add-1
+  * smoothing invariants the oracle comparison can't express).
+  */
+class LmScoreSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("lm score covers every doc with positive nll inside the smoothing bound") {
+    val rows = graft.text.TextOps.lmScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == docs.size, "every doc must be scored")
+    // one bigram per word (BOS context makes the first word a bigram)
+    rows.foreach { case (id, nb, _) => assert(nb == docs(id), s"doc $id: $nb bigrams") }
+    // add-1 smoothing bounds every per-bigram -log P by ln(maxContext + V)
+    val bi = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val v = bi.agg(countDistinct("w")).head().getLong(0)
+    val maxCu = bi.groupBy("w").count().agg(max("count")).head().getLong(0)
+    val bound = math.log((maxCu + 1 + v).toDouble)
+    rows.foreach { case (id, _, nll) =>
+      assert(nll > 0 && nll <= bound + 1e-6, s"doc $id: nll=$nll outside (0, $bound]")
+    }
+  }
+}
+
 /** C10: SemDeDup — within-cluster semantic dedup. Rows-only key; this
   * spec is its correctness gate: pair subset vs the EXACT C5 miner,
   * row-exact removal under the paper's keep rule, and a no-crossJoin /
