@@ -68,6 +68,7 @@ object SparkEntry {
     // 1 descent round in the workload entry (the convergence trajectory
     // 0.29→0.61→0.88→0.95 over rounds is asserted in ScalaTest)
     "ann_knn_graph_nnd" -> ((s, d) => Ann.knnGraphDescent(s, d, 5, iters = 1)),
+    "ann_knn_centrality" -> ((s, d) => Ann.knnCentrality(s, d)),
     "events_props_stats" -> ((s, d) => Analytics.eventsPropsStats(s, d)),
     "vector_norms" -> ((s, d) => Ann.vectorNorms(s, d, n = 100)),
     "ann_ivf_build" -> ((s, d) => IvfIndex.buildReport(s, d)),
@@ -131,6 +132,7 @@ object SparkEntry {
     "text_bpe_train" -> ((s, d) => graft.text.Bpe.trainReport(s, d)),
     "text_bpe_encode" -> ((s, d) => graft.text.Bpe.encodeReport(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
+    "text_compression_ratio" -> ((s, d) => TextOps.compressionRatio(s, d)),
     // --- E. Relational analytics ---
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Analytics.q3ShippingPriority(s, d)),

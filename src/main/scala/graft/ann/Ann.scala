@@ -140,6 +140,30 @@ object Ann {
       .orderBy("src", "nbr")
   }
 
+  /** B27 `ann_knn_centrality`: PageRank over the exact kNN graph —
+    * graph-based data selection (a vector central in the similarity
+    * graph represents a dense semantic region; isolated low-rank
+    * points are outliers/noise — the coverage counterpart to D18's
+    * k-center and D15's quality weights). GraphX staticPageRank
+    * (Pregel) over B11's edges: r₀=1, rₜ₊₁ = 0.15 + 0.85·Σ rₜ(u)/deg⁺(u),
+    * fixed iteration count — at scale each round is one
+    * aggregateMessages pass over |E| = k·N slim edges. Every vertex
+    * has out-degree k, so there are no dangling corrections. Rows-only
+    * (iterative float fixpoint); the spec re-runs the identical power
+    * iteration on the driver and bounds the difference.
+    */
+  def knnCentrality(spark: SparkSession, dir: String, k: Int = 5,
+                    iters: Int = 10, cells: Int = 16): DataFrame = {
+    import spark.implicits._
+    val edges = knnGraph(spark, dir, k, cells)
+      .select(col("src"), col("nbr")).as[(Long, Long)].rdd
+    val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 0)
+    graph.staticPageRank(iters, resetProb = 0.15).vertices
+      .toDF("vec_id", "pr")
+      .select(col("vec_id"), round(col("pr"), 6).as("pagerank"))
+      .orderBy("vec_id")
+  }
+
   /** B17: NN-Descent approximate k-NN graph — the regime where the
     * exact build (B11) is too expensive: very large k·N. Standard
     * local-join iteration (Dong et al., WWW'11): a node's candidates

@@ -308,6 +308,23 @@ object TextOps {
     * vocab-size broadcast, unhinted vocab attaches (AQE), one per-doc
     * aggregate.
     */
+  /** D22 `text_compression_ratio`: per-doc DEFLATE compression ratio —
+    * the Dolma/RedPajama gzip-ratio junk signal (templated or
+    * machine-looped text compresses far below natural prose; very high
+    * ratios flag near-random noise). One codegen'd kernel pass, zero
+    * shuffle (the only exchange is the output sort). Rows-only (DuckDB
+    * has no deflate); the spec re-runs the identical Deflater on the
+    * driver for exact equality.
+    */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars_m"),
+        graft.functions.compression.deflate_size(col("text")).as("deflate_bytes"))
+      .withColumn("ratio",
+        round(col("deflate_bytes").cast("double") / col("n_chars_m"), 4))
+      .orderBy("doc_id")
+
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val bi = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)

@@ -140,6 +140,79 @@ class LmScoreSpec extends AnyFunSuite {
   }
 }
 
+/** D22: compression-ratio quality signal (rows-only — this driver
+  * re-run of the identical Deflater is the correctness gate) plus the
+  * discrimination property the signal exists for.
+  */
+class CompressionRatioSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("deflate kernel matches a driver Deflater exactly and flags repetition") {
+    val got = graft.text.TextOps.compressionRatio(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.length == docs.size)
+    got.foreach { case (id, nc, db, ratio) =>
+      val t = docs(id)
+      assert(nc == t.length)
+      val ref = graft.functions.CompressionKernels.deflateSize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 6)
+      assert(db == ref, s"doc $id: kernel $db vs driver $ref")
+      assert(ratio == BigDecimal(db.toDouble / nc)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // discrimination: a looped phrase must compress far below prose
+    import spark.implicits._
+    val synth = Seq(
+      1L -> ("the value is high and the customer agrees " * 40),
+      2L -> docs.values.head).toDF("id", "t")
+      .select(col("id"),
+        (graft.functions.compression.deflate_size(col("t")).cast("double") /
+          length(col("t"))).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(synth(1L) < synth(2L) / 2,
+      s"looped text must compress well below prose: $synth")
+    // and the kernel stays inside whole-stage codegen
+    val df = graft.text.TextOps.compressionRatio(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("deflate_size")),
+      s"deflate_size fell out of codegen:\n$plan")
+  }
+}
+
+/** B27: kNN-graph PageRank centrality — rows-only; the correctness
+  * gate is an exact driver power iteration with GraphX's
+  * staticPageRank recurrence over the same edge set.
+  */
+class KnnCentralitySpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("graphx pagerank matches the driver power iteration on the same edges") {
+    val k = 5; val iters = 10
+    val edges = graft.ann.Ann.knnGraph(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outDeg = edges.groupBy(_._1).map { case (v, es) => v -> es.length }
+    var rank = verts.map(_ -> 1.0).toMap
+    for (_ <- 0 until iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      edges.foreach { case (u, v) => contrib(v) += rank(u) / outDeg(u) }
+      rank = verts.map(v => v -> (0.15 + 0.85 * contrib(v))).toMap
+    }
+    val got = graft.ann.Ann.knnCentrality(spark, sf, k, iters).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == rank.keySet)
+    got.foreach { case (v, pr) =>
+      assert(math.abs(pr - rank(v)) < 1e-4, s"vec $v: graphx=$pr driver=${rank(v)}")
+    }
+    // centrality must actually discriminate (not a constant vector)
+    assert(got.values.max > got.values.min * 1.5,
+      s"degenerate centrality: [${got.values.min}, ${got.values.max}]")
+  }
+}
+
 /** C10: SemDeDup — within-cluster semantic dedup. Rows-only key; this
   * spec is its correctness gate: pair subset vs the EXACT C5 miner,
   * row-exact removal under the paper's keep rule, and a no-crossJoin /
