@@ -109,7 +109,14 @@ object Ann {
     * only the pruned src fan-out moves); the result is exactly the
     * brute-force graph — the oracle stays the quadratic SQL.
     */
-  def knnGraph(spark: SparkSession, dir: String, k: Int, cells: Int = 16): DataFrame = {
+  def knnGraph(spark: SparkSession, dir: String, k: Int, cells: Int = 16): DataFrame =
+    knnEdges(spark, dir, k, cells).orderBy("src", "nbr")
+
+  /** B11's edge set WITHOUT the query-surface total-order sort —
+    * consumers that repartition anyway (GraphX centrality) skip one
+    * full range-exchange over the k·N edges.
+    */
+  private def knnEdges(spark: SparkSession, dir: String, k: Int, cells: Int): DataFrame = {
     val idx = IvfIndex.getOrBuild(spark, dir, cells)
     val radiiDf = broadcast(spark.createDataFrame(
       IvfIndex.cellRadii(spark, dir, cells).toSeq).toDF("cell", "radius"))
@@ -137,7 +144,6 @@ object Ann {
       .groupBy("src")
       .agg(topk_ids(l2_dist(col("ea"), col("eb")), col("dst"), k).as("ids"))
       .select(col("src"), explode(col("ids")).as("nbr"))
-      .orderBy("src", "nbr")
   }
 
   /** B27 `ann_knn_centrality`: PageRank over the exact kNN graph —
@@ -155,7 +161,7 @@ object Ann {
   def knnCentrality(spark: SparkSession, dir: String, k: Int = 5,
                     iters: Int = 10, cells: Int = 16): DataFrame = {
     import spark.implicits._
-    val edges = knnGraph(spark, dir, k, cells)
+    val edges = knnEdges(spark, dir, k, cells)
       .select(col("src"), col("nbr")).as[(Long, Long)].rdd
     val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 0)
     graph.staticPageRank(iters, resetProb = 0.15).vertices

@@ -151,6 +151,13 @@ final class MgBuffer(val m: Int) {
     }
   }
 
+  /** Re-insert a previously-extracted counter — with `MgBuffer.restore`
+    * the ONE reconstruction path (aggregate deserialize + streaming
+    * state restore), so a representation change can't silently diverge
+    * the two.
+    */
+  def put(id: Long, count: Long): Unit = counts.put(id, count)
+
   /** Counters as (id, est) sorted (est desc, id asc) — the one
     * extraction shared by the batch aggregate's eval and the streaming
     * state fold.
@@ -164,6 +171,20 @@ final class MgBuffer(val m: Int) {
       entries(i) = (e.getKey.longValue(), e.getValue.longValue()); i += 1
     }
     entries.sortBy { case (id, est) => (-est, id) }
+  }
+}
+
+object MgBuffer {
+  /** Rebuild a buffer from extracted (id, count) arrays — the single
+    * reconstruction path shared by `MisraGriesAgg.deserialize` and the
+    * streaming state restore (EventStream G16).
+    */
+  def restore(m: Int, ids: Array[Long], counts: Array[Long]): MgBuffer = {
+    require(ids.length == counts.length, s"${ids.length} ids vs ${counts.length} counts")
+    val buf = new MgBuffer(m)
+    var i = 0
+    while (i < ids.length) { buf.put(ids(i), counts(i)); i += 1 }
+    buf
   }
 }
 
@@ -221,10 +242,11 @@ case class MisraGriesAgg(
   override def deserialize(bytes: Array[Byte]): MgBuffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new MgBuffer(m)
+    val ids = new Array[Long](n)
+    val cnts = new Array[Long](n)
     var i = 0
-    while (i < n) { buf.counts.put(bb.getLong, bb.getLong); i += 1 }
-    buf
+    while (i < n) { ids(i) = bb.getLong; cnts(i) = bb.getLong; i += 1 }
+    MgBuffer.restore(m, ids, cnts)
   }
 
   override def withNewMutableAggBufferOffset(offset: Int): MisraGriesAgg =

@@ -287,12 +287,9 @@ object EventStream {
 
     def fn(et: String, rows: Iterator[(String, Long)],
            state: GroupState[HhState]): Iterator[HhOut] = {
-      val buf = new graft.operators.MgBuffer(m)
       val prev = state.getOption
-      prev.foreach { s =>
-        var i = 0
-        while (i < s.ids.length) { buf.counts.put(s.ids(i), s.counts(i)); i += 1 }
-      }
+      val buf = prev.map(s => graft.operators.MgBuffer.restore(m, s.ids, s.counts))
+        .getOrElse(new graft.operators.MgBuffer(m))
       var n = prev.map(_.n).getOrElse(0L)
       rows.foreach { case (_, uid) => buf.add(uid); n += 1 }
       val sorted = buf.sortedEntries

@@ -115,8 +115,14 @@ object Bpe {
     * Deterministic: seedless — the argmax tie-break (count desc, left
     * asc, right asc) pins every pick.
     */
-  def train(spark: SparkSession, dir: String, numMerges: Int = 24): Model =
-    modelCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, numMerges), {
+  def train(spark: SparkSession, dir: String, numMerges: Int = 24): Model = {
+    // entries keyed to a DIFFERENT application belong to a stopped
+    // context in this JVM: their checkpoint blocks are dead and the
+    // Model can never be served again — drop them so a long-lived JVM
+    // cycling SparkSessions doesn't accrete one Model per session
+    val appId = spark.sparkContext.applicationId
+    modelCache.keys.filter(_._1 != appId).foreach(modelCache.remove)
+    modelCache.getOrElseUpdate((appId, dir, numMerges), {
       // localCheckpoint (not bare persist) each round: the fold
       // expression is large, and 24 rounds of accreted lineage make
       // re-planning and plan stringification quadratic — checkpointing
@@ -153,6 +159,7 @@ object Bpe {
       }
       Model(merges.result(), words)
     })
+  }
 
   /** D19 `text_bpe_train`: the learned merge table — (rank, left,
     * right, pair_count), the exact observable a tokenizer trainer

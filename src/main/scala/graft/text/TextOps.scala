@@ -315,14 +315,21 @@ object TextOps {
     * shuffle (the only exchange is the output sort). Rows-only (DuckDB
     * has no deflate); the spec re-runs the identical Deflater on the
     * driver for exact equality.
+    *
+    * The denominator is the UTF-8 BYTE length — the same octets the
+    * Deflater consumes — so the ratio is encoding-invariant (a char
+    * denominator would inflate CJK prose ~3× and misfire the
+    * high-ratio=noise rule). Empty documents get a null ratio (under
+    * ANSI mode the unguarded divide would fail the whole job).
     */
   def compressionRatio(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        length(col("text")).cast("bigint").as("n_chars_m"),
+        octet_length(col("text")).cast("bigint").as("n_bytes"),
         graft.functions.compression.deflate_size(col("text")).as("deflate_bytes"))
       .withColumn("ratio",
-        round(col("deflate_bytes").cast("double") / col("n_chars_m"), 4))
+        when(col("n_bytes") > 0,
+          round(col("deflate_bytes").cast("double") / col("n_bytes"), 4)))
       .orderBy("doc_id")
 
   def lmScore(spark: SparkSession, dir: String): DataFrame = {

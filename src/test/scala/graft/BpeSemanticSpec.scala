@@ -128,12 +128,16 @@ class LmScoreSpec extends AnyFunSuite {
     assert(rows.length == docs.size, "every doc must be scored")
     // one bigram per word (BOS context makes the first word a bigram)
     rows.foreach { case (id, nb, _) => assert(nb == docs(id), s"doc $id: $nb bigrams") }
-    // add-1 smoothing bounds every per-bigram -log P by ln(maxContext + V)
+    // add-1 smoothing bounds every per-bigram -log P by ln(maxContext + V).
+    // The <s> BOS context occurs once per DOCUMENT, so the max context
+    // count is max(word frequency, doc count) — on a corpus of many
+    // short docs D exceeds every word frequency and a maxCu-only bound
+    // would falsely fail a one-word doc's BOS bigram.
     val bi = graft.Tables.documents(spark, sf)
       .select(explode(split(col("text"), " ")).as("w"))
     val v = bi.agg(countDistinct("w")).head().getLong(0)
     val maxCu = bi.groupBy("w").count().agg(max("count")).head().getLong(0)
-    val bound = math.log((maxCu + 1 + v).toDouble)
+    val bound = math.log((math.max(maxCu, docs.size.toLong) + 1 + v).toDouble)
     rows.foreach { case (id, _, nll) =>
       assert(nll > 0 && nll <= bound + 1e-6, s"doc $id: nll=$nll outside (0, $bound]")
     }
@@ -153,13 +157,13 @@ class CompressionRatioSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got.length == docs.size)
-    got.foreach { case (id, nc, db, ratio) =>
+    got.foreach { case (id, nb, db, ratio) =>
       val t = docs(id)
-      assert(nc == t.length)
+      assert(nb == t.getBytes("UTF-8").length.toLong)
       val ref = graft.functions.CompressionKernels.deflateSize(
         org.apache.spark.unsafe.types.UTF8String.fromString(t), 6)
       assert(db == ref, s"doc $id: kernel $db vs driver $ref")
-      assert(ratio == BigDecimal(db.toDouble / nc)
+      assert(ratio == BigDecimal(db.toDouble / nb)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     // discrimination: a looped phrase must compress far below prose
@@ -169,10 +173,26 @@ class CompressionRatioSpec extends AnyFunSuite {
       2L -> docs.values.head).toDF("id", "t")
       .select(col("id"),
         (graft.functions.compression.deflate_size(col("t")).cast("double") /
-          length(col("t"))).as("r"))
+          octet_length(col("t"))).as("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(synth(1L) < synth(2L) / 2,
       s"looped text must compress well below prose: $synth")
+    // denominator is BYTES (multibyte text must not inflate the ratio)
+    // and an empty doc yields null, not an ANSI divide-by-zero failure
+    val edge = Seq(1L -> "夏は熱い夏は熱い夏は熱い夏は熱い", 2L -> "").toDF("doc_id", "text")
+    val er = edge
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("bigint").as("n_bytes"),
+        graft.functions.compression.deflate_size(col("text")).as("deflate_bytes"))
+      .withColumn("ratio",
+        when(col("n_bytes") > 0,
+          round(col("deflate_bytes").cast("double") / col("n_bytes"), 4)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(er(1L)._1 == 48L, s"CJK doc must count UTF-8 bytes: ${er(1L)}")
+    assert(er(1L)._2.exists(_ < 1.0),
+      s"repetitive CJK text must still read as compressible: ${er(1L)}")
+    assert(er(2L)._2.isEmpty, s"empty doc must yield null ratio: ${er(2L)}")
     // and the kernel stays inside whole-stage codegen
     val df = graft.text.TextOps.compressionRatio(spark, sf)
     df.collect()

@@ -2719,7 +2719,8 @@ class Round6PlanSpec extends AnyFunSuite {
         "events_gapfill" -> graft.operators.Analytics.eventsGapfill(spark, sf),
         "q_revenue_incremental" -> graft.operators.Ivm.revenueIncremental(spark, sf),
         // dictionary attach is unhinted by design (AQE decides at SF)
-        "text_bpe_encode" -> graft.text.Bpe.encodeReport(spark, sf))
+        "text_bpe_encode" -> graft.text.Bpe.encodeReport(spark, sf),
+        "text_compression_ratio" -> graft.text.TextOps.compressionRatio(spark, sf))
       unhinted.foreach { case (name, df) =>
         val n = df.queryExecution.executedPlan.collect {
           case b: BroadcastExchangeExec => b }.length
@@ -2740,7 +2741,9 @@ class Round6PlanSpec extends AnyFunSuite {
         "events_heavy_hitters" -> graft.operators.Sketches.heavyHitters(spark, sf),
         "dedup_semantic" -> graft.dedup.Dedup.semanticDedup(spark, sf),
         "ann_sparse_topk" -> graft.ann.Sparse.sparseTopK(spark, sf),
-        "ann_sparse_inverted_topk" -> graft.ann.Sparse.invertedTopK(spark, sf))
+        "ann_sparse_inverted_topk" -> graft.ann.Sparse.invertedTopK(spark, sf),
+        // hinted broadcast(v): the 1-row vocab-size global aggregate
+        "text_lm_score" -> graft.text.TextOps.lmScore(spark, sf))
       hinted.foreach { case (name, df) =>
         df.queryExecution.executedPlan.foreach {
           case b: BroadcastExchangeExec =>
