@@ -69,6 +69,7 @@ object SparkEntry {
     // 0.29→0.61→0.88→0.95 over rounds is asserted in ScalaTest)
     "ann_knn_graph_nnd" -> ((s, d) => Ann.knnGraphDescent(s, d, 5, iters = 1)),
     "ann_knn_centrality" -> ((s, d) => Ann.knnCentrality(s, d)),
+    "hybrid_rrf_topk" -> ((s, d) => graft.ann.Hybrid.hybridRrfTopK(s, d)),
     "events_props_stats" -> ((s, d) => Analytics.eventsPropsStats(s, d)),
     "vector_norms" -> ((s, d) => Ann.vectorNorms(s, d, n = 100)),
     "ann_ivf_build" -> ((s, d) => IvfIndex.buildReport(s, d)),
@@ -644,6 +645,32 @@ object SparkEntry {
         |  PARTITION BY q.vec_id
         |  ORDER BY list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), e.vec_id) <= 10
         |ORDER BY query_id, block_id""".stripMargin,
+    "hybrid_rrf_topk" ->
+      s"""WITH $qv,
+         |vc AS (
+         |  SELECT e.vec_id AS doc_id,
+         |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 4) AS sim
+         |  FROM embeddings e, q WHERE e.vec_id <> 0
+         |  ORDER BY sim DESC, doc_id LIMIT 100
+         |),
+         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS vec_rank FROM vc),
+         |terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |qt AS (SELECT DISTINCT term FROM terms WHERE doc_id = 0),
+         |qp AS (SELECT t.doc_id, t.term FROM terms t JOIN qt USING (term)),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM qp WHERE doc_id <> 0 GROUP BY doc_id, term),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM qp GROUP BY term),
+         |mlt AS (
+         |  SELECT tf.doc_id,
+         |         sum(round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df)
+         |             * 10000, 0)::BIGINT) AS mlt
+         |  FROM tf JOIN df USING (term) GROUP BY tf.doc_id
+         |),
+         |tc AS (SELECT doc_id, mlt FROM mlt ORDER BY mlt DESC, doc_id LIMIT 100),
+         |tr AS (SELECT doc_id, row_number() OVER (ORDER BY mlt DESC, doc_id) AS text_rank FROM tc)
+         |SELECT COALESCE(vr.doc_id, tr.doc_id) AS doc_id, vr.vec_rank, tr.text_rank,
+         |       round(COALESCE(1.0/(60 + vr.vec_rank), 0) + COALESCE(1.0/(60 + tr.text_rank), 0), 6) AS rrf
+         |FROM vr FULL OUTER JOIN tr ON vr.doc_id = tr.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "ann_maxip_topk" ->
       s"""WITH $qv
          |SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0

@@ -2743,7 +2743,9 @@ class Round6PlanSpec extends AnyFunSuite {
         "ann_sparse_topk" -> graft.ann.Sparse.sparseTopK(spark, sf),
         "ann_sparse_inverted_topk" -> graft.ann.Sparse.invertedTopK(spark, sf),
         // hinted broadcast(v): the 1-row vocab-size global aggregate
-        "text_lm_score" -> graft.text.TextOps.lmScore(spark, sf))
+        "text_lm_score" -> graft.text.TextOps.lmScore(spark, sf),
+        // hinted: 1-vector point select + distinct query-term dict + 1-row count
+        "hybrid_rrf_topk" -> graft.ann.Hybrid.hybridRrfTopK(spark, sf))
       hinted.foreach { case (name, df) =>
         df.queryExecution.executedPlan.foreach {
           case b: BroadcastExchangeExec =>
@@ -2771,6 +2773,39 @@ class Round6PlanSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
+  }
+}
+
+class HybridRrfSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("rrf fusion reproduces its rank formula over bounded candidate lists") {
+    val df = graft.ann.Hybrid.hybridRrfTopK(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      r.getDouble(3)))
+    assert(rows.length == 10)
+    assert(!rows.exists(_._1 == 0L), "the self-query doc must be excluded")
+    rows.foreach { case (id, vr, tr, rrf) =>
+      assert(vr.nonEmpty || tr.nonEmpty, s"doc $id in neither candidate list")
+      (vr.toSeq ++ tr.toSeq).foreach(r => assert(r >= 1 && r <= 100, s"doc $id rank $r"))
+      val expect = vr.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        tr.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - BigDecimal(expect)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12,
+        s"doc $id: rrf=$rrf vs formula=$expect")
+    }
+    // output ordered by fused score desc, id asc
+    val key = rows.map(r => (-r._4, r._1)).toSeq
+    assert(key == key.sorted, s"fusion order broken: $rows")
+    // both retrievers contribute to the fused top-k on this corpus
+    assert(rows.exists(_._2.nonEmpty) && rows.exists(_._3.nonEmpty),
+      s"degenerate fusion (one modality only): $rows")
+    // corpus-wide work must be heap-shaped (top-C per retriever), not
+    // a global sort: TakeOrderedAndProject present
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-C heap:\n$plan")
   }
 }
 
