@@ -70,6 +70,7 @@ object SparkEntry {
     "ann_knn_graph_nnd" -> ((s, d) => Ann.knnGraphDescent(s, d, 5, iters = 1)),
     "ann_knn_centrality" -> ((s, d) => Ann.knnCentrality(s, d)),
     "hybrid_rrf_topk" -> ((s, d) => graft.ann.Hybrid.hybridRrfTopK(s, d)),
+    "ann_half_topk" -> ((s, d) => graft.ann.Half.halfTopK(s, d)),
     "events_props_stats" -> ((s, d) => Analytics.eventsPropsStats(s, d)),
     "vector_norms" -> ((s, d) => Ann.vectorNorms(s, d, n = 100)),
     "ann_ivf_build" -> ((s, d) => IvfIndex.buildReport(s, d)),

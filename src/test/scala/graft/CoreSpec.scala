@@ -2745,7 +2745,9 @@ class Round6PlanSpec extends AnyFunSuite {
         // hinted broadcast(v): the 1-row vocab-size global aggregate
         "text_lm_score" -> graft.text.TextOps.lmScore(spark, sf),
         // hinted: 1-vector point select + distinct query-term dict + 1-row count
-        "hybrid_rrf_topk" -> graft.ann.Hybrid.hybridRrfTopK(spark, sf))
+        "hybrid_rrf_topk" -> graft.ann.Hybrid.hybridRrfTopK(spark, sf),
+        // hinted: the 1-vector point-selected fp16-rounded query
+        "ann_half_topk" -> graft.ann.Half.halfTopK(spark, sf))
       hinted.foreach { case (name, df) =>
         df.queryExecution.executedPlan.foreach {
           case b: BroadcastExchangeExec =>
