@@ -109,27 +109,36 @@ object Bench {
         "full"
     }
     val serialKey = if (serialMode == "full") "serial_full" else "serial_heavy"
-    def retime(names: Seq[String]): Seq[(String, Double, Option[String])] =
+    def retime(names: Seq[String]): Seq[(String, Double, Double, Option[String])] =
       names.map { name =>
         val t0 = System.nanoTime()
         // same rule as the concurrent pass: a failure must surface as
         // a failure, never as a fast-looking number
         val err = try { SparkEntry.queries(name)(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        // load sampled at the END of each re-time: lets a cross-round
+        // per-query diff drop numbers taken in a bad host window
+        // (SKEW.md round-5) mechanically instead of by narrative
+        val load = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        (name, (System.nanoTime() - t0) / 1e9, load, err)
       }
-    val serialTimes: Option[Seq[(String, Double, Option[String])]] = serialMode match {
+    val serialTimes: Option[Seq[(String, Double, Double, Option[String])]] = serialMode match {
       case "off"  => None
       case "full" => Some(retime(results.map(_._1).sorted))
       case _      => Some(retime(results.sortBy(-_._2).take(5).map(_._1)))
     }
     val serialJson = serialTimes.map { timed =>
-      val ok = timed.collect { case (n, t, None) => "\"" + n + "\":" + t }
+      val ok = timed.collect { case (n, t, _, None) => "\"" + n + "\":" + t }
         .mkString("{", ",", "}")
-      val serr = timed.collect { case (n, _, Some(e)) =>
+      // parallel map, not nested objects: keeps the name→sec shape of
+      // serial_full stable for cross-round diff tooling
+      val loads = timed.collect { case (n, _, l, None) => "\"" + n + "\":" + l }
+        .mkString("{", ",", "}")
+      val serr = timed.collect { case (n, _, _, Some(e)) =>
         "\"" + n + "\":\"" + jsonEscape(e) + "\"" }
         .mkString("{", ",", "}")
-      s""","$serialKey":$ok,"serial_errors":$serr"""
+      s""","$serialKey":$ok,"serial_load_1m":$loads,"serial_errors":$serr"""
     }.getOrElse("")
     val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -167,9 +176,9 @@ object Bench {
       // full mode re-times everything — the tail line only fits the
       // heaviest 15 (the complete map is in the sidecar file)
       val shown = if (serialMode == "full") t.sortBy(-_._2).take(15) else t
-      val ok = shown.collect { case (n, s, None) => "\"" + n + "\":" + r3(s) }
+      val ok = shown.collect { case (n, s, _, None) => "\"" + n + "\":" + r3(s) }
         .mkString("{", ",", "}")
-      val bad = t.collect { case (n, _, Some(e)) =>
+      val bad = t.collect { case (n, _, _, Some(e)) =>
         "\"" + n + "\":\"" + jsonEscape(e.take(60)) + "\"" }
         .mkString("{", ",", "}")
       s""","$serialKey":$ok""" + (if (bad == "{}") "" else s""","serial_errors":$bad""")

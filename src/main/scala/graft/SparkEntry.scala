@@ -1211,11 +1211,13 @@ object SparkEntry {
         |v AS (SELECT count(DISTINCT w2) AS v FROM bi),
         |mn AS (SELECT w1, w2,
         |              round(ln((cb + 1)::DOUBLE / (cu + v.v)::DOUBLE) * 1e6, 0)::BIGINT AS lp6
-        |       FROM bc JOIN uc USING (w1), v)
-        |SELECT bi.doc_id, count(*)::BIGINT AS n_bigrams,
-        |       round(-sum(lp6)::DOUBLE / 1e6 / count(*), 4) AS nll
-        |FROM bi JOIN mn USING (w1, w2)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |       FROM bc JOIN uc USING (w1), v),
+        |scored AS (SELECT bi.doc_id, count(*)::BIGINT AS n_bigrams,
+        |                  round(-sum(lp6)::DOUBLE / 1e6 / count(*), 4) AS nll
+        |           FROM bi JOIN mn USING (w1, w2) GROUP BY 1)
+        |SELECT dd.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams, s.nll
+        |FROM documents dd LEFT JOIN scored s USING (doc_id)
+        |ORDER BY dd.doc_id""".stripMargin,
     // E41: Tukey-fence outliers — fences from 4dp-rounded exact
     // quantiles with the identical expression shape as the Spark side,
     // so the comparison doubles are bit-equal (fences deliberately NOT
@@ -1259,7 +1261,8 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 11 = 0),
         |latest AS (
         |  SELECT doc_id, text, source, version, op FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY version DESC, op DESC, coalesce(length(text), -1) DESC) AS rn
         |    FROM ch) WHERE rn = 1)
         |SELECT b.doc_id, b.source, length(b.text)::BIGINT AS n_chars_final,
         |       0::BIGINT AS version

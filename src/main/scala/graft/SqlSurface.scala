@@ -12,11 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlSurface {
 
-  private val registered = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  // session-scoped: temp views + function registrations live in ONE
+  // SparkSession — a later session in the same JVM must re-register
+  private val registered = new graft.SessionCache[String, Boolean]
 
   /** Register testdata tables as temp views + the function surface. */
   def init(spark: SparkSession, dir: String): Unit =
-    registered.getOrElseUpdate(dir, {
+    registered.getOrElseUpdate(spark, dir) {
       GraftExtensions.install(spark)
       Tables.names.foreach { t =>
         // events needs the nanos-aware reader (Tables.events), not a raw scan
@@ -24,7 +26,7 @@ object SqlSurface {
         df.createOrReplaceTempView(t)
       }
       true
-    })
+    }
 
   /** SQL spelling of the prefilter top-k (same result as
     * Rbac.prefilterTopK — the DataFrame and SQL paths share the oracle).

@@ -24,15 +24,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and truncate to Spark's native
-    * microsecond timestamps (the DuckDB oracle mirrors this with
-    * `ts::TIMESTAMP`).
+  /** events.parquet stores a naive (not UTC-adjusted) timestamp, which
+    * Spark infers as TIMESTAMP_NTZ; downstream operators and the DuckDB
+    * oracle both speak plain session-local TIMESTAMP (sessions here pin
+    * UTC), so normalize the column to TimestampType. Earlier testdata
+    * generations stored TIMESTAMP(NANOS) — kept readable via the
+    * nanos-as-long legacy read + micros truncation, branch chosen from
+    * the file's own inferred type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already session-local timestamps
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -182,8 +182,7 @@ object Ann {
     * joins + one aggregate over |E| ≈ k·N slim rows (checkpoint the
     * graph between rounds to cut lineage).
     */
-  private val descentCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int, Int), DataFrame]
+  private val descentCache = new graft.SessionFrameCache[(String, Int, Int, Int, Int)]
 
   /** Candidate-row count of the last sampled round per descent run —
     * recorded only when `collectStats` (the counting job is pure test
@@ -200,9 +199,9 @@ object Ann {
       // stats runs bypass the cache (they must re-execute to count) but
       // still replace it without leaking the old persisted frame
       val built = buildDescent(spark, dir, k, iters, cells, rho, collectStats)
-      descentCache.put(key, built).foreach(_.unpersist())
+      descentCache.put(spark, key, built).foreach(_.unpersist())
       built
-    } else descentCache.getOrElseUpdate(key,
+    } else descentCache.getOrElseUpdate(spark, key)(
       buildDescent(spark, dir, k, iters, cells, rho, collectStats))
   }
 

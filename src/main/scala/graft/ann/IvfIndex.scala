@@ -47,13 +47,13 @@ object IvfIndex {
       Index(k, model.clusterCenters.map(_.toArray.map(_.toFloat)))
     })
 
-  private val assignCache = TrieMap.empty[(String, Int), DataFrame]
+  private val assignCache = new graft.SessionFrameCache[(String, Int)]
 
   /** (vec_id, list_id): nearest-centroid assignment, computed entirely
     * inside the scan stage (no join, no aggregation, no shuffle).
     */
   def assignments(spark: SparkSession, dir: String, k: Int): DataFrame =
-    assignCache.getOrElseUpdate((dir, k), {
+    assignCache.getOrElseUpdate(spark, (dir, k)) {
       val idx = getOrBuild(spark, dir, k)
       // nearest_centroid bakes the (tiny) centroid matrix into the
       // expression: one argmin pass inside the scan stage — no join, no
@@ -62,9 +62,9 @@ object IvfIndex {
         .select(col("vec_id"),
           nearest_centroid(col("embedding"), idx.centroids).as("list_id"))
         .persist() // the assignment IS the index; reused across searches
-    })
+    }
 
-  private val withCellsCache = TrieMap.empty[(String, Int), DataFrame]
+  private val withCellsCache = new graft.SessionFrameCache[(String, Int)]
 
   /** Corpus with its cell id attached, persisted — the in-memory mirror
     * of the cell-partitioned parquet the index build writes at scale.
@@ -72,14 +72,14 @@ object IvfIndex {
     * of re-scanning + re-assigning per branch.
     */
   def withCells(spark: SparkSession, dir: String, k: Int): DataFrame =
-    withCellsCache.getOrElseUpdate((dir, k), {
+    withCellsCache.getOrElseUpdate(spark, (dir, k)) {
       val idx = getOrBuild(spark, dir, k)
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("cell", nearest_centroid(col("embedding"), idx.centroids))
         .persist()
-    })
+    }
 
   private val radiiCache = TrieMap.empty[(String, Int, Boolean), Map[Int, Double]]
 

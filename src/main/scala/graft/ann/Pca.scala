@@ -210,7 +210,9 @@ object Pca {
     * sidecars.
     */
   def model(spark: SparkSession, dir: String, k: Int): PcaModel =
-    modelCache.getOrElseUpdate((dir, k), {
+    // synchronized like BqIndex.getOrBuild: racing first-touch callers
+    // would each run the moments scan + eigensolve
+    modelCache.synchronized { modelCache.getOrElseUpdate((dir, k), {
       val emb = Tables.embeddings(spark, dir)
       val d = emb.select(size(col("embedding"))).head().getInt(0)
       val row = emb.agg(cov_moments(col("embedding"), d).as("m")).head()
@@ -233,7 +235,7 @@ object Pca {
       val total = (0 until d).map(i => cov(i)(i)).sum
       val (vals, vecs) = topEigen(cov, k)
       PcaModel(d, n, mean, vals, vecs, total)
-    })
+    })}
 
   /** Project onto the first k' components: k' codegen'd dot kernels
     * against broadcast-literal component vectors; the per-component

@@ -67,7 +67,7 @@ object PqIndex {
       .select(col("vec_id"), encodeCol(col("embedding"), cb).as("code"))
   }
 
-  private val codesCellCache = TrieMap.empty[(String, Int), DataFrame]
+  private val codesCellCache = new graft.SessionFrameCache[(String, Int)]
 
   /** (vec_id, list_id, code) — the compressed corpus WITH its IVF cell,
     * persisted: the in-memory mirror of the cell-partitioned compressed
@@ -76,7 +76,7 @@ object PqIndex {
     * a join against the corpus — encode and assign happen in ONE scan.
     */
   def codesWithCells(spark: SparkSession, dir: String, cells: Int): DataFrame =
-    codesCellCache.getOrElseUpdate((dir, cells), {
+    codesCellCache.getOrElseUpdate(spark, (dir, cells)) {
       val cb = getOrBuild(spark, dir)
       val ivf = IvfIndex.getOrBuild(spark, dir, cells)
       Tables.embeddings(spark, dir)
@@ -84,7 +84,7 @@ object PqIndex {
           nearest_centroid(col("embedding"), ivf.centroids).as("list_id"),
           encodeCol(col("embedding"), cb).as("code"))
         .persist()
-    })
+    }
 
   /** B15 build observable: code-usage histogram per subspace 0 (shows
     * quantizer balance), rows-only.

@@ -48,7 +48,9 @@ object QdTree {
       splits: Seq[Split],
       nLeaves: Int)
 
-  private val cache = TrieMap.empty[(String, Int, Long, Int, Int), Tree]
+  // session-scoped: Tree.assign is a persisted frame bound to one
+  // SparkContext (SessionCache evicts entries of dead applications)
+  private val cache = new graft.SessionCache[(String, Int, Long, Int, Int), Tree]
 
   /** Doc groups that move together under every predicate:
     * (comb_key, roles, cell, n_blocks), cell from the same IVF index
@@ -83,9 +85,9 @@ object QdTree {
   def getOrBuild(spark: SparkSession, dir: String, cells: Int = 8,
                  minLeaf: Long = 8L, maxDepth: Int = 8,
                  leafBudget: Int = 24): Tree =
-    cache.getOrElseUpdate((dir, cells, minLeaf, maxDepth, leafBudget), {
+    cache.getOrElseUpdate(spark, (dir, cells, minLeaf, maxDepth, leafBudget)) {
       build(spark, dir, cells, minLeaf, maxDepth, leafBudget)
-    })
+    }
 
   private def build(spark: SparkSession, dir: String, cells: Int,
                     minLeaf: Long, maxDepth: Int, leafBudget: Int): Tree = {

@@ -60,20 +60,19 @@ object Dedup {
     * so the verified output equals the exact pairwise result — which is
     * what the DuckDB oracle computes.
     */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Double), DataFrame]
+  private val pairsCache = new graft.SessionFrameCache[(String, Double)]
 
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
     // compute-once + persist: `dedup_clusters` consumes the same verified
     // pair set — without the cache it would re-run the whole
     // shingle→minhash→band→verify pipeline before its connected
     // components pass (the pair set is tiny; the pipeline is not)
-    pairsCache.getOrElseUpdate((dir, threshold), {
+    pairsCache.getOrElseUpdate(spark, (dir, threshold)) {
       val sets = shingleSets(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism)
       verifiedPairs(candidatePairs(sets, "s", bands = 16, rowsPerBand = 4),
-        sets, "s", threshold).persist()
-    })
+        sets, "s", threshold)
+    }
 
   /** Exact-verify candidate (doc1, doc2) pairs: attach both token sets,
     * apply the size-ratio bound implied by `jaccard >= threshold` (free
@@ -93,12 +92,16 @@ object Dedup {
     // branches, and without the cache the whole banding pipeline
     // (pairs' lineage) would be embedded once per branch on top of the
     // main join's copy — ids is doc-id-slim, so the cache cost is
-    // negligible next to re-running candidate generation
+    // negligible next to re-running candidate generation. It is a
+    // build-local scratch frame, so the verified output is materialized
+    // HERE (persist + one count job) and ids unpersisted before
+    // returning — otherwise every invocation would orphan a persisted
+    // frame until the ContextCleaner happens to run.
     val ids = pairs.select(col("doc1").as("doc_id"))
       .union(pairs.select(col("doc2").as("doc_id"))).distinct()
       .persist()
     val needed = sets.join(ids, Seq("doc_id"), "left_semi")
-    pairs
+    val verified = pairs
       .join(needed.select(col("doc_id").as("doc1"), col(setCol).as("x1")), "doc1")
       .join(needed.select(col("doc_id").as("doc2"), col(setCol).as("x2")), "doc2")
       .filter(size(col("x1")) * threshold <= size(col("x2")) &&
@@ -108,6 +111,10 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc1", "doc2", "jaccard")
       .orderBy("doc1", "doc2")
+      .persist()
+    verified.count() // materialize so ids' blocks are no longer needed
+    ids.unpersist(blocking = false)
+    verified
   }
 
   /** C6: dup-cluster assembly — near-dup PAIRS are not actionable until
@@ -162,18 +169,24 @@ object Dedup {
     * A size-ratio prefilter (|g1|/|g2| ≥ t, implied by Jaccard ≥ t)
     * prunes candidates for free.
     */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val par = spark.sparkContext.defaultParallelism
-    val g = Tables.documents(spark, dir)
-      .repartition(par) // testdata = 1 row group; spread the heavy map
-      .select(col("doc_id"),
-        graft.functions.ngrams.char_ngram_hashes(col("text"), 5).as("g"))
-    // 12 bands × 5 rows: this corpus has background char-gram sim up to
-    // ~0.27 (tiny vocab), so banding must reject j≈0.27 hard
-    // (FP ≈ 0.27^5×12 ≈ 1.7%) while keeping j≥0.9 recall ≈ 1-2e-6.
-    verifiedPairs(candidatePairs(g, "g", bands = 12, rowsPerBand = 5),
-      g, "g", threshold)
-  }
+  private val ngramPairsCache = new graft.SessionFrameCache[(String, Double)]
+
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    // cached like minhashLsh: verifiedPairs persists its (tiny) output,
+    // so the cache both reuses the verified pair set and guarantees
+    // repeated invocations don't accrete persisted frames
+    ngramPairsCache.getOrElseUpdate(spark, (dir, threshold)) {
+      val par = spark.sparkContext.defaultParallelism
+      val g = Tables.documents(spark, dir)
+        .repartition(par) // testdata = 1 row group; spread the heavy map
+        .select(col("doc_id"),
+          graft.functions.ngrams.char_ngram_hashes(col("text"), 5).as("g"))
+      // 12 bands × 5 rows: this corpus has background char-gram sim up to
+      // ~0.27 (tiny vocab), so banding must reject j≈0.27 hard
+      // (FP ≈ 0.27^5×12 ≈ 1.7%) while keeping j≥0.9 recall ≈ 1-2e-6.
+      verifiedPairs(candidatePairs(g, "g", bands = 12, rowsPerBand = 5),
+        g, "g", threshold)
+    }
 
   /** MinHash-banded candidate (doc1, doc2) pairs over a token-set
     * column. Only slim (band_key, doc_id) rows are shuffled — the token

@@ -515,11 +515,13 @@ object Analytics {
     * through ONE task, which grows with SF. All ties at the max are
     * kept, as in the oracle's scalar subquery.
     */
-  private val q15RevCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // session-scoped (SessionFrameCache): the persisted frame is bound to
+  // ONE SparkContext — serving it to a later session in the same JVM
+  // would fail on the stopped context
+  private val q15RevCache = new graft.SessionFrameCache[String]
 
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val rev = q15RevCache.getOrElseUpdate(dir,
+    val rev = q15RevCache.getOrElseUpdate(spark, dir)(
       Tables.lineitem(spark, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
         .filter(col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
@@ -693,11 +695,11 @@ object Analytics {
     * value frame is persisted (part-dimension-sized) so the total and
     * the filter read ONE materialization.
     */
-  private val q11Cache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // session-scoped like q15RevCache
+  private val q11Cache = new graft.SessionFrameCache[String]
 
   def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
-    val v = q11Cache.getOrElseUpdate(dir,
+    val v = q11Cache.getOrElseUpdate(spark, dir)(
       partsupp(spark, dir)
         .join(Tables.supplier(spark, dir).filter(col("s_nationkey") === 3),
           col("ps_suppkey") === col("s_suppkey"))

@@ -46,8 +46,7 @@ object Hierarchy {
   // frame instead of re-running the iterative join chain (the tree
   // loop is height many joins; the DAG loop adds a driver-side count
   // per round).
-  private val closureCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val closureCache = new graft.SessionFrameCache[String]
 
   /** Transitive closure (role_id, desc_id): desc_id is in role_id's
     * subtree (reflexive — a role is its own descendant). Iterative
@@ -55,10 +54,7 @@ object Hierarchy {
     * equals the tree height.
     */
   def roleClosure(spark: SparkSession): DataFrame =
-    // synchronized like layoutCache: racing first-touch callers would
-    // each run the multi-job build and leak the losers' persisted frames
-    closureCache.synchronized {
-      closureCache.getOrElseUpdate((spark, "tree"), {
+    closureCache.getOrElseUpdate(spark, "tree") {
       val height = math.ceil(math.log(Rbac.NumRoles) / math.log(2)).toInt
       var closure = spark.range(0, Rbac.NumRoles)
         .select(col("id").as("role_id"), col("id").as("desc_id"))
@@ -76,7 +72,6 @@ object Hierarchy {
         level += 1
       }
       closure.persist()
-      })
     }
 
   /** Effective (user_id, role_id): every user's held roles expanded to
@@ -113,16 +108,13 @@ object Hierarchy {
     * actually buys scan reduction. Deterministic and fully
     * SQL-replayed (recursive CTE feeding the same layout CTE as A17).
     */
-  private val layoutCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Double, Int), DataFrame]
+  private val layoutCache = new graft.SessionFrameCache[(String, Double, Int)]
 
   def costModelLayout(spark: SparkSession, dir: String, alpha: Double = 2.0,
                       nQueries: Int = 20): DataFrame =
-    layoutCache.synchronized {
-      layoutCache.getOrElseUpdate((dir, alpha, nQueries),
-        Partitioned.buildCostModelLayoutFrom(spark, dir,
-          effectiveUserRoles(spark, dir), alpha, nQueries).persist())
-    }
+    layoutCache.getOrElseUpdate(spark, (dir, alpha, nQueries))(
+      Partitioned.buildCostModelLayoutFrom(spark, dir,
+        effectiveUserRoles(spark, dir), alpha, nQueries).persist())
 
   /** A19 step 3: per-user selectivity under the HIERARCHY — the
     * second, structurally different permission distribution the layout
@@ -207,8 +199,7 @@ object Hierarchy {
     * role-metadata frames (|roles|² pairs at worst), never the corpus.
     */
   def dagClosure(spark: SparkSession): DataFrame =
-    closureCache.synchronized {
-      closureCache.getOrElseUpdate((spark, "dag"), {
+    closureCache.getOrElseUpdate(spark, "dag") {
       // each round persists BEFORE its count and releases the previous
       // round's cache: the fixed-point check then reads one cached
       // frame per round instead of recomputing the whole join chain
@@ -232,7 +223,6 @@ object Hierarchy {
         closure = next
       }
       closure
-      })
     }
 
   /** Effective user roles under the DAG — `effectiveUserRoles` with the
@@ -273,9 +263,7 @@ object Hierarchy {
     */
   def dagCostModelLayout(spark: SparkSession, dir: String, alpha: Double = 2.0,
                          nQueries: Int = 20): DataFrame =
-    layoutCache.synchronized {
-      layoutCache.getOrElseUpdate((dir + "#dag", alpha, nQueries),
-        Partitioned.buildCostModelLayoutFrom(spark, dir,
-          dagEffectiveUserRoles(spark, dir), alpha, nQueries).persist())
-    }
+    layoutCache.getOrElseUpdate(spark, (dir + "#dag", alpha, nQueries))(
+      Partitioned.buildCostModelLayoutFrom(spark, dir,
+        dagEffectiveUserRoles(spark, dir), alpha, nQueries).persist())
 }

@@ -162,15 +162,14 @@ object Partitioned {
     *    converges to, computed here as one ranking + one running sum
     *    (two window functions — no iteration, same greedy order).
     */
-  private val layoutCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Double, Int), DataFrame]
+  private val layoutCache = new graft.SessionFrameCache[(String, Double, Int)]
 
   def costModelLayout(spark: SparkSession, dir: String, alpha: Double = 2.0,
                       nQueries: Int = 20): DataFrame =
     // the layout is index metadata (≤ #combs rows), consumed by the
     // layout query, the routed search, and the space report — compute
     // once per (dir, α, workload) and persist, like the IVF caches
-    layoutCache.getOrElseUpdate((dir, alpha, nQueries),
+    layoutCache.getOrElseUpdate(spark, (dir, alpha, nQueries))(
       buildCostModelLayout(spark, dir, alpha, nQueries).persist())
 
   private def buildCostModelLayout(spark: SparkSession, dir: String, alpha: Double,

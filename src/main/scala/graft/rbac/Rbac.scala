@@ -36,29 +36,28 @@ object Rbac {
   // way a warehouse pins its dimensions. The block table is NOT cached:
   // at 100 TB the fact side is always a fresh parquet scan and the
   // local plans should keep that shape.
-  private val dimCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val dimCache = new graft.SessionFrameCache[(String, String)]
 
   /** UserRoles(user_id, role_id) — every user holds exactly 1-2 roles. */
   def userRoles(spark: SparkSession, dir: String): DataFrame =
-    dimCache.getOrElseUpdate(("ur", dir), {
+    dimCache.getOrElseUpdate(spark, ("ur", dir)) {
       val c = Tables.customer(spark, dir).select(col("c_custkey").as("user_id"))
       c.withColumn("role_id", col("user_id") % NumRoles)
         .union(c.withColumn("role_id", (col("user_id") * 3 + 1) % NumRoles))
         .distinct()
         .persist()
-    })
+    }
 
   /** PermissionAssignment(role_id, document_id). */
   def permissions(spark: SparkSession, dir: String): DataFrame =
-    dimCache.getOrElseUpdate(("perm", dir), {
+    dimCache.getOrElseUpdate(spark, ("perm", dir)) {
       val d = Tables.documents(spark, dir).select(col("doc_id").as("document_id"))
       d.withColumn("role_id", col("document_id") % NumRoles)
         .union(d.withColumn("role_id", expr("document_id div 10") % NumRoles))
         .distinct()
         .select("role_id", "document_id")
         .persist()
-    })
+    }
 
   /** documentblocks(block_id, document_id, embedding). */
   def blocks(spark: SparkSession, dir: String): DataFrame =

@@ -17,12 +17,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object EventStream {
 
-  /** Parquet-file schema of events, post nanos→long read (see
+  /** Parquet-file schema of events (naive micros timestamp — see
     * Tables.events).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+    StructField("ts", TimestampNTZType), // naive micros in the file
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -38,13 +38,11 @@ object EventStream {
   /** Same stream over an explicit directory (no staging) — lets tests
     * grow the input between runs for checkpoint-restart coverage.
     */
-  def readEventsPath(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def readEventsPath(spark: SparkSession, path: String): DataFrame =
     spark.readStream
       .schema(rawSchema)
       .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+      .withColumn("ts", col("ts").cast("timestamp")) // same normalization as Tables.events
 
   /** G1: tumbling 1-hour windowed aggregates with a 2-hour watermark —
     * the streaming mirror of events_window_agg. State is bounded by the

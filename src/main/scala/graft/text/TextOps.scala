@@ -347,10 +347,16 @@ object TextOps {
       .select(col("w1"), col("w2"),
         round(log((col("cb") + 1).cast("double") /
           (col("cu") + col("v")).cast("double")) * 1e6, 0).cast("bigint").as("lp6"))
-    bi.join(mn, Seq("w1", "w2"))
+    val scored = bi.join(mn, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("lp6").as("s6"))
-      .select(col("doc_id"), col("n_bigrams"),
+    // every-doc contract (same as compressionRatio/encodeReport): a doc
+    // with no bigrams still gets a row — (doc_id, 0, null) — so the
+    // report never silently drops documents
+    Tables.documents(spark, dir).select("doc_id")
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(-col("s6").cast("double") / 1e6 / col("n_bigrams"), 4).as("nll"))
       .orderBy("doc_id")
   }

@@ -60,7 +60,7 @@ class BpeSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   test("merge fold applies the classic non-overlapping left-to-right rule") {
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     val df = Seq(
       Seq("a", "a", "a", "a"),
       Seq("a", "a", "a"),
@@ -167,7 +167,7 @@ class CompressionRatioSpec extends AnyFunSuite {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     // discrimination: a looped phrase must compress far below prose
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     val synth = Seq(
       1L -> ("the value is high and the customer agrees " * 40),
       2L -> docs.values.head).toDF("id", "t")

@@ -10,12 +10,20 @@ import graft.operators.TopKAgg.topk_ids
 import graft.rbac.Rbac
 
 object SparkTest {
-  lazy val spark: SparkSession = SparkSession.builder()
+  private def build(): SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+  @volatile private var current: SparkSession = null
+  // self-healing: SessionCycleSpec stops the shared session to prove
+  // the engine's caches survive app cycling — the next access here
+  // transparently builds a fresh session for whatever suite runs next
+  def spark: SparkSession = synchronized {
+    if (current == null || current.sparkContext.isStopped) current = build()
+    current
+  }
   val sf = "/root/testdata/sf0.001"
 }
 
@@ -23,7 +31,7 @@ class CoreSpec extends AnyFunSuite {
   import SparkTest._
 
   test("vector expressions compute known values") {
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     val df = Seq((Array(1f, 2f, 2f), Array(1f, 0f, 0f))).toDF("a", "b")
     val row = df.select(
       l2_dist(col("a"), col("b")).as("l2"),
@@ -37,7 +45,7 @@ class CoreSpec extends AnyFunSuite {
   }
 
   test("normalize / centroid kernels compute known values") {
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     val df = Seq((Array(3f, 4f), Array(0f, 0f))).toDF("a", "z")
     val cents = Array(Array(0f, 0f), Array(3f, 4f))
     val row = df.select(
@@ -52,7 +60,7 @@ class CoreSpec extends AnyFunSuite {
   }
 
   test("topk_ids matches ORDER BY score, id LIMIT k per group") {
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     val data = (1L to 1000L).map(i => (i % 7, (i * 37 % 101).toDouble, i))
     val df = data.toDF("g", "score", "id").repartition(8)
     val got = df.groupBy("g")
@@ -962,7 +970,7 @@ class AsofJoinSpec extends AnyFunSuite {
   import graft.operators.AsofJoin
 
   test("asof picks the latest prior right row per key; boundary obeys strictness") {
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     import org.apache.spark.sql.functions.col
     val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
       .toDF("k", "t", "lid")
@@ -986,7 +994,7 @@ class AsofJoinSpec extends AnyFunSuite {
   }
 
   test("asof rejects payload/left column collisions and reserved names up front") {
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
     val right = Seq((1L, 5L, 900L)).toDF("k", "rt", "lid") // payload name = left's lid
     val e = intercept[IllegalArgumentException] {
@@ -1270,7 +1278,7 @@ class RepetitionSpec extends AnyFunSuite {
   import SparkTest._
 
   test("repetition stats match hand-computed values on crafted docs") {
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     import org.apache.spark.sql.functions.col
     import graft.functions.repetition.repetition_stats
     val df = Seq(
@@ -1796,7 +1804,7 @@ class RangeJoinSpec extends AnyFunSuite {
   }
 
   test("inverted intervals are dropped; pathological fan-out fails fast") {
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     val pts = Seq((1L, 100L)).toDF("pid", "ts")
     // end < start: DuckDB/SQL containment matches nothing — and without
     // the guard Spark's sequence() would build a DESCENDING bucket range
@@ -2157,7 +2165,7 @@ class FunnelRetentionSpec extends AnyFunSuite {
   import graft.operators.Analytics
 
   test("funnel stages are strictly ordered (out-of-order steps don't count)") {
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     val dir = java.nio.file.Files.createTempDirectory("funnel").toString
     // Tables.events reads the driver's int64-nanosecond encoding
     def t(min: Long): Long = min * 60L * 1000000000L
@@ -2205,7 +2213,7 @@ class ScrubSpec extends AnyFunSuite {
   import graft.text.TextOps
 
   test("PII presets find and redact planted emails, IPs and phones") {
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     val docs = Seq(
       (1L, "contact alice@example.com or bob.smith+x@mail.co.uk today"),
       (2L, "server at 10.0.255.7 and backup at 192.168.1.1"),
@@ -2226,7 +2234,7 @@ class ScrubSpec extends AnyFunSuite {
   }
 
   test("scrub chains replacements in order; counts read the original text") {
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     val docs = Seq((1L, "aa bb aa")).toDF("doc_id", "text")
     // replacement chain: "aa bb aa" -> "[X] bb [X]" -> "[X] [X]" (7
     // chars) — the second pattern only matches the FIRST pattern's
@@ -2244,7 +2252,7 @@ class SubstringDedupSpec extends AnyFunSuite {
   import graft.dedup.Dedup
 
   test("duplicated spans: planted duplicate windows merge into maximal runs") {
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     val dir = java.nio.file.Files.createTempDirectory("subdup").toString
     val shared = (1 to 9).map(i => s"tok$i").mkString(" ") // 9 shared words
     val docs = Seq(
@@ -2303,7 +2311,7 @@ class DsirSpec extends AnyFunSuite {
   import graft.operators.Sampling
 
   test("DSIR weights rank target-vocabulary docs above off-target docs") {
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dsir").toString
     val target = "alpha beta gamma delta alpha beta gamma delta"
     Seq(
@@ -2540,7 +2548,7 @@ class AudioStreamGateSpec extends AnyFunSuite {
   import graft.multimodal.Multimodal
 
   test("audio DSP recovers known sine-wave features") {
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     import java.nio.{ByteBuffer, ByteOrder}
     // 1 kHz sine at 8 kHz, amplitude 0.5, one second — RMS = A/sqrt(2),
     // ZCR = 2 crossings per cycle = 2f/fs, peak = A (8-bit quantized)
@@ -2844,7 +2852,7 @@ class KcenterSpec extends AnyFunSuite {
   }
 
   test("k-center stops early when k exceeds the distinct vectors") {
-    import spark.implicits._
+    val sparkRef = spark; import sparkRef.implicits._
     val dir = java.nio.file.Files.createTempDirectory("kc").toString
     // 3 distinct vectors, duplicated — asking for 8 centers must yield 3
     Seq(
