@@ -73,10 +73,19 @@ object SparkEntry {
     "ann_half_topk" -> ((s, d) => graft.ann.Half.halfTopK(s, d)),
     "events_props_stats" -> ((s, d) => Analytics.eventsPropsStats(s, d)),
     "vector_norms" -> ((s, d) => Ann.vectorNorms(s, d, n = 100)),
-    "ann_ivf_build" -> ((s, d) => IvfIndex.buildReport(s, d)),
-    "ann_ivf_search" -> ((s, d) => IvfIndex.search(s, d)),
+    "ann_ivf_build" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16) // lets the oracle replay the assignment
+      IvfIndex.buildReport(s, d)
+    }),
+    "ann_ivf_search" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16) // lets the oracle replay probe + scan
+      IvfIndex.search(s, d)
+    }),
     "ann_lsh_search" -> ((s, d) => Lsh.search(s, d)),
-    "qdtree_partition_assign" -> ((s, d) => IvfIndex.qdTreeAssign(s, d)),
+    "qdtree_partition_assign" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 8) // lets the oracle replay the assignment
+      IvfIndex.qdTreeAssign(s, d)
+    }),
     "qdtree_routed_topk" -> ((s, d) => IvfIndex.qdTreeSearch(s, d, 1)),
     "qdtree_greedy_build" -> ((s, d) => QdTree.leafReport(s, d)),
     "qdtree_greedy_topk" -> ((s, d) => QdTree.routedTopK(s, d, 1)),
@@ -694,6 +703,86 @@ object SparkEntry {
          |SELECT e.vec_id FROM embeddings e, q
          |WHERE e.vec_id <> 0 AND list_distance(e.embedding::DOUBLE[], q.v) < 1.3
          |ORDER BY e.vec_id""".stripMargin,
+    // B3: the ASSIGNMENT half of the IVF build is deterministic given
+    // the fitted centroids, which the query emits as a sidecar table
+    // (IvfIndex.writeCentroidSidecar) — the oracle replays the argmin
+    // independently: double subtract-square-accumulate in index order,
+    // ties to the smallest list id (NearestCentroid's `s < best`).
+    // The KMeans fit itself stays spec-covered (recall specs) — this
+    // row proves the index CONTENTS match the model, not the model.
+    "ann_ivf_build" ->
+      """WITH cent AS (
+        |  SELECT list_id, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_sidecars/ivf_centroids_k16.parquet/*.parquet')),
+        |dists AS (
+        |  SELECT e.vec_id, c.list_id,
+        |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) ^ 2)) AS d
+        |  FROM embeddings e CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id, list_id,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+        |  FROM dists)
+        |SELECT list_id::INT AS list_id, count(*)::BIGINT AS n_vectors
+        |FROM assign WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // B4: with the fitted centroids in hand the WHOLE probe search is
+    // deterministic — probe pick (nprobe nearest centroids to q, ties
+    // to the smaller list id, exactly probeLists' sort), assignment
+    // replay, scan restricted to the probed cells, exact top-k inside
+    // them. The oracle returns what a lossless IVF run must: the probe
+    // subset's true top-10. Recall vs the unpartitioned answer stays
+    // spec-territory (it depends on the KMeans fit, not on the scan).
+    "ann_ivf_search" ->
+      s"""WITH cent AS (
+         |  SELECT list_id, centroid
+         |  FROM read_parquet('/tmp/graft_oracle_sidecars/ivf_centroids_k16.parquet/*.parquet')),
+         |$qv,
+         |cd AS (
+         |  SELECT c.list_id,
+         |         list_sum(list_transform(range(1, len(q.v) + 1),
+         |           i -> (q.v[i] - c.centroid[i]::DOUBLE) ^ 2)) AS d
+         |  FROM cent c, q),
+         |probes AS (SELECT list_id FROM cd ORDER BY d, list_id LIMIT 4),
+         |dists AS (
+         |  SELECT e.vec_id, c.list_id,
+         |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |           i -> (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) ^ 2)) AS d
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id, list_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+         |  FROM dists)
+         |SELECT e.vec_id, a.list_id::INT AS list_id
+         |FROM embeddings e
+         |JOIN (SELECT vec_id, list_id FROM assign WHERE rn = 1) a USING (vec_id)
+         |JOIN probes p USING (list_id), q
+         |WHERE e.vec_id <> 0
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
+    // B9: same centroid-sidecar replay at k=8, crossed with the exact
+    // granting-role-set signature arithmetic (comb_key).
+    "qdtree_partition_assign" ->
+      s"""WITH $perm,
+         |comb AS (
+         |  SELECT document_id, string_agg(role_id, ',' ORDER BY role_id) AS comb_key
+         |  FROM perm GROUP BY 1),
+         |cent AS (
+         |  SELECT list_id, centroid
+         |  FROM read_parquet('/tmp/graft_oracle_sidecars/ivf_centroids_k8.parquet/*.parquet')),
+         |dists AS (
+         |  SELECT e.vec_id, c.list_id,
+         |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |           i -> (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) ^ 2)) AS d
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id, list_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+         |  FROM dists)
+         |SELECT a.list_id::INT AS list_id, cb.comb_key, count(*)::BIGINT AS n_blocks
+         |FROM assign a JOIN comb cb ON cb.document_id = a.vec_id
+         |WHERE a.rn = 1
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // signature routing is lossless: same oracle as prefilter (SURVEY §2 B10)
     "qdtree_routed_topk" ->
       s"""WITH $ur1, $perm, $acc, $qv
@@ -740,6 +829,33 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 4) >= 0.8
         |ORDER BY doc1, doc2""".stripMargin,
+    // C6: connected components over C2's verified pair set — the pair
+    // derivation is the C2 oracle verbatim; the component labels come
+    // from a recursive reachability closure (min reachable doc id ==
+    // GraphX connectedComponents' vertex value). Vertices are exactly
+    // the docs appearing in ≥1 pair, as in Graph.fromEdgeTuples.
+    "dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM w WHERE len(ws) >= 3
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 4) >= 0.8),
+        |edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+        |          UNION SELECT doc2, doc1 FROM pairs),
+        |reach AS (
+        |  SELECT a AS doc_id, a AS r FROM edges
+        |  UNION
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT re.doc_id, e.b FROM reach re JOIN edges e ON re.r = e.a)
+        |SELECT doc_id, min(r)::BIGINT AS cluster_rep
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 3, 2)),

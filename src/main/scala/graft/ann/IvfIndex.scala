@@ -129,6 +129,27 @@ object IvfIndex {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("list_id")
 
+  private val sidecarWritten = new graft.SessionCache[(String, Int), Boolean]
+
+  /** Oracle sidecar: the fitted centroid table (list_id, centroid),
+    * written once per session to a fixed path so the DuckDB oracle can
+    * REPLAY the nearest-centroid assignment independently (same
+    * double-precision subtract-square-accumulate in index order, ties
+    * to the smallest list id). The path carries only k: the driver
+    * runs Verify for one sf dir and the oracle immediately after, so
+    * the sidecar on disk always belongs to the run being checked.
+    */
+  def writeCentroidSidecar(spark: SparkSession, dir: String, k: Int): Unit =
+    sidecarWritten.getOrElseUpdate(spark, (dir, k)) {
+      import spark.implicits._
+      val out = s"/tmp/graft_oracle_sidecars/ivf_centroids_k$k.parquet"
+      getOrBuild(spark, dir, k).centroids.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("list_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      true
+    }
+
   /** nprobe nearest list ids for a query vector — computed driver-side
     * over the (tiny) centroid set, exactly like pgvector's probe pick.
     *
