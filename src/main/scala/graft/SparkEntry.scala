@@ -89,7 +89,10 @@ object SparkEntry {
     "qdtree_routed_topk" -> ((s, d) => IvfIndex.qdTreeSearch(s, d, 1)),
     "qdtree_greedy_build" -> ((s, d) => QdTree.leafReport(s, d)),
     "qdtree_greedy_topk" -> ((s, d) => QdTree.routedTopK(s, d, 1)),
-    "ann_predicate_probe" -> ((s, d) => IvfIndex.predicateAwareSearch(s, d, 1)),
+    "ann_predicate_probe" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16) // lets the oracle replay the escalation
+      IvfIndex.predicateAwareSearch(s, d, 1)
+    }),
     "ann_range_triangle" -> ((s, d) => IvfIndex.rangeSearchTriangle(s, d, tau = 1.3)),
     "ann_pq_build" -> ((s, d) => PqIndex.buildReport(s, d)),
     "ann_sq_build" -> ((s, d) => SqIndex.buildReport(s, d)),
@@ -758,6 +761,50 @@ object SparkEntry {
          |JOIN (SELECT vec_id, list_id FROM assign WHERE rn = 1) a USING (vec_id)
          |JOIN probes p USING (list_id), q
          |WHERE e.vec_id <> 0
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
+    // B12: the predicate-aware probe escalation is deterministic given
+    // the centroids — replay the whole decision procedure: rank lists
+    // by centroid distance to q, count ACCESSIBLE candidates per list
+    // (user 1's permission set), take the shortest probe prefix ≥ 2
+    // whose cumulative accessible pool can fill top-10 (else all 16 —
+    // predicateAwareSearch's while loop verbatim), then exact top-10
+    // over accessible vectors in the chosen cells. No qid exclusion:
+    // the operator keeps the query row if it is accessible.
+    "ann_predicate_probe" ->
+      s"""WITH $ur1, $perm, $acc, $qv,
+         |cent AS (
+         |  SELECT list_id, centroid
+         |  FROM read_parquet('/tmp/graft_oracle_sidecars/ivf_centroids_k16.parquet/*.parquet')),
+         |cd AS (
+         |  SELECT c.list_id,
+         |         list_sum(list_transform(range(1, len(q.v) + 1),
+         |           i -> (q.v[i] - c.centroid[i]::DOUBLE) ^ 2)) AS d
+         |  FROM cent c, q),
+         |ranked AS (SELECT list_id, row_number() OVER (ORDER BY d, list_id) AS rnk FROM cd),
+         |dists AS (
+         |  SELECT e.vec_id, c.list_id,
+         |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |           i -> (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) ^ 2)) AS d
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT vec_id, list_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |accn AS (
+         |  SELECT a.list_id, count(*)::BIGINT AS n_acc
+         |  FROM assign a JOIN acc ON a.vec_id = acc.document_id GROUP BY 1),
+         |cum AS (
+         |  SELECT r.rnk, sum(coalesce(n.n_acc, 0)) OVER (ORDER BY r.rnk) AS pool
+         |  FROM ranked r LEFT JOIN accn n USING (list_id)),
+         |p AS (SELECT coalesce((SELECT min(rnk) FROM cum WHERE rnk >= 2 AND pool >= 10), 16) AS probes),
+         |chosen AS (SELECT list_id FROM ranked, p WHERE rnk <= p.probes)
+         |SELECT e.vec_id, a.list_id::INT AS list_id
+         |FROM embeddings e
+         |JOIN assign a USING (vec_id)
+         |JOIN chosen USING (list_id)
+         |JOIN acc ON e.vec_id = acc.document_id, q
          |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
          |LIMIT 10""".stripMargin,
     // B9: same centroid-sidecar replay at k=8, crossed with the exact
