@@ -96,8 +96,14 @@ object SparkEntry {
     "ann_range_triangle" -> ((s, d) => IvfIndex.rangeSearchTriangle(s, d, tau = 1.3)),
     "ann_pq_build" -> ((s, d) => PqIndex.buildReport(s, d)),
     "ann_sq_build" -> ((s, d) => SqIndex.buildReport(s, d)),
-    "rbac_partition_index_build" -> ((s, d) => graft.ann.GroupedKMeans.partitionIndexBuild(s, d)),
-    "rbac_partition_ivf_topk" -> ((s, d) => graft.ann.GroupedKMeans.partitionIvfTopK(s, d, 1, 10)),
+    "rbac_partition_index_build" -> ((s, d) => {
+      graft.ann.GroupedKMeans.writeCentroidSidecar(s, d) // oracle replays the assignment
+      graft.ann.GroupedKMeans.partitionIndexBuild(s, d)
+    }),
+    "rbac_partition_ivf_topk" -> ((s, d) => {
+      graft.ann.GroupedKMeans.writeCentroidSidecar(s, d) // oracle replays probe + route
+      graft.ann.GroupedKMeans.partitionIvfTopK(s, d, 1, 10)
+    }),
     "ann_sq_search" -> ((s, d) => SqIndex.search(s, d)),
     "ann_bq_build" -> ((s, d) => graft.ann.BqIndex.buildReport(s, d)),
     "ann_hamming_topk" -> ((s, d) => graft.ann.BqIndex.hammingTopK(s, d)),
@@ -763,6 +769,67 @@ object SparkEntry {
          |WHERE e.vec_id <> 0
          |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
          |LIMIT 10""".stripMargin,
+    // B21 build: per-role assignment counts replayed from the grouped
+    // centroid sidecar — sqrt'ed distance exactly as GroupedKMeans
+    // .assign's l2_dist, ties to the smaller cid (min(struct(d, cid))).
+    "rbac_partition_index_build" ->
+      s"""WITH $perm,
+         |cent AS (
+         |  SELECT "group" AS grp, cid, centroid
+         |  FROM read_parquet('/tmp/graft_oracle_sidecars/role_centroids_k4.parquet/*.parquet')),
+         |pts AS (
+         |  SELECT p.role_id AS grp, e.vec_id AS id, e.embedding AS vec
+         |  FROM embeddings e JOIN perm p ON p.document_id = e.vec_id),
+         |d AS (
+         |  SELECT pt.grp, pt.id, c.cid,
+         |         sqrt(list_sum(list_transform(range(1, len(pt.vec) + 1),
+         |           i -> (pt.vec[i]::DOUBLE - c.centroid[i]::DOUBLE) ^ 2))) AS d
+         |  FROM pts pt JOIN cent c ON c.grp = pt.grp),
+         |a AS (
+         |  SELECT grp, id, cid,
+         |         row_number() OVER (PARTITION BY grp, id ORDER BY d, cid) AS rn
+         |  FROM d)
+         |SELECT grp AS partition_role, cid AS cell, count(*)::BIGINT AS n_vectors
+         |FROM a WHERE rn = 1
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // B21 serving: per-role probe pick (nprobe=2 nearest of the role's
+    // own cells, squared-distance order with cid ties — the driver
+    // pick verbatim), routed scan of the probed cells, block dedup
+    // across the user's role partitions by min distance, exact top-10.
+    "rbac_partition_ivf_topk" ->
+      s"""WITH $ur1, $perm, $qv,
+         |cent AS (
+         |  SELECT "group" AS grp, cid, centroid
+         |  FROM read_parquet('/tmp/graft_oracle_sidecars/role_centroids_k4.parquet/*.parquet')),
+         |upts AS (
+         |  SELECT p.role_id AS grp, e.vec_id AS id, e.embedding AS vec
+         |  FROM embeddings e
+         |  JOIN perm p ON p.document_id = e.vec_id
+         |  JOIN ur ON ur.role_id = p.role_id),
+         |cdq AS (
+         |  SELECT c.grp, c.cid,
+         |         list_sum(list_transform(range(1, len(q.v) + 1),
+         |           i -> (q.v[i] - c.centroid[i]::DOUBLE) ^ 2)) AS d2
+         |  FROM cent c JOIN ur ON ur.role_id = c.grp, q),
+         |probed AS (
+         |  SELECT grp, cid FROM (
+         |    SELECT grp, cid, row_number() OVER (PARTITION BY grp ORDER BY d2, cid) AS rn
+         |    FROM cdq) WHERE rn <= 2),
+         |d AS (
+         |  SELECT pt.grp, pt.id, c.cid, pt.vec,
+         |         sqrt(list_sum(list_transform(range(1, len(pt.vec) + 1),
+         |           i -> (pt.vec[i]::DOUBLE - c.centroid[i]::DOUBLE) ^ 2))) AS d
+         |  FROM upts pt JOIN cent c ON c.grp = pt.grp),
+         |a AS (
+         |  SELECT grp, id, cid, vec,
+         |         row_number() OVER (PARTITION BY grp, id ORDER BY d, cid) AS rn
+         |  FROM d)
+         |SELECT id AS block_id FROM (
+         |  SELECT a.id, min(list_distance(a.vec::DOUBLE[], q.v)) AS qd
+         |  FROM a JOIN probed pr ON pr.grp = a.grp AND pr.cid = a.cid, q
+         |  WHERE a.rn = 1
+         |  GROUP BY a.id)
+         |ORDER BY qd, id LIMIT 10""".stripMargin,
     // B12: the predicate-aware probe escalation is deterministic given
     // the centroids — replay the whole decision procedure: rank lists
     // by centroid distance to q, count ACCESSIBLE candidates per list

@@ -127,6 +127,22 @@ object GroupedKMeans {
       .orderBy("partition_role", "cell")
   }
 
+  private val sidecarWritten = new graft.SessionCache[(String, Int, Int), Boolean]
+
+  /** Oracle sidecar: the fitted per-role centroid table
+    * (group, cid, centroid), once per session to a fixed path — the
+    * DuckDB oracle replays per-role assignment, probe pick and the
+    * routed top-k from it (IvfIndex.writeCentroidSidecar's convention).
+    */
+  def writeCentroidSidecar(spark: SparkSession, dir: String,
+                           k: Int = 4, iters: Int = 5): Unit =
+    sidecarWritten.getOrElseUpdate(spark, (dir, k, iters)) {
+      centroidFrame(spark, dir, k, iters)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"/tmp/graft_oracle_sidecars/role_centroids_k$k.parquet")
+      true
+    }
+
   /** The collected centroids as a (tiny) local DataFrame. */
   private def centroidFrame(spark: SparkSession, dir: String,
                             k: Int, iters: Int): DataFrame = {
