@@ -13,6 +13,9 @@ object Bench {
   private def jsonEscape(s: String): String = JsonOut.escape(s)
 
   def main(args: Array[String]): Unit = {
+    // bench usually runs at a different SF than the oracle's Verify —
+    // never let its sidecar writes clobber the oracle's fixed path
+    Sidecars.isolate("graft_bench_sidecars")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

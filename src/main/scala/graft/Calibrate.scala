@@ -21,6 +21,7 @@ import graft.functions.vector._
   */
 object Calibrate {
   def main(args: Array[String]): Unit = {
+    Sidecars.isolate("graft_calib_sidecars") // see Bench — don't clobber the oracle path
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   */
 object TaskStats {
   def main(args: Array[String]): Unit = {
+    Sidecars.isolate("graft_skew_sidecars") // see Bench — don't clobber the oracle path
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

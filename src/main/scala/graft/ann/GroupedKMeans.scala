@@ -139,7 +139,7 @@ object GroupedKMeans {
     sidecarWritten.getOrElseUpdate(spark, (dir, k, iters)) {
       centroidFrame(spark, dir, k, iters)
         .coalesce(1).write.mode("overwrite")
-        .parquet(s"/tmp/graft_oracle_sidecars/role_centroids_k$k.parquet")
+        .parquet(graft.Sidecars.path(s"role_centroids_k$k.parquet"))
       true
     }
 

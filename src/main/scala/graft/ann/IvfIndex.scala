@@ -142,7 +142,7 @@ object IvfIndex {
   def writeCentroidSidecar(spark: SparkSession, dir: String, k: Int): Unit =
     sidecarWritten.getOrElseUpdate(spark, (dir, k)) {
       import spark.implicits._
-      val out = s"/tmp/graft_oracle_sidecars/ivf_centroids_k$k.parquet"
+      val out = graft.Sidecars.path(s"ivf_centroids_k$k.parquet")
       getOrBuild(spark, dir, k).centroids.zipWithIndex.toSeq
         .map { case (c, i) => (i, c.toSeq) }
         .toDF("list_id", "centroid")

@@ -10,6 +10,11 @@ import graft.operators.TopKAgg.topk_ids
 import graft.rbac.Rbac
 
 object SparkTest {
+  // the suite executes every query fn at sf0.001 — redirect sidecar
+  // writes so a test run can never clobber the oracle's fixed path
+  // while a Verify at another SF is in flight (Sidecars.scala)
+  Sidecars.isolate("graft_test_sidecars")
+
   private def build(): SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
