@@ -129,7 +129,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringSpans(s, d)),
-    "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
+    "dedup_semantic" -> ((s, d) => {
+      graft.ann.IvfIndex.writeUnitCentroidSidecar(s, d, 8) // oracle replays clustering
+      Dedup.semanticDedup(s, d)
+    }),
     // --- D. Text analysis ---
     "text_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
@@ -943,6 +946,52 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 4) >= 0.8
         |ORDER BY doc1, doc2""".stripMargin,
+    // C10 SemDeDup: with the unit-sphere centroids in the sidecar the
+    // whole pass is deterministic. The replay mirrors the kernels
+    // ulp-for-ulp: vec_normalize = double inverse-norm times each
+    // float element, rounded back to REAL; assignment = double
+    // subtract-square-accumulate in index order, ties to the smaller
+    // cell; 4dp-rounded cosines; the paper's keep-the-outlier rule
+    // with (centroid_sim, vec_id) tie-break.
+    "dedup_semantic" ->
+      """WITH cent AS (
+        |  SELECT list_id AS cell, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_sidecars/ivf_unit_centroids_k8.parquet/*.parquet')),
+        |nv AS (
+        |  SELECT vec_id, embedding,
+        |         list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)) AS s2
+        |  FROM embeddings),
+        |un AS (
+        |  SELECT vec_id, embedding,
+        |         CASE WHEN s2 = 0 THEN list_transform(embedding, x -> 0.0::REAL)
+        |              ELSE list_transform(embedding, x -> (x::DOUBLE * (1.0 / sqrt(s2)))::REAL)
+        |         END AS u
+        |  FROM nv),
+        |ad AS (
+        |  SELECT n.vec_id, c.cell,
+        |         list_sum(list_transform(range(1, len(n.u) + 1),
+        |           i -> (n.u[i]::DOUBLE - c.centroid[i]::DOUBLE) ^ 2)) AS d
+        |  FROM un n CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM ad) WHERE rn = 1),
+        |att AS (
+        |  SELECT e.vec_id, e.embedding, a.cell,
+        |         round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]), 4) AS centroid_sim
+        |  FROM embeddings e JOIN assign a USING (vec_id) JOIN cent c USING (cell)),
+        |losers AS (
+        |  SELECT a.cell,
+        |         CASE WHEN a.centroid_sim > b.centroid_sim
+        |                OR (a.centroid_sim = b.centroid_sim AND a.vec_id > b.vec_id)
+        |              THEN a.vec_id ELSE b.vec_id END AS vec_id,
+        |         CASE WHEN a.centroid_sim > b.centroid_sim
+        |                OR (a.centroid_sim = b.centroid_sim AND a.vec_id > b.vec_id)
+        |              THEN a.centroid_sim ELSE b.centroid_sim END AS centroid_sim
+        |  FROM att a JOIN att b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45)
+        |SELECT vec_id, cell, centroid_sim, count(*)::BIGINT AS n_dups
+        |FROM losers GROUP BY 1, 2, 3 ORDER BY vec_id""".stripMargin,
     // C6: connected components over C2's verified pair set — the pair
     // derivation is the C2 oracle verbatim; the component labels come
     // from a recursive reachability closure (min reachable doc id ==

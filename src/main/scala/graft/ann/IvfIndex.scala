@@ -150,6 +150,18 @@ object IvfIndex {
       true
     }
 
+  /** Unit-sphere variant of `writeCentroidSidecar` (C10's quantizer). */
+  def writeUnitCentroidSidecar(spark: SparkSession, dir: String, k: Int): Unit =
+    sidecarWritten.getOrElseUpdate(spark, (dir + "#unit", k)) {
+      import spark.implicits._
+      val out = graft.Sidecars.path(s"ivf_unit_centroids_k$k.parquet")
+      getOrBuildUnit(spark, dir, k).centroids.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("list_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      true
+    }
+
   /** nprobe nearest list ids for a query vector — computed driver-side
     * over the (tiny) centroid set, exactly like pgvector's probe pick.
     *

@@ -55,6 +55,23 @@ class SessionCacheSpec extends AnyFunSuite {
   }
 }
 
+class SidecarPathSpec extends AnyFunSuite {
+  test("oracle SQL reads sidecars ONLY from the default root; tests are isolated") {
+    // every read_parquet of a sidecar in the oracle must point at the
+    // path Verify writes (the one process allowed to own it)...
+    val refs = SparkEntry.oracleSql.values
+      .flatMap(_.linesIterator.filter(_.contains("read_parquet")))
+    refs.foreach { l =>
+      assert(l.contains(Sidecars.DefaultRoot), s"oracle sidecar path drifted: $l")
+    }
+    assert(refs.nonEmpty, "expected sidecar-replayed oracles to exist")
+    // ...while THIS test JVM (which executes every query fn at
+    // sf0.001) must write somewhere else entirely
+    assert(Sidecars.root != Sidecars.DefaultRoot,
+      "test harness must not share the oracle's sidecar root")
+  }
+}
+
 class DedupPersistSpec extends AnyFunSuite {
   import SparkTest._
 
