@@ -94,7 +94,10 @@ object SparkEntry {
       IvfIndex.predicateAwareSearch(s, d, 1)
     }),
     "ann_range_triangle" -> ((s, d) => IvfIndex.rangeSearchTriangle(s, d, tau = 1.3)),
-    "ann_pq_build" -> ((s, d) => PqIndex.buildReport(s, d)),
+    "ann_pq_build" -> ((s, d) => {
+      PqIndex.writeCodebookSidecar(s, d) // oracle replays subspace-0 encoding
+      PqIndex.buildReport(s, d)
+    }),
     "ann_sq_build" -> ((s, d) => SqIndex.buildReport(s, d)),
     "rbac_partition_index_build" -> ((s, d) => {
       graft.ann.GroupedKMeans.writeCentroidSidecar(s, d) // oracle replays the assignment
@@ -738,6 +741,31 @@ object SparkEntry {
         |SELECT list_id::INT AS list_id, count(*)::BIGINT AS n_vectors
         |FROM assign WHERE rn = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // B15: the code-usage histogram is deterministic given the trained
+    // codebook — the oracle replays subspace-0 encoding from the
+    // sidecar, mirroring PqEncode's FLOAT accumulation ulp-for-ulp:
+    // float subtract, float square, ordered float accumulate (emulated
+    // with per-step ::REAL round-backs inside list_reduce), argmin
+    // ties to the smaller code (strict `<`).
+    "ann_pq_build" ->
+      """WITH cent AS (
+        |  SELECT code, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_sidecars/pq_codebook.parquet/*.parquet')
+        |  WHERE sub = 0),
+        |dd AS (
+        |  SELECT e.vec_id, c.code,
+        |         list_reduce(
+        |           list_transform(range(1, 9),
+        |             i -> (((e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE)::REAL)::DOUBLE
+        |                   * ((e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE)::REAL)::DOUBLE)::REAL),
+        |           (a, b) -> ((a::DOUBLE + b::DOUBLE)::REAL)) AS acc
+        |  FROM embeddings e CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id, code FROM (
+        |    SELECT vec_id, code, row_number() OVER (PARTITION BY vec_id ORDER BY acc, code) AS rn
+        |    FROM dd) WHERE rn = 1)
+        |SELECT code::INT AS code0, count(*)::BIGINT AS n
+        |FROM assign GROUP BY 1 ORDER BY 1""".stripMargin,
     // B4: with the fitted centroids in hand the WHOLE probe search is
     // deterministic — probe pick (nprobe nearest centroids to q, ties
     // to the smaller list id, exactly probeLists' sort), assignment

@@ -57,6 +57,26 @@ object PqIndex {
       Codebook(cents)
     })
 
+  private val sidecarWritten = new graft.SessionCache[String, Boolean]
+
+  /** Oracle sidecar: the trained codebook as (sub, code, centroid)
+    * rows, once per session (IvfIndex.writeCentroidSidecar's
+    * convention) — the oracle replays subspace-0 encoding from it.
+    */
+  def writeCodebookSidecar(spark: SparkSession, dir: String): Unit =
+    sidecarWritten.getOrElseUpdate(spark, dir) {
+      import spark.implicits._
+      val cb = getOrBuild(spark, dir)
+      val rows = for {
+        s <- cb.centroids.indices
+        c <- cb.centroids(s).indices
+      } yield (s, c, cb.centroids(s)(c).toSeq)
+      rows.toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(graft.Sidecars.path("pq_codebook.parquet"))
+      true
+    }
+
   private def encodeCol(emb: Column, cb: Codebook): Column =
     ExpressionUtils.column(PqEncode(ExpressionUtils.expression(emb), cb.centroids))
 
