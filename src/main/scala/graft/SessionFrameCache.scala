@@ -16,12 +16,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * session (the convention Bpe.scala established for its
   * checkpoint-backed Model).
   *
-  * Builds run under the cache's lock: racing first-touch callers would
-  * otherwise each run the (multi-job) build and leak the losers'
-  * persisted frames. The lock is per-cache, so unrelated indexes still
-  * build concurrently; nested builds that consult OTHER caches (layout
-  * → userRoles, layout → closure) take locks in one direction only, so
-  * no cycle exists.
+  * Builds run under a PER-KEY lock: racing first-touch callers of the
+  * same key share one (multi-job) build instead of leaking the losers'
+  * persisted frames, while different keys — different index parameter
+  * sets, different datasets — still build concurrently (a single
+  * cache-wide lock would serialize Bench's concurrent pass). Nested
+  * builds that consult OTHER caches (layout → userRoles, layout →
+  * closure) take locks in one direction only, so no cycle exists.
   *
   * Driver-side sidecars (centroid arrays, grids, codebooks, eigen
   * models) deliberately do NOT use this: plain JVM data survives
@@ -30,23 +31,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class SessionCache[K, V] {
   private val m = TrieMap.empty[(String, K), V]
+  private val locks = TrieMap.empty[(String, K), Object]
 
-  def getOrElseUpdate(spark: SparkSession, key: K)(build: => V): V =
-    m.synchronized {
-      val appId = spark.sparkContext.applicationId
-      m.keys.filter(_._1 != appId).foreach(m.remove)
-      m.getOrElseUpdate((appId, key), build)
+  private def evictStale(appId: String): Unit = {
+    m.keys.filter(_._1 != appId).foreach(m.remove)
+    locks.keys.filter(_._1 != appId).foreach(locks.remove)
+  }
+
+  def getOrElseUpdate(spark: SparkSession, key: K)(build: => V): V = {
+    val appId = spark.sparkContext.applicationId
+    evictStale(appId)
+    val kk = (appId, key)
+    m.get(kk) match {
+      case Some(v) => v
+      case None =>
+        // TrieMap.getOrElseUpdate is atomic, so every racer of kk sees
+        // ONE lock object; the winner builds, the rest block then read
+        val lock = locks.getOrElseUpdate(kk, new Object)
+        lock.synchronized(m.getOrElseUpdate(kk, build))
     }
+  }
 
   /** Replace the entry unconditionally, returning the previous value
     * (so the caller can unpersist it).
     */
-  def put(spark: SparkSession, key: K, value: V): Option[V] =
-    m.synchronized {
-      val appId = spark.sparkContext.applicationId
-      m.keys.filter(_._1 != appId).foreach(m.remove)
-      m.put((appId, key), value)
-    }
+  def put(spark: SparkSession, key: K, value: V): Option[V] = {
+    val appId = spark.sparkContext.applicationId
+    evictStale(appId)
+    m.put((appId, key), value)
+  }
 
   /** Entry count for the CURRENT application (test observability). */
   def liveSize(spark: SparkSession): Int = {

@@ -2,22 +2,43 @@ package graft
 
 /** Root directory for oracle sidecar tables (fitted centroids etc.).
   *
-  * The DuckDB oracle SQL hardcodes the DEFAULT path, so exactly one
+  * The DuckDB oracle SQL interpolates `DefaultRoot`, so exactly one
   * process — the Verify run whose outputs the oracle checks — may
   * write there. Every other entrypoint that executes query functions
-  * (tests at sf0.001, Bench/TaskStats at sf0.1) redirects its sidecar
-  * writes to an isolated directory via `graft.sidecar.dir`, otherwise
-  * a concurrent or later run at a DIFFERENT scale factor would
-  * overwrite the centroids between Verify and the oracle compare and
-  * fail the sidecar-replayed keys with mystery diffs (this happened:
-  * a test-suite run at sf0.001 racing a sf0.01 Verify).
+  * (tests at sf0.001, Bench/TaskStats at sf0.1) redirects via
+  * `graft.sidecar.dir`, otherwise a concurrent or later run at a
+  * DIFFERENT scale factor would overwrite the centroids between
+  * Verify and the oracle compare and fail the sidecar-replayed keys
+  * with mystery diffs (this happened: a test-suite run at sf0.001
+  * racing a sf0.01 Verify). Redirected processes additionally skip
+  * the writes entirely (`active` = false): nothing reads a redirected
+  * sidecar, and the skip keeps the write job out of benchmark-timed
+  * query runs.
   */
 object Sidecars {
   val DefaultRoot = "/tmp/graft_oracle_sidecars"
 
+  /** Every sidecar file the engine may write — `path` rejects names
+    * outside this list and SidecarPathSpec checks that every oracle
+    * `read_parquet` names a member, so a writer/oracle filename drift
+    * fails fast instead of surfacing as oracle value diffs.
+    */
+  val Known: Set[String] = Set(
+    "ivf_centroids_k16.parquet",
+    "ivf_centroids_k8.parquet",
+    "ivf_unit_centroids_k8.parquet",
+    "role_centroids_k4.parquet",
+    "pq_codebook.parquet")
+
   def root: String = sys.props.getOrElse("graft.sidecar.dir", DefaultRoot)
 
-  def path(name: String): String = s"$root/$name"
+  /** Writes happen only in the one process that owns the oracle path. */
+  def active: Boolean = root == DefaultRoot
+
+  def path(name: String): String = {
+    require(Known.contains(name), s"unregistered sidecar name: $name")
+    s"$root/$name"
+  }
 
   /** Redirect this JVM's sidecar writes to a fresh isolated directory
     * (no-op if the property is already set explicitly).

@@ -726,9 +726,9 @@ object SparkEntry {
     // The KMeans fit itself stays spec-covered (recall specs) — this
     // row proves the index CONTENTS match the model, not the model.
     "ann_ivf_build" ->
-      """WITH cent AS (
+      s"""WITH cent AS (
         |  SELECT list_id, centroid
-        |  FROM read_parquet('/tmp/graft_oracle_sidecars/ivf_centroids_k16.parquet/*.parquet')),
+        |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_centroids_k16.parquet/*.parquet')),
         |dists AS (
         |  SELECT e.vec_id, c.list_id,
         |         list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -748,9 +748,9 @@ object SparkEntry {
     // with per-step ::REAL round-backs inside list_reduce), argmin
     // ties to the smaller code (strict `<`).
     "ann_pq_build" ->
-      """WITH cent AS (
+      s"""WITH cent AS (
         |  SELECT code, centroid
-        |  FROM read_parquet('/tmp/graft_oracle_sidecars/pq_codebook.parquet/*.parquet')
+        |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/pq_codebook.parquet/*.parquet')
         |  WHERE sub = 0),
         |dd AS (
         |  SELECT e.vec_id, c.code,
@@ -776,7 +776,7 @@ object SparkEntry {
     "ann_ivf_search" ->
       s"""WITH cent AS (
          |  SELECT list_id, centroid
-         |  FROM read_parquet('/tmp/graft_oracle_sidecars/ivf_centroids_k16.parquet/*.parquet')),
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_centroids_k16.parquet/*.parquet')),
          |$qv,
          |cd AS (
          |  SELECT c.list_id,
@@ -807,7 +807,7 @@ object SparkEntry {
       s"""WITH $perm,
          |cent AS (
          |  SELECT "group" AS grp, cid, centroid
-         |  FROM read_parquet('/tmp/graft_oracle_sidecars/role_centroids_k4.parquet/*.parquet')),
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/role_centroids_k4.parquet/*.parquet')),
          |pts AS (
          |  SELECT p.role_id AS grp, e.vec_id AS id, e.embedding AS vec
          |  FROM embeddings e JOIN perm p ON p.document_id = e.vec_id),
@@ -831,7 +831,7 @@ object SparkEntry {
       s"""WITH $ur1, $perm, $qv,
          |cent AS (
          |  SELECT "group" AS grp, cid, centroid
-         |  FROM read_parquet('/tmp/graft_oracle_sidecars/role_centroids_k4.parquet/*.parquet')),
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/role_centroids_k4.parquet/*.parquet')),
          |upts AS (
          |  SELECT p.role_id AS grp, e.vec_id AS id, e.embedding AS vec
          |  FROM embeddings e
@@ -873,7 +873,7 @@ object SparkEntry {
       s"""WITH $ur1, $perm, $acc, $qv,
          |cent AS (
          |  SELECT list_id, centroid
-         |  FROM read_parquet('/tmp/graft_oracle_sidecars/ivf_centroids_k16.parquet/*.parquet')),
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_centroids_k16.parquet/*.parquet')),
          |cd AS (
          |  SELECT c.list_id,
          |         list_sum(list_transform(range(1, len(q.v) + 1),
@@ -914,7 +914,7 @@ object SparkEntry {
          |  FROM perm GROUP BY 1),
          |cent AS (
          |  SELECT list_id, centroid
-         |  FROM read_parquet('/tmp/graft_oracle_sidecars/ivf_centroids_k8.parquet/*.parquet')),
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_centroids_k8.parquet/*.parquet')),
          |dists AS (
          |  SELECT e.vec_id, c.list_id,
          |         list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -982,9 +982,9 @@ object SparkEntry {
     // cell; 4dp-rounded cosines; the paper's keep-the-outlier rule
     // with (centroid_sim, vec_id) tie-break.
     "dedup_semantic" ->
-      """WITH cent AS (
+      s"""WITH cent AS (
         |  SELECT list_id AS cell, centroid
-        |  FROM read_parquet('/tmp/graft_oracle_sidecars/ivf_unit_centroids_k8.parquet/*.parquet')),
+        |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_unit_centroids_k8.parquet/*.parquet')),
         |nv AS (
         |  SELECT vec_id, embedding,
         |         list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)) AS s2
@@ -1026,7 +1026,7 @@ object SparkEntry {
     // GraphX connectedComponents' vertex value). Vertices are exactly
     // the docs appearing in ≥1 pair, as in Graph.fromEdgeTuples.
     "dedup_clusters" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (
         |  SELECT doc_id,
         |         list_distinct(list_transform(range(1, len(ws) - 1),

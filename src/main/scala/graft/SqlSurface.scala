@@ -12,13 +12,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlSurface {
 
-  // session-scoped: temp views + function registrations live in ONE
-  // SparkSession — a later session in the same JVM must re-register
-  private val registered = new graft.SessionCache[String, Boolean]
+  // keyed by the SparkSession ITSELF (not applicationId): temp views
+  // and function registrations live in one SESSION, and sibling
+  // sessions from newSession() share an applicationId but not a view
+  // catalog. Entries of stopped contexts are evicted on touch.
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
 
   /** Register testdata tables as temp views + the function surface. */
-  def init(spark: SparkSession, dir: String): Unit =
-    registered.getOrElseUpdate(spark, dir) {
+  def init(spark: SparkSession, dir: String): Unit = {
+    registered.keys.filter(_._1.sparkContext.isStopped).foreach(registered.remove)
+    registered.getOrElseUpdate((spark, dir), {
       GraftExtensions.install(spark)
       Tables.names.foreach { t =>
         // events needs the nanos-aware reader (Tables.events), not a raw scan
@@ -26,7 +30,8 @@ object SqlSurface {
         df.createOrReplaceTempView(t)
       }
       true
-    }
+    })
+  }
 
   /** SQL spelling of the prefilter top-k (same result as
     * Rbac.prefilterTopK — the DataFrame and SQL paths share the oracle).

@@ -136,7 +136,7 @@ object GroupedKMeans {
     */
   def writeCentroidSidecar(spark: SparkSession, dir: String,
                            k: Int = 4, iters: Int = 5): Unit =
-    sidecarWritten.getOrElseUpdate(spark, (dir, k, iters)) {
+    if (graft.Sidecars.active) sidecarWritten.getOrElseUpdate(spark, (dir, k, iters)) {
       centroidFrame(spark, dir, k, iters)
         .coalesce(1).write.mode("overwrite")
         .parquet(graft.Sidecars.path(s"role_centroids_k$k.parquet"))

@@ -140,7 +140,7 @@ object IvfIndex {
     * the sidecar on disk always belongs to the run being checked.
     */
   def writeCentroidSidecar(spark: SparkSession, dir: String, k: Int): Unit =
-    sidecarWritten.getOrElseUpdate(spark, (dir, k)) {
+    if (graft.Sidecars.active) sidecarWritten.getOrElseUpdate(spark, (dir, k)) {
       import spark.implicits._
       val out = graft.Sidecars.path(s"ivf_centroids_k$k.parquet")
       getOrBuild(spark, dir, k).centroids.zipWithIndex.toSeq
@@ -152,7 +152,7 @@ object IvfIndex {
 
   /** Unit-sphere variant of `writeCentroidSidecar` (C10's quantizer). */
   def writeUnitCentroidSidecar(spark: SparkSession, dir: String, k: Int): Unit =
-    sidecarWritten.getOrElseUpdate(spark, (dir + "#unit", k)) {
+    if (graft.Sidecars.active) sidecarWritten.getOrElseUpdate(spark, (dir + "#unit", k)) {
       import spark.implicits._
       val out = graft.Sidecars.path(s"ivf_unit_centroids_k$k.parquet")
       getOrBuildUnit(spark, dir, k).centroids.zipWithIndex.toSeq

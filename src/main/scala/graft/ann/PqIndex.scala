@@ -64,7 +64,7 @@ object PqIndex {
     * convention) — the oracle replays subspace-0 encoding from it.
     */
   def writeCodebookSidecar(spark: SparkSession, dir: String): Unit =
-    sidecarWritten.getOrElseUpdate(spark, dir) {
+    if (graft.Sidecars.active) sidecarWritten.getOrElseUpdate(spark, dir) {
       import spark.implicits._
       val cb = getOrBuild(spark, dir)
       val rows = for {

@@ -58,15 +58,27 @@ class SessionCacheSpec extends AnyFunSuite {
 class SidecarPathSpec extends AnyFunSuite {
   test("oracle SQL reads sidecars ONLY from the default root; tests are isolated") {
     // every read_parquet of a sidecar in the oracle must point at the
-    // path Verify writes (the one process allowed to own it)...
+    // path Verify writes (the one process allowed to own it), and must
+    // name a REGISTERED sidecar file — `Sidecars.path` rejects names
+    // outside `Known`, so a writer/oracle filename drift fails on one
+    // side or the other instead of as a mystery oracle value diff
     val refs = SparkEntry.oracleSql.values
-      .flatMap(_.linesIterator.filter(_.contains("read_parquet")))
+      .flatMap(_.linesIterator.filter(_.contains("read_parquet"))).toSeq
     refs.foreach { l =>
       assert(l.contains(Sidecars.DefaultRoot), s"oracle sidecar path drifted: $l")
+      assert(Sidecars.Known.exists(n => l.contains(s"/$n/")),
+        s"oracle reads an unregistered sidecar file: $l")
     }
     assert(refs.nonEmpty, "expected sidecar-replayed oracles to exist")
+    // every registered sidecar is actually consumed by some oracle
+    Sidecars.Known.foreach { n =>
+      assert(refs.exists(_.contains(s"/$n/")), s"sidecar $n written but never read")
+    }
     // ...while THIS test JVM (which executes every query fn at
-    // sf0.001) must write somewhere else entirely
+    // sf0.001) must be isolated from the oracle's root — not by
+    // accident of suite ordering, but by the same idempotent call the
+    // harness makes (no-op if SparkTest initialized first)
+    Sidecars.isolate("graft_test_sidecars")
     assert(Sidecars.root != Sidecars.DefaultRoot,
       "test harness must not share the oracle's sidecar root")
   }
