@@ -1808,6 +1808,73 @@ object SparkEntry {
          |GROUP BY e.vec_id
          |ORDER BY hamming, e.vec_id
          |LIMIT 10""".stripMargin,
+    // B23 serving: the two-stage recovery is deterministic end to end —
+    // the hamming shortlist (overfetch 100, ties to the smaller
+    // vec_id) is the already-replayed code-space ranking, the re-rank
+    // is exact L2 on raw vectors.
+    "ann_bq_search" ->
+      s"""WITH $bqThr, $qv, qb AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |hs AS (
+         |  SELECT e.vec_id,
+         |         sum(CASE WHEN (list_extract(e.embedding, (r.i + 1)::INT)::DOUBLE > thr.t)
+         |                   <> (list_extract(qb.qe, (r.i + 1)::INT)::DOUBLE > thr.t)
+         |              THEN 1 ELSE 0 END)::INT AS hamming
+         |  FROM embeddings e, qb, range(64) r(i) JOIN thr ON thr.i = r.i
+         |  WHERE e.vec_id <> 0
+         |  GROUP BY e.vec_id),
+         |short AS (SELECT vec_id FROM hs ORDER BY hamming, vec_id LIMIT 100)
+         |SELECT e.vec_id
+         |FROM embeddings e JOIN short USING (vec_id), q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
+    // B20 serving: the byte-scan shortlist is deterministic given the
+    // trained grid, which itself is a pure min/max derivation — no
+    // sidecar needed. The replay mirrors the kernels ulp-for-ulp:
+    // step = float((hi - lo) / 255); encode = clamp(floor(float(v -
+    // lo)/step + 0.5)) (Math.round); ADC entry = the float chain
+    // q - (lo + c·step) squared with per-op REAL round-backs; acc =
+    // double sum of the float entries in dim order (Sq8AdcDistance);
+    // shortlist overfetch 50 with vec_id ties; exact L2 re-rank.
+    "ann_sq_search" ->
+      s"""WITH $qv,
+         |st AS (
+         |  SELECT r.i,
+         |         min(list_extract(e.embedding, (r.i + 1)::INT)) AS lo,
+         |         max(list_extract(e.embedding, (r.i + 1)::INT)) AS hi
+         |  FROM embeddings e, range(64) r(i) GROUP BY 1),
+         |grid AS (
+         |  SELECT i, lo,
+         |         CASE WHEN hi > lo
+         |              THEN ((hi::DOUBLE - lo::DOUBLE)::REAL::DOUBLE / 255.0)::REAL
+         |              ELSE 1.0::REAL END AS step
+         |  FROM st),
+         |ga AS (SELECT array_agg(lo ORDER BY i) AS los,
+         |              array_agg(step ORDER BY i) AS steps FROM grid),
+         |qf AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |codes AS (
+         |  SELECT e.vec_id,
+         |         list_transform(range(1, 65), i -> least(255, greatest(0,
+         |           floor(((e.embedding[i]::DOUBLE - ga.los[i]::DOUBLE)::REAL::DOUBLE
+         |                  / ga.steps[i]::DOUBLE) + 0.5)::INT))) AS cs
+         |  FROM embeddings e, ga
+         |  WHERE e.vec_id <> 0),
+         |dl AS (
+         |  SELECT c.vec_id,
+         |         list_transform(range(1, 65), i ->
+         |           (qf.qe[i]::DOUBLE
+         |            - (ga.los[i]::DOUBLE
+         |               + (c.cs[i]::DOUBLE * ga.steps[i]::DOUBLE)::REAL::DOUBLE)::REAL::DOUBLE
+         |           )::REAL) AS ds
+         |  FROM codes c, ga, qf),
+         |acc AS (
+         |  SELECT vec_id,
+         |         list_sum(list_transform(ds, d -> (d::DOUBLE * d::DOUBLE)::REAL)) AS adc
+         |  FROM dl),
+         |short AS (SELECT vec_id FROM acc ORDER BY adc, vec_id LIMIT 50)
+         |SELECT e.vec_id
+         |FROM embeddings e JOIN short USING (vec_id), q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
     "ann_bq_jaccard_topk" ->
       s"""WITH $bqThr, qb AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,
