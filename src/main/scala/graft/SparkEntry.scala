@@ -114,9 +114,20 @@ object SparkEntry {
     "ann_bq_search" -> ((s, d) => graft.ann.BqIndex.search(s, d)),
     "ann_recall_model" -> ((s, d) => graft.ann.RecallModel.report(s, d)),
     "ann_cost_frontier" -> ((s, d) => graft.ann.RecallModel.costFrontier(s, d)),
-    "ann_pq_search" -> ((s, d) => PqIndex.search(s, d)),
-    "ann_ivfpq_search" -> ((s, d) => PqIndex.ivfAdcSearch(s, d)),
-    "rbac_ivfpq_topk" -> ((s, d) => PqIndex.ivfAdcSearch(s, d, userId = Some(1))),
+    "ann_pq_search" -> ((s, d) => {
+      PqIndex.writeCodebookSidecar(s, d) // oracle replays encode + ADC
+      PqIndex.search(s, d)
+    }),
+    "ann_ivfpq_search" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16) // oracle replays probe + cells
+      PqIndex.writeCodebookSidecar(s, d)      // and encode + ADC
+      PqIndex.ivfAdcSearch(s, d)
+    }),
+    "rbac_ivfpq_topk" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16)
+      PqIndex.writeCodebookSidecar(s, d)
+      PqIndex.ivfAdcSearch(s, d, userId = Some(1))
+    }),
     // --- F. Multimodal plumbing ---
     "mm_binary_features" -> ((s, d) => Multimodal.features(s, d).toDF().orderBy("media_id")),
     "mm_jpeg_features" -> ((s, d) => Multimodal.jpegFeatures(s, d).toDF().orderBy("media_id")),
@@ -1807,6 +1818,165 @@ object SparkEntry {
          |WHERE e.vec_id <> 0
          |GROUP BY e.vec_id
          |ORDER BY hamming, e.vec_id
+         |LIMIT 10""".stripMargin,
+    // B16 serving: PQ ADC search replayed end to end from the codebook
+    // sidecar — every subspace's encoding (the B15 float emulation),
+    // the per-query ADC table (same float chain between q and each
+    // sub-centroid), the per-vector ADC sum (double accumulation of
+    // the 8 float entries in subspace order, as PqAdcDistance),
+    // overfetch-50 shortlist with vec_id ties, exact L2 re-rank.
+    "ann_pq_search" ->
+      s"""WITH $qv,
+         |cb AS (
+         |  SELECT sub, code, centroid
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/pq_codebook.parquet/*.parquet')),
+         |qf AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |ed AS (
+         |  SELECT e.vec_id, cb.sub, cb.code,
+         |         list_reduce(list_transform(range(1, 9), i ->
+         |           (((e.embedding[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE
+         |            * ((e.embedding[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE)::REAL),
+         |           (a, b) -> (a::DOUBLE + b::DOUBLE)::REAL) AS dd
+         |  FROM embeddings e CROSS JOIN cb
+         |  WHERE e.vec_id <> 0),
+         |enc AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, code) AS rn
+         |    FROM ed) WHERE rn = 1),
+         |adct AS (
+         |  SELECT cb.sub, cb.code,
+         |         list_reduce(list_transform(range(1, 9), i ->
+         |           (((qf.qe[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE
+         |            * ((qf.qe[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE)::REAL),
+         |           (a, b) -> (a::DOUBLE + b::DOUBLE)::REAL) AS t
+         |  FROM cb, qf),
+         |pqd AS (
+         |  SELECT en.vec_id, list_sum(array_agg(at.t ORDER BY en.sub)) AS adc
+         |  FROM enc en JOIN adct at ON at.sub = en.sub AND at.code = en.code
+         |  GROUP BY en.vec_id),
+         |short AS (SELECT vec_id FROM pqd ORDER BY adc, vec_id LIMIT 50)
+         |SELECT e.vec_id
+         |FROM embeddings e JOIN short USING (vec_id), q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
+    // B18 IVFADC: the full billion-scale layout replayed — IVF probe
+    // pick + cell assignment (the B4 replay), PQ encode + ADC only on
+    // the probed cells (the B16 replay), exact re-rank. The RBAC
+    // variant adds the accessible-doc semi-join before the shortlist.
+    "ann_ivfpq_search" ->
+      s"""WITH $qv,
+         |cb AS (
+         |  SELECT sub, code, centroid
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/pq_codebook.parquet/*.parquet')),
+         |cent AS (
+         |  SELECT list_id, centroid AS ivfc
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_centroids_k16.parquet/*.parquet')),
+         |qf AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cd AS (
+         |  SELECT c.list_id,
+         |         list_sum(list_transform(range(1, len(q.v) + 1),
+         |           i -> (q.v[i] - c.ivfc[i]::DOUBLE) ^ 2)) AS d
+         |  FROM cent c, q),
+         |probes AS (SELECT list_id FROM cd ORDER BY d, list_id LIMIT 4),
+         |ivfd AS (
+         |  SELECT e.vec_id, c.list_id,
+         |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |           i -> (e.embedding[i]::DOUBLE - c.ivfc[i]::DOUBLE) ^ 2)) AS d
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT vec_id, list_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+         |    FROM ivfd) WHERE rn = 1),
+         |probed AS (
+         |  SELECT a.vec_id FROM assign a JOIN probes p USING (list_id)
+         |  WHERE a.vec_id <> 0),
+         |ed AS (
+         |  SELECT e.vec_id, cb.sub, cb.code,
+         |         list_reduce(list_transform(range(1, 9), i ->
+         |           (((e.embedding[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE
+         |            * ((e.embedding[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE)::REAL),
+         |           (a, b) -> (a::DOUBLE + b::DOUBLE)::REAL) AS dd
+         |  FROM embeddings e JOIN probed USING (vec_id) CROSS JOIN cb),
+         |enc AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, code) AS rn
+         |    FROM ed) WHERE rn = 1),
+         |adct AS (
+         |  SELECT cb.sub, cb.code,
+         |         list_reduce(list_transform(range(1, 9), i ->
+         |           (((qf.qe[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE
+         |            * ((qf.qe[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE)::REAL),
+         |           (a, b) -> (a::DOUBLE + b::DOUBLE)::REAL) AS t
+         |  FROM cb, qf),
+         |pqd AS (
+         |  SELECT en.vec_id, list_sum(array_agg(at.t ORDER BY en.sub)) AS adc
+         |  FROM enc en JOIN adct at ON at.sub = en.sub AND at.code = en.code
+         |  GROUP BY en.vec_id),
+         |short AS (SELECT vec_id FROM pqd ORDER BY adc, vec_id LIMIT 50)
+         |SELECT e.vec_id
+         |FROM embeddings e JOIN short USING (vec_id), q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+         |LIMIT 10""".stripMargin,
+    "rbac_ivfpq_topk" ->
+      s"""WITH $ur1, $perm, $acc, $qv,
+         |cb AS (
+         |  SELECT sub, code, centroid
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/pq_codebook.parquet/*.parquet')),
+         |cent AS (
+         |  SELECT list_id, centroid AS ivfc
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_centroids_k16.parquet/*.parquet')),
+         |qf AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cd AS (
+         |  SELECT c.list_id,
+         |         list_sum(list_transform(range(1, len(q.v) + 1),
+         |           i -> (q.v[i] - c.ivfc[i]::DOUBLE) ^ 2)) AS d
+         |  FROM cent c, q),
+         |probes AS (SELECT list_id FROM cd ORDER BY d, list_id LIMIT 4),
+         |ivfd AS (
+         |  SELECT e.vec_id, c.list_id,
+         |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |           i -> (e.embedding[i]::DOUBLE - c.ivfc[i]::DOUBLE) ^ 2)) AS d
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT vec_id, list_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+         |    FROM ivfd) WHERE rn = 1),
+         |probed AS (
+         |  SELECT a.vec_id FROM assign a JOIN probes p USING (list_id)
+         |  WHERE a.vec_id <> 0),
+         |ed AS (
+         |  SELECT e.vec_id, cb.sub, cb.code,
+         |         list_reduce(list_transform(range(1, 9), i ->
+         |           (((e.embedding[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE
+         |            * ((e.embedding[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE)::REAL),
+         |           (a, b) -> (a::DOUBLE + b::DOUBLE)::REAL) AS dd
+         |  FROM embeddings e JOIN probed USING (vec_id) CROSS JOIN cb),
+         |enc AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, code) AS rn
+         |    FROM ed) WHERE rn = 1),
+         |adct AS (
+         |  SELECT cb.sub, cb.code,
+         |         list_reduce(list_transform(range(1, 9), i ->
+         |           (((qf.qe[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE
+         |            * ((qf.qe[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE)::REAL),
+         |           (a, b) -> (a::DOUBLE + b::DOUBLE)::REAL) AS t
+         |  FROM cb, qf),
+         |pqd AS (
+         |  SELECT en.vec_id, list_sum(array_agg(at.t ORDER BY en.sub)) AS adc
+         |  FROM enc en JOIN adct at ON at.sub = en.sub AND at.code = en.code
+         |  GROUP BY en.vec_id),
+         |short AS (
+         |  SELECT p.vec_id FROM pqd p JOIN acc ON p.vec_id = acc.document_id
+         |  ORDER BY p.adc, p.vec_id LIMIT 50)
+         |SELECT e.vec_id
+         |FROM embeddings e JOIN short USING (vec_id), q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
          |LIMIT 10""".stripMargin,
     // B23 serving: the two-stage recovery is deterministic end to end —
     // the hamming shortlist (overfetch 100, ties to the smaller
