@@ -1554,6 +1554,35 @@ object SparkEntry {
         |FROM events e JOIN b USING (event_type)
         |WHERE e.value IS NOT NULL AND (e.value < b.lo OR e.value > b.hi)
         |ORDER BY e.event_id""".stripMargin,
+    // D18 k-center: the greedy farthest-point loop is deterministic
+    // (seed = min vec_id, argmax ties to the smaller vec_id, stop on
+    // radius 0), so a recursive CTE replays it carrying the selected
+    // set as a list — min-distances are exact double comparisons and
+    // the radius rounding emulates math.rint's half-even.
+    "docs_kcenter" ->
+      """WITH RECURSIVE sel(pick, vec_id, radius, ids) AS (
+        |  SELECT 0::BIGINT AS pick,
+        |         (SELECT min(vec_id) FROM embeddings) AS vec_id,
+        |         -1.0::DOUBLE AS radius,
+        |         [(SELECT min(vec_id) FROM embeddings)] AS ids
+        |  UNION ALL
+        |  SELECT s.pick + 1, nxt.vec_id, nxt.d, list_append(s.ids, nxt.vec_id)
+        |  FROM sel s, LATERAL (
+        |    SELECT t.vec_id, t.d FROM (
+        |      SELECT e2.vec_id,
+        |             min(list_distance(e2.embedding::DOUBLE[], c.embedding::DOUBLE[])) AS d
+        |      FROM embeddings e2 JOIN embeddings c ON list_contains(s.ids, c.vec_id)
+        |      GROUP BY e2.vec_id) t
+        |    ORDER BY t.d DESC, t.vec_id LIMIT 1) nxt
+        |  WHERE s.pick < 15 AND nxt.d > 0
+        |)
+        |SELECT pick, vec_id,
+        |       CASE WHEN radius < 0 THEN -1.0
+        |            WHEN radius * 1e4 - floor(radius * 1e4) = 0.5
+        |            THEN (CASE WHEN floor(radius * 1e4)::BIGINT % 2 = 0
+        |                       THEN floor(radius * 1e4) ELSE floor(radius * 1e4) + 1 END) / 1e4
+        |            ELSE round(radius * 1e4) / 1e4 END AS radius
+        |FROM sel ORDER BY pick""".stripMargin,
     // D16: seeded deterministic corpus shuffle — the oracle replays the
     // identical md5(doc_id:seed) global ordering.
     "docs_corpus_shuffle" ->
