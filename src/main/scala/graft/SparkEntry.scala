@@ -112,8 +112,14 @@ object SparkEntry {
     "ann_hamming_topk" -> ((s, d) => graft.ann.BqIndex.hammingTopK(s, d)),
     "ann_bq_jaccard_topk" -> ((s, d) => graft.ann.BqIndex.jaccardTopK(s, d)),
     "ann_bq_search" -> ((s, d) => graft.ann.BqIndex.search(s, d)),
-    "ann_recall_model" -> ((s, d) => graft.ann.RecallModel.report(s, d)),
-    "ann_cost_frontier" -> ((s, d) => graft.ann.RecallModel.costFrontier(s, d)),
+    "ann_recall_model" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16) // oracle replays the whole curve
+      graft.ann.RecallModel.report(s, d)
+    }),
+    "ann_cost_frontier" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16)
+      graft.ann.RecallModel.costFrontier(s, d)
+    }),
     "ann_pq_search" -> ((s, d) => {
       PqIndex.writeCodebookSidecar(s, d) // oracle replays encode + ADC
       PqIndex.search(s, d)
@@ -340,6 +346,58 @@ object SparkEntry {
 
   // BQ per-dim thresholds (mirrors BqIndex.buildReport): the mean of
   // each dimension, rounded to 4dp like every cross-engine double.
+  // Recall-curve replay core (mirrors RecallModel.measure): the A15
+  // workload's query vectors, the k=16 centroid sidecar, exact
+  // per-query top-10 (self-row excluded, (dist, vec_id) ties), the
+  // per-query centroid-distance cell ranking ((d, cid) ties =
+  // probeLists' rule), the corpus cell assignment, the neighbor
+  // cell-rank histogram, and recall(p) = cum-hist / (|queries|·k).
+  private val recallCore =
+    """wq AS (
+      |  SELECT c_custkey AS query_id,
+      |         (c_custkey * 7) % (SELECT count(*) FROM embeddings) AS qvec_id
+      |  FROM customer WHERE c_custkey <= 20),
+      |qs AS (
+      |  SELECT w.query_id, w.qvec_id, e.embedding AS qvec
+      |  FROM wq w JOIN embeddings e ON e.vec_id = w.qvec_id),
+      |cent AS (
+      |  SELECT list_id, centroid
+      |  FROM read_parquet('""" + graft.Sidecars.DefaultRoot + """/ivf_centroids_k16.parquet/*.parquet')),
+      |ex AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT qs.query_id, e.vec_id,
+      |           row_number() OVER (PARTITION BY qs.query_id
+      |             ORDER BY list_distance(e.embedding::DOUBLE[], qs.qvec::DOUBLE[]), e.vec_id) AS rn
+      |    FROM embeddings e, qs
+      |    WHERE e.vec_id <> qs.qvec_id)
+      |  WHERE rn <= 10),
+      |cr AS (
+      |  SELECT qs.query_id, c.list_id,
+      |         row_number() OVER (PARTITION BY qs.query_id
+      |           ORDER BY list_distance(qs.qvec::DOUBLE[], c.centroid::DOUBLE[]), c.list_id) AS cell_rank
+      |  FROM qs, cent c),
+      |ivfd AS (
+      |  SELECT e.vec_id, c.list_id,
+      |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |           i -> (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) ^ 2)) AS d
+      |  FROM embeddings e CROSS JOIN cent c),
+      |assign AS (
+      |  SELECT vec_id, list_id FROM (
+      |    SELECT vec_id, list_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+      |    FROM ivfd) WHERE rn = 1),
+      |hist AS (
+      |  SELECT cr.cell_rank, count(*) AS n
+      |  FROM ex JOIN assign a ON a.vec_id = ex.vec_id
+      |  JOIN cr ON cr.query_id = ex.query_id AND cr.list_id = a.list_id
+      |  GROUP BY 1),
+      |nq AS (SELECT count(*)::DOUBLE AS nq FROM qs),
+      |pts AS (
+      |  SELECT p.p AS nprobe,
+      |         coalesce((SELECT sum(h.n) FROM hist h WHERE h.cell_rank <= p.p), 0)::DOUBLE
+      |           / (nq.nq * 10) AS r
+      |  FROM range(1, 17) p(p), nq)""".stripMargin
+
   private val bqThr =
     """thr AS (
       |  SELECT i, round(avg(list_extract(embedding, (i + 1)::INT)::DOUBLE), 4) AS t
@@ -1848,6 +1906,57 @@ object SparkEntry {
          |GROUP BY e.vec_id
          |ORDER BY hamming, e.vec_id
          |LIMIT 10""".stripMargin,
+    // B22: the measured half of the recall curve is pure counting over
+    // deterministic inputs (workload, sidecar centroids); the fitted
+    // half replays the least-squares regression over the unsaturated
+    // points with sums in nprobe order (Curve.alpha/beta verbatim,
+    // including the saturated-corpus fallback slope).
+    "ann_recall_model" ->
+      s"""WITH $recallCore,
+         |u AS (SELECT nprobe, nprobe::DOUBLE AS x, -ln(1.0 - r) AS y
+         |      FROM pts WHERE r < 0.999),
+         |s1 AS (SELECT count(*)::DOUBLE AS n,
+         |              coalesce(list_sum(array_agg(x ORDER BY nprobe)), 0) AS sx,
+         |              coalesce(list_sum(array_agg(y ORDER BY nprobe)), 0) AS sy
+         |       FROM u),
+         |m AS (SELECT n, sx / n AS mx, sy / n AS my FROM s1),
+         |s2 AS (SELECT coalesce(list_sum(array_agg((u.x - m.mx) * (u.x - m.mx) ORDER BY u.nprobe)), 0) AS sxx,
+         |              coalesce(list_sum(array_agg((u.x - m.mx) * (u.y - m.my) ORDER BY u.nprobe)), 0) AS sxy
+         |       FROM u, m),
+         |psat AS (SELECT coalesce((SELECT min(nprobe) FROM pts WHERE r >= 0.999), 16)::DOUBLE AS ps),
+         |ab AS (SELECT
+         |         CASE WHEN m.n >= 2
+         |              THEN (CASE WHEN s2.sxx = 0 THEN 0.0 ELSE s2.sxy / s2.sxx END)
+         |              ELSE -ln(0.001) / psat.ps END AS b,
+         |         CASE WHEN m.n >= 2
+         |              THEN m.my - (CASE WHEN s2.sxx = 0 THEN 0.0 ELSE s2.sxy / s2.sxx END) * m.mx
+         |              ELSE 0.0 END AS a
+         |       FROM m, s2, psat)
+         |SELECT p.nprobe::INT AS nprobe,
+         |       round(p.r * 10000) / 10000 AS measured_recall,
+         |       round(greatest(0.0, 1.0 - exp(-(ab.a + ab.b * p.nprobe))) * 10000) / 10000
+         |         AS predicted_recall
+         |FROM pts p, ab ORDER BY nprobe""".stripMargin,
+    // B22 frontier: cumulative probed-cell sizes per query in cell-rank
+    // order, averaged per depth, next to the measured recall.
+    "ann_cost_frontier" ->
+      s"""WITH $recallCore,
+         |sizes AS (SELECT list_id, count(*)::BIGINT AS n_vectors FROM assign GROUP BY 1),
+         |cum AS (
+         |  SELECT cr.query_id, cr.cell_rank,
+         |         sum(coalesce(s.n_vectors, 0)) OVER (
+         |           PARTITION BY cr.query_id ORDER BY cr.cell_rank) AS cum_rows
+         |  FROM cr LEFT JOIN sizes s USING (list_id)),
+         |avgrows AS (
+         |  SELECT cell_rank AS nprobe, sum(cum_rows)::DOUBLE / any_value(nq.nq) AS avg_rows
+         |  FROM cum, nq GROUP BY 1),
+         |tot AS (SELECT count(*)::DOUBLE AS t FROM embeddings)
+         |SELECT a.nprobe::INT AS nprobe,
+         |       round(a.avg_rows, 1) AS avg_rows_scanned,
+         |       round(a.avg_rows / tot.t, 4) AS scan_fraction,
+         |       round(p.r, 4) AS measured_recall
+         |FROM avgrows a JOIN pts p USING (nprobe), tot
+         |ORDER BY nprobe""".stripMargin,
     // B16 serving: PQ ADC search replayed end to end from the codebook
     // sidecar — every subspace's encoding (the B15 float emulation),
     // the per-query ADC table (same float chain between q and each
