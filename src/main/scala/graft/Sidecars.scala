@@ -28,7 +28,8 @@ object Sidecars {
     "ivf_centroids_k8.parquet",
     "ivf_unit_centroids_k8.parquet",
     "role_centroids_k4.parquet",
-    "pq_codebook.parquet")
+    "pq_codebook.parquet",
+    "pca_components_k32.parquet")
 
   def root: String = sys.props.getOrElse("graft.sidecar.dir", DefaultRoot)
 

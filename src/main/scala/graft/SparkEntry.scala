@@ -57,7 +57,10 @@ object SparkEntry {
     "ann_bruteforce_topk" -> ((s, d) => Ann.bruteForceCosineTopK(s, d, 10)),
     "ann_bruteforce_l2_topk" -> ((s, d) => Ann.bruteForceL2TopK(s, d, 10)),
     "ann_pca_build" -> ((s, d) => graft.ann.Pca.pcaBuild(s, d)),
-    "ann_pca_topk" -> ((s, d) => graft.ann.Pca.pcaTopK(s, d)),
+    "ann_pca_topk" -> ((s, d) => {
+      graft.ann.Pca.writeComponentSidecar(s, d, 32) // oracle replays projection
+      graft.ann.Pca.pcaTopK(s, d)
+    }),
     "ann_maxip_topk" -> ((s, d) => Ann.maxInnerProductTopK(s, d, 10)),
     "ann_l1_topk" -> ((s, d) => Ann.bruteForceL1TopK(s, d, 10)),
     "ann_sparse_topk" -> ((s, d) => graft.ann.Sparse.sparseTopK(s, d)),
@@ -1905,6 +1908,44 @@ object SparkEntry {
          |WHERE e.vec_id <> 0
          |GROUP BY e.vec_id
          |ORDER BY hamming, e.vec_id
+         |LIMIT 10""".stripMargin,
+    // B25 serving: projection replay from the component sidecar — the
+    // sidecar carries the EXACT plan-time constants (float components,
+    // float mean offsets), so each projected coordinate is the same
+    // double dot accumulation in index order minus the offset, rounded
+    // to REAL; projected-space shortlist (50, vec_id ties), exact
+    // re-rank. Verifies the engine's projection + two-stage serving;
+    // the eigensolve itself stays spec-territory (PcaSpec).
+    "ann_pca_topk" ->
+      s"""WITH $qv,
+         |pc AS (
+         |  SELECT c, comp, "offset" AS off
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/pca_components_k32.parquet/*.parquet')),
+         |ga AS (SELECT array_agg(comp ORDER BY c) AS comps,
+         |              array_agg(off ORDER BY c) AS offs FROM pc),
+         |qf AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pv AS (
+         |  SELECT e.vec_id,
+         |         list_transform(range(1, 33), c ->
+         |           (list_sum(list_transform(range(1, 65),
+         |              i -> e.embedding[i]::DOUBLE * ga.comps[c][i]::DOUBLE))
+         |            - ga.offs[c]::DOUBLE)::REAL) AS proj
+         |  FROM embeddings e, ga
+         |  WHERE e.vec_id <> 0),
+         |pq AS (
+         |  SELECT list_transform(range(1, 33), c ->
+         |           (list_sum(list_transform(range(1, 65),
+         |              i -> qf.qe[i]::DOUBLE * ga.comps[c][i]::DOUBLE))
+         |            - ga.offs[c]::DOUBLE)::REAL) AS qproj
+         |  FROM qf, ga),
+         |short AS (
+         |  SELECT pv.vec_id
+         |  FROM pv, pq
+         |  ORDER BY list_distance(pv.proj::DOUBLE[], pq.qproj::DOUBLE[]), pv.vec_id
+         |  LIMIT 50)
+         |SELECT e.vec_id
+         |FROM embeddings e JOIN short USING (vec_id), q
+         |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
          |LIMIT 10""".stripMargin,
     // B22: the measured half of the recall curve is pure counting over
     // deterministic inputs (workload, sidecar centroids); the fitted

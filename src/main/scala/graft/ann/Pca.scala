@@ -237,6 +237,28 @@ object Pca {
       PcaModel(d, n, mean, vals, vecs, total)
     })}
 
+  private val sidecarWritten = new graft.SessionCache[(String, Int), Boolean]
+
+  /** Oracle sidecar: the projection constants exactly as `project`
+    * bakes them into the plan — FLOAT component vectors and the FLOAT
+    * mean offsets — so the oracle replays projection, projected-space
+    * shortlist and exact re-rank (IvfIndex.writeCentroidSidecar's
+    * convention).
+    */
+  def writeComponentSidecar(spark: SparkSession, dir: String, k: Int): Unit =
+    if (graft.Sidecars.active) sidecarWritten.getOrElseUpdate(spark, (dir, k)) {
+      import spark.implicits._
+      val m = model(spark, dir, k)
+      (0 until k).map { c =>
+        val comp = m.components(c)
+        val offset = (0 until m.d).map(i => comp(i) * m.mean(i)).sum
+        (c, comp.map(_.toFloat).toSeq, offset.toFloat)
+      }.toDF("c", "comp", "offset")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(graft.Sidecars.path(s"pca_components_k$k.parquet"))
+      true
+    }
+
   /** Project onto the first k' components: k' codegen'd dot kernels
     * against broadcast-literal component vectors; the per-component
     * mean offset is a plan-time constant.
