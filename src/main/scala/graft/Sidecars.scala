@@ -29,7 +29,8 @@ object Sidecars {
     "ivf_unit_centroids_k8.parquet",
     "role_centroids_k4.parquet",
     "pq_codebook.parquet",
-    "pca_components_k32.parquet")
+    "pca_components_k32.parquet",
+    "qdtree_splits.parquet")
 
   def root: String = sys.props.getOrElse("graft.sidecar.dir", DefaultRoot)
 

@@ -90,7 +90,11 @@ object SparkEntry {
       IvfIndex.qdTreeAssign(s, d)
     }),
     "qdtree_routed_topk" -> ((s, d) => IvfIndex.qdTreeSearch(s, d, 1)),
-    "qdtree_greedy_build" -> ((s, d) => QdTree.leafReport(s, d)),
+    "qdtree_greedy_build" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 8) // oracle re-derives group cells
+      QdTree.writeSplitSidecar(s, d)         // and re-routes through the splits
+      QdTree.leafReport(s, d)
+    }),
     "qdtree_greedy_topk" -> ((s, d) => QdTree.routedTopK(s, d, 1)),
     "ann_predicate_probe" -> ((s, d) => {
       IvfIndex.writeCentroidSidecar(s, d, 16) // lets the oracle replay the escalation
@@ -1000,6 +1004,54 @@ object SparkEntry {
          |FROM assign a JOIN comb cb ON cb.document_id = a.vec_id
          |WHERE a.rn = 1
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // B19 build: the greedy tree's CONTENTS are deterministic given
+    // its chosen splits, which the query emits as a sidecar — the
+    // oracle re-derives every (comb, cell) group (signature arithmetic
+    // + k=8 assignment replay) and re-routes it through the split
+    // table with a recursive descent (role-membership / cell-equality
+    // predicates, left = 2n+1), then checks the per-leaf group and
+    // block counts. The greedy CHOICE stays spec-territory
+    // (QdTreeGreedySpec), same stance as the k-means fits.
+    "qdtree_greedy_build" ->
+      s"""WITH RECURSIVE $perm,
+         |dr AS (
+         |  SELECT document_id,
+         |         array_agg(role_id ORDER BY role_id) AS roles,
+         |         string_agg(role_id, ',' ORDER BY role_id) AS comb_key
+         |  FROM perm GROUP BY 1),
+         |cent AS (
+         |  SELECT list_id, centroid
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_centroids_k8.parquet/*.parquet')),
+         |ivfd AS (
+         |  SELECT e.vec_id, c.list_id,
+         |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |           i -> (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) ^ 2)) AS d
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT vec_id, list_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+         |    FROM ivfd) WHERE rn = 1),
+         |g AS (
+         |  SELECT d.comb_key, any_value(d.roles) AS roles, a.list_id AS cell,
+         |         count(*)::BIGINT AS n_blocks
+         |  FROM dr d JOIN assign a ON a.vec_id = d.document_id
+         |  GROUP BY d.comb_key, a.list_id),
+         |sp AS (SELECT node, ptype, pval
+         |       FROM read_parquet('${graft.Sidecars.DefaultRoot}/qdtree_splits.parquet/*.parquet')),
+         |route AS (
+         |  SELECT comb_key, roles, cell, n_blocks, 0::BIGINT AS node FROM g
+         |  UNION ALL
+         |  SELECT r.comb_key, r.roles, r.cell, r.n_blocks,
+         |         CASE WHEN (CASE WHEN s.ptype = 0 THEN list_contains(r.roles, s.pval)
+         |                         ELSE r.cell = s.pval END)
+         |              THEN r.node * 2 + 1 ELSE r.node * 2 + 2 END
+         |  FROM route r JOIN sp s ON s.node = r.node)
+         |SELECT node AS leaf_id, count(*)::BIGINT AS n_groups,
+         |       sum(n_blocks)::BIGINT AS n_blocks
+         |FROM route r
+         |WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.node = r.node)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // signature routing is lossless: same oracle as prefilter (SURVEY §2 B10)
     "qdtree_routed_topk" ->
       s"""WITH $ur1, $perm, $acc, $qv
