@@ -359,6 +359,74 @@ object SparkEntry {
   // per-query centroid-distance cell ranking ((d, cid) ties =
   // probeLists' rule), the corpus cell assignment, the neighbor
   // cell-rank histogram, and recall(p) = cum-hist / (|queries|·k).
+  /** PQ float-distance emulation between `src`'s subvector and a
+    * codebook sub-centroid — PqEncode/adcTable's float chain verbatim:
+    * float subtract, float square, ordered float accumulate (per-step
+    * ::REAL round-backs inside list_reduce). ONE definition consumed
+    * by every PQ oracle so the ulp-sensitive emulation cannot drift
+    * between keys.
+    */
+  private def pqDist(src: String): String =
+    s"""list_reduce(list_transform(range(1, 9), i ->
+       |           ((($src[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE
+       |            * (($src[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE)::REAL),
+       |           (a, b) -> (a::DOUBLE + b::DOUBLE)::REAL)""".stripMargin
+
+  // PQ argmin-encode + per-query ADC table + per-vector ADC sum
+  // (double accumulation of the float entries in subspace order, as
+  // PqAdcDistance) — shared verbatim by the three PQ serving oracles.
+  private val pqAdcTail =
+    s"""enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, code) AS rn
+       |    FROM ed) WHERE rn = 1),
+       |adct AS (
+       |  SELECT cb.sub, cb.code,
+       |         ${pqDist("qf.qe")} AS t
+       |  FROM cb, qf),
+       |pqd AS (
+       |  SELECT en.vec_id, list_sum(array_agg(at.t ORDER BY en.sub)) AS adc
+       |  FROM enc en JOIN adct at ON at.sub = en.sub AND at.code = en.code
+       |  GROUP BY en.vec_id)""".stripMargin
+
+  // The IVFADC chain shared verbatim by ann_ivfpq_search and
+  // rbac_ivfpq_topk (they differ only in the shortlist's permission
+  // semi-join): codebook + IVF sidecars, probe pick, assignment
+  // replay, probed-cell PQ encode, ADC scoring.
+  private val ivfPqCore =
+    s"""cb AS (
+       |  SELECT sub, code, centroid
+       |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/pq_codebook.parquet/*.parquet')),
+       |cent AS (
+       |  SELECT list_id, centroid AS ivfc
+       |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_centroids_k16.parquet/*.parquet')),
+       |qf AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cd AS (
+       |  SELECT c.list_id,
+       |         list_sum(list_transform(range(1, len(q.v) + 1),
+       |           i -> (q.v[i] - c.ivfc[i]::DOUBLE) ^ 2)) AS d
+       |  FROM cent c, q),
+       |probes AS (SELECT list_id FROM cd ORDER BY d, list_id LIMIT 4),
+       |ivfd AS (
+       |  SELECT e.vec_id, c.list_id,
+       |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |           i -> (e.embedding[i]::DOUBLE - c.ivfc[i]::DOUBLE) ^ 2)) AS d
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assign AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |    FROM ivfd) WHERE rn = 1),
+       |probed AS (
+       |  SELECT a.vec_id FROM assign a JOIN probes p USING (list_id)
+       |  WHERE a.vec_id <> 0),
+       |ed AS (
+       |  SELECT e.vec_id, cb.sub, cb.code,
+       |         ${pqDist("e.embedding")} AS dd
+       |  FROM embeddings e JOIN probed USING (vec_id) CROSS JOIN cb),
+       |$pqAdcTail""".stripMargin
+
   private val recallCore =
     """wq AS (
       |  SELECT c_custkey AS query_id,
@@ -2064,28 +2132,10 @@ object SparkEntry {
          |qf AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |ed AS (
          |  SELECT e.vec_id, cb.sub, cb.code,
-         |         list_reduce(list_transform(range(1, 9), i ->
-         |           (((e.embedding[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE
-         |            * ((e.embedding[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE)::REAL),
-         |           (a, b) -> (a::DOUBLE + b::DOUBLE)::REAL) AS dd
+         |         ${pqDist("e.embedding")} AS dd
          |  FROM embeddings e CROSS JOIN cb
          |  WHERE e.vec_id <> 0),
-         |enc AS (
-         |  SELECT vec_id, sub, code FROM (
-         |    SELECT vec_id, sub, code,
-         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, code) AS rn
-         |    FROM ed) WHERE rn = 1),
-         |adct AS (
-         |  SELECT cb.sub, cb.code,
-         |         list_reduce(list_transform(range(1, 9), i ->
-         |           (((qf.qe[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE
-         |            * ((qf.qe[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE)::REAL),
-         |           (a, b) -> (a::DOUBLE + b::DOUBLE)::REAL) AS t
-         |  FROM cb, qf),
-         |pqd AS (
-         |  SELECT en.vec_id, list_sum(array_agg(at.t ORDER BY en.sub)) AS adc
-         |  FROM enc en JOIN adct at ON at.sub = en.sub AND at.code = en.code
-         |  GROUP BY en.vec_id),
+         |$pqAdcTail,
          |short AS (SELECT vec_id FROM pqd ORDER BY adc, vec_id LIMIT 50)
          |SELECT e.vec_id
          |FROM embeddings e JOIN short USING (vec_id), q
@@ -2097,55 +2147,7 @@ object SparkEntry {
     // variant adds the accessible-doc semi-join before the shortlist.
     "ann_ivfpq_search" ->
       s"""WITH $qv,
-         |cb AS (
-         |  SELECT sub, code, centroid
-         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/pq_codebook.parquet/*.parquet')),
-         |cent AS (
-         |  SELECT list_id, centroid AS ivfc
-         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_centroids_k16.parquet/*.parquet')),
-         |qf AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |cd AS (
-         |  SELECT c.list_id,
-         |         list_sum(list_transform(range(1, len(q.v) + 1),
-         |           i -> (q.v[i] - c.ivfc[i]::DOUBLE) ^ 2)) AS d
-         |  FROM cent c, q),
-         |probes AS (SELECT list_id FROM cd ORDER BY d, list_id LIMIT 4),
-         |ivfd AS (
-         |  SELECT e.vec_id, c.list_id,
-         |         list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |           i -> (e.embedding[i]::DOUBLE - c.ivfc[i]::DOUBLE) ^ 2)) AS d
-         |  FROM embeddings e CROSS JOIN cent c),
-         |assign AS (
-         |  SELECT vec_id, list_id FROM (
-         |    SELECT vec_id, list_id,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
-         |    FROM ivfd) WHERE rn = 1),
-         |probed AS (
-         |  SELECT a.vec_id FROM assign a JOIN probes p USING (list_id)
-         |  WHERE a.vec_id <> 0),
-         |ed AS (
-         |  SELECT e.vec_id, cb.sub, cb.code,
-         |         list_reduce(list_transform(range(1, 9), i ->
-         |           (((e.embedding[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE
-         |            * ((e.embedding[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE)::REAL),
-         |           (a, b) -> (a::DOUBLE + b::DOUBLE)::REAL) AS dd
-         |  FROM embeddings e JOIN probed USING (vec_id) CROSS JOIN cb),
-         |enc AS (
-         |  SELECT vec_id, sub, code FROM (
-         |    SELECT vec_id, sub, code,
-         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, code) AS rn
-         |    FROM ed) WHERE rn = 1),
-         |adct AS (
-         |  SELECT cb.sub, cb.code,
-         |         list_reduce(list_transform(range(1, 9), i ->
-         |           (((qf.qe[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE
-         |            * ((qf.qe[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE)::REAL),
-         |           (a, b) -> (a::DOUBLE + b::DOUBLE)::REAL) AS t
-         |  FROM cb, qf),
-         |pqd AS (
-         |  SELECT en.vec_id, list_sum(array_agg(at.t ORDER BY en.sub)) AS adc
-         |  FROM enc en JOIN adct at ON at.sub = en.sub AND at.code = en.code
-         |  GROUP BY en.vec_id),
+         |$ivfPqCore,
          |short AS (SELECT vec_id FROM pqd ORDER BY adc, vec_id LIMIT 50)
          |SELECT e.vec_id
          |FROM embeddings e JOIN short USING (vec_id), q
@@ -2153,55 +2155,7 @@ object SparkEntry {
          |LIMIT 10""".stripMargin,
     "rbac_ivfpq_topk" ->
       s"""WITH $ur1, $perm, $acc, $qv,
-         |cb AS (
-         |  SELECT sub, code, centroid
-         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/pq_codebook.parquet/*.parquet')),
-         |cent AS (
-         |  SELECT list_id, centroid AS ivfc
-         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_centroids_k16.parquet/*.parquet')),
-         |qf AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |cd AS (
-         |  SELECT c.list_id,
-         |         list_sum(list_transform(range(1, len(q.v) + 1),
-         |           i -> (q.v[i] - c.ivfc[i]::DOUBLE) ^ 2)) AS d
-         |  FROM cent c, q),
-         |probes AS (SELECT list_id FROM cd ORDER BY d, list_id LIMIT 4),
-         |ivfd AS (
-         |  SELECT e.vec_id, c.list_id,
-         |         list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |           i -> (e.embedding[i]::DOUBLE - c.ivfc[i]::DOUBLE) ^ 2)) AS d
-         |  FROM embeddings e CROSS JOIN cent c),
-         |assign AS (
-         |  SELECT vec_id, list_id FROM (
-         |    SELECT vec_id, list_id,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
-         |    FROM ivfd) WHERE rn = 1),
-         |probed AS (
-         |  SELECT a.vec_id FROM assign a JOIN probes p USING (list_id)
-         |  WHERE a.vec_id <> 0),
-         |ed AS (
-         |  SELECT e.vec_id, cb.sub, cb.code,
-         |         list_reduce(list_transform(range(1, 9), i ->
-         |           (((e.embedding[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE
-         |            * ((e.embedding[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE)::REAL),
-         |           (a, b) -> (a::DOUBLE + b::DOUBLE)::REAL) AS dd
-         |  FROM embeddings e JOIN probed USING (vec_id) CROSS JOIN cb),
-         |enc AS (
-         |  SELECT vec_id, sub, code FROM (
-         |    SELECT vec_id, sub, code,
-         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, code) AS rn
-         |    FROM ed) WHERE rn = 1),
-         |adct AS (
-         |  SELECT cb.sub, cb.code,
-         |         list_reduce(list_transform(range(1, 9), i ->
-         |           (((qf.qe[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE
-         |            * ((qf.qe[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE)::REAL),
-         |           (a, b) -> (a::DOUBLE + b::DOUBLE)::REAL) AS t
-         |  FROM cb, qf),
-         |pqd AS (
-         |  SELECT en.vec_id, list_sum(array_agg(at.t ORDER BY en.sub)) AS adc
-         |  FROM enc en JOIN adct at ON at.sub = en.sub AND at.code = en.code
-         |  GROUP BY en.vec_id),
+         |$ivfPqCore,
          |short AS (
          |  SELECT p.vec_id FROM pqd p JOIN acc ON p.vec_id = acc.document_id
          |  ORDER BY p.adc, p.vec_id LIMIT 50)

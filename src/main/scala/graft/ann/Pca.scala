@@ -237,6 +237,16 @@ object Pca {
       PcaModel(d, n, mean, vals, vecs, total)
     })}
 
+  /** Per-component mean offset — ONE definition shared by `project`
+    * (which bakes it into the plan as a float literal) and the oracle
+    * sidecar writer, so the replayed constants cannot drift from the
+    * planned ones.
+    */
+  private def meanOffset(m: PcaModel, c: Int): Double = {
+    val comp = m.components(c)
+    (0 until m.d).map(i => comp(i) * m.mean(i)).sum
+  }
+
   private val sidecarWritten = new graft.SessionCache[(String, Int), Boolean]
 
   /** Oracle sidecar: the projection constants exactly as `project`
@@ -250,9 +260,7 @@ object Pca {
       import spark.implicits._
       val m = model(spark, dir, k)
       (0 until k).map { c =>
-        val comp = m.components(c)
-        val offset = (0 until m.d).map(i => comp(i) * m.mean(i)).sum
-        (c, comp.map(_.toFloat).toSeq, offset.toFloat)
+        (c, m.components(c).map(_.toFloat).toSeq, meanOffset(m, c).toFloat)
       }.toDF("c", "comp", "offset")
         .coalesce(1).write.mode("overwrite")
         .parquet(graft.Sidecars.path(s"pca_components_k$k.parquet"))
@@ -266,10 +274,9 @@ object Pca {
   def project(df: DataFrame, m: PcaModel, kPrime: Int, vecCol: String = "embedding",
               outCol: String = "proj"): DataFrame = {
     val comps = (0 until kPrime).map { c =>
-      val comp = m.components(c)
-      val offset = (0 until m.d).map(i => comp(i) * m.mean(i)).sum
       (graft.functions.vector.dot(col(vecCol),
-        typedLit(comp.map(_.toFloat))) - lit(offset.toFloat)).cast("float")
+        typedLit(m.components(c).map(_.toFloat))) -
+        lit(meanOffset(m, c).toFloat)).cast("float")
     }
     df.withColumn(outCol, array(comps: _*))
   }
