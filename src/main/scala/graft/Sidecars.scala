@@ -29,6 +29,8 @@ object Sidecars {
     "ivf_unit_centroids_k8.parquet",
     "role_centroids_k4.parquet",
     "pq_codebook.parquet",
+    "opq_components.parquet",
+    "opq_codebook.parquet",
     "pca_components_k32.parquet",
     "qdtree_splits.parquet")
 

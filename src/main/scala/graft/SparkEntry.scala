@@ -105,6 +105,14 @@ object SparkEntry {
       PqIndex.writeCodebookSidecar(s, d) // oracle replays subspace-0 encoding
       PqIndex.buildReport(s, d)
     }),
+    "ann_opq_build" -> ((s, d) => {
+      graft.ann.OpqIndex.writeSidecars(s, d) // oracle replays rotation + encode
+      graft.ann.OpqIndex.buildReport(s, d)
+    }),
+    "ann_opq_search" -> ((s, d) => {
+      graft.ann.OpqIndex.writeSidecars(s, d) // oracle replays the full serving path
+      graft.ann.OpqIndex.search(s, d)
+    }),
     "ann_sq_build" -> ((s, d) => SqIndex.buildReport(s, d)),
     "rbac_partition_index_build" -> ((s, d) => {
       graft.ann.GroupedKMeans.writeCentroidSidecar(s, d) // oracle replays the assignment
@@ -366,6 +374,24 @@ object SparkEntry {
     * by every PQ oracle so the ulp-sensitive emulation cannot drift
     * between keys.
     */
+  // OPQ rotation replay from the component sidecar (B25's projection
+  // emulation in permuted full-rank form): each coordinate is the
+  // double dot of the raw floats with the float component row, minus
+  // the float offset, rounded to REAL — exactly what projectComponents
+  // bakes into the plan.
+  private val opqGa =
+    s"""oc AS (
+       |  SELECT p, comp, "offset" AS off
+       |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/opq_components.parquet/*.parquet')),
+       |ga AS (SELECT array_agg(comp ORDER BY p) AS comps,
+       |              array_agg(off ORDER BY p) AS offs FROM oc)""".stripMargin
+
+  private def opqProj(src: String): String =
+    s"""list_transform(range(1, 65), c ->
+       |           (list_sum(list_transform(range(1, 65),
+       |              i -> $src[i]::DOUBLE * ga.comps[c][i]::DOUBLE))
+       |            - ga.offs[c]::DOUBLE)::REAL)""".stripMargin
+
   private def pqDist(src: String): String =
     s"""list_reduce(list_transform(range(1, 9), i ->
        |           ((($src[cb.sub * 8 + i]::DOUBLE - cb.centroid[i]::DOUBLE)::REAL)::DOUBLE
@@ -910,6 +936,64 @@ object SparkEntry {
         |    FROM dd) WHERE rn = 1)
         |SELECT code::INT AS code0, count(*)::BIGINT AS n
         |FROM assign GROUP BY 1 ORDER BY 1""".stripMargin,
+    // B30: OPQ build — the B15 encode replay composed with the B25
+    // rotation replay: rotate every vector through the permuted float
+    // component rows (double dot, float offset, REAL round-back), then
+    // PqEncode's float chain against the rotated-space subspace-0
+    // codebook. The eigenvalue-balanced ALLOCATION choice stays
+    // spec-territory (OpqSpec), like the k-means fits — the oracle
+    // replays everything downstream of the emitted constants.
+    "ann_opq_build" ->
+      s"""WITH $opqGa,
+        |cent AS (
+        |  SELECT code, centroid
+        |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/opq_codebook.parquet/*.parquet')
+        |  WHERE sub = 0),
+        |pv AS (
+        |  SELECT e.vec_id, ${opqProj("e.embedding")} AS proj
+        |  FROM embeddings e, ga),
+        |dd AS (
+        |  SELECT pv.vec_id, c.code,
+        |         list_reduce(
+        |           list_transform(range(1, 9),
+        |             i -> (((pv.proj[i]::DOUBLE - c.centroid[i]::DOUBLE)::REAL)::DOUBLE
+        |                   * ((pv.proj[i]::DOUBLE - c.centroid[i]::DOUBLE)::REAL)::DOUBLE)::REAL),
+        |           (a, b) -> ((a::DOUBLE + b::DOUBLE)::REAL)) AS acc
+        |  FROM pv CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id, code FROM (
+        |    SELECT vec_id, code, row_number() OVER (PARTITION BY vec_id ORDER BY acc, code) AS rn
+        |    FROM dd) WHERE rn = 1)
+        |SELECT code::INT AS code0, count(*)::BIGINT AS n
+        |FROM assign GROUP BY 1 ORDER BY 1""".stripMargin,
+    // B30 serving: the B16 ADC replay in rotated space — corpus AND
+    // query pushed through the same rotation emulation (their floats
+    // match the engine's plan constants bit-for-bit), per-subspace
+    // encode, ADC table between rotated query and rotated-space
+    // codebook, double-accumulated ADC sum, shortlist-50, exact L2
+    // re-rank in ORIGINAL space.
+    "ann_opq_search" ->
+      s"""WITH $qv,
+        |$opqGa,
+        |cb AS (
+        |  SELECT sub, code, centroid
+        |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/opq_codebook.parquet/*.parquet')),
+        |qe0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pv AS (
+        |  SELECT e.vec_id, ${opqProj("e.embedding")} AS proj
+        |  FROM embeddings e, ga
+        |  WHERE e.vec_id <> 0),
+        |qf AS (SELECT ${opqProj("qe0.qe")} AS qe FROM qe0, ga),
+        |ed AS (
+        |  SELECT pv.vec_id, cb.sub, cb.code,
+        |         ${pqDist("pv.proj")} AS dd
+        |  FROM pv CROSS JOIN cb),
+        |$pqAdcTail,
+        |short AS (SELECT vec_id FROM pqd ORDER BY adc, vec_id LIMIT 50)
+        |SELECT e.vec_id
+        |FROM embeddings e JOIN short USING (vec_id), q
+        |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
+        |LIMIT 10""".stripMargin,
     // B4: with the fitted centroids in hand the WHOLE probe search is
     // deterministic — probe pick (nprobe nearest centroids to q, ties
     // to the smaller list id, exactly probeLists' sort), assignment

@@ -242,7 +242,7 @@ object Pca {
     * sidecar writer, so the replayed constants cannot drift from the
     * planned ones.
     */
-  private def meanOffset(m: PcaModel, c: Int): Double = {
+  private[graft] def meanOffset(m: PcaModel, c: Int): Double = {
     val comp = m.components(c)
     (0 until m.d).map(i => comp(i) * m.mean(i)).sum
   }
@@ -272,13 +272,23 @@ object Pca {
     * mean offset is a plan-time constant.
     */
   def project(df: DataFrame, m: PcaModel, kPrime: Int, vecCol: String = "embedding",
-              outCol: String = "proj"): DataFrame = {
-    val comps = (0 until kPrime).map { c =>
+              outCol: String = "proj"): DataFrame =
+    projectComponents(df, m, 0 until kPrime, vecCol, outCol)
+
+  /** Same projection against an EXPLICIT component sequence — lets a
+    * caller permute the rotation (OpqIndex's eigenvalue-balanced
+    * subspace allocation) while sharing the one per-coordinate
+    * expression (and float constants) with `project`.
+    */
+  def projectComponents(df: DataFrame, m: PcaModel, comps: Seq[Int],
+                        vecCol: String = "embedding",
+                        outCol: String = "proj"): DataFrame = {
+    val cols = comps.map { c =>
       (graft.functions.vector.dot(col(vecCol),
         typedLit(m.components(c).map(_.toFloat))) -
         lit(meanOffset(m, c).toFloat)).cast("float")
     }
-    df.withColumn(outCol, array(comps: _*))
+    df.withColumn(outCol, array(cols: _*))
   }
 
   /** `ann_pca_build`: per-component eigenvalue + explained-variance

@@ -132,8 +132,8 @@ object PqIndex {
     Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
       .select("embedding").head().getSeq[Float](0).toArray
 
-  private def rerank(spark: SparkSession, dir: String, shortList: DataFrame,
-                     topk: Int, qid: Long): DataFrame =
+  private[graft] def rerank(spark: SparkSession, dir: String, shortList: DataFrame,
+                            topk: Int, qid: Long): DataFrame =
     Tables.embeddings(spark, dir)
       .join(broadcast(shortList), "vec_id")
       .crossJoin(broadcast(
