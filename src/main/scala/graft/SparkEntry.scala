@@ -72,6 +72,14 @@ object SparkEntry {
     // 0.29→0.61→0.88→0.95 over rounds is asserted in ScalaTest)
     "ann_knn_graph_nnd" -> ((s, d) => Ann.knnGraphDescent(s, d, 5, iters = 1)),
     "ann_knn_centrality" -> ((s, d) => Ann.knnCentrality(s, d)),
+    "ann_graph_topk" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16) // oracle replays the medoid seeds
+      graft.ann.GraphSearch.graphTopK(s, d)
+    }),
+    "rbac_graph_topk" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16)
+      graft.ann.GraphSearch.rbacGraphTopK(s, d)
+    }),
     "hybrid_rrf_topk" -> ((s, d) => graft.ann.Hybrid.hybridRrfTopK(s, d)),
     "ann_half_topk" -> ((s, d) => graft.ann.Half.halfTopK(s, d)),
     "events_props_stats" -> ((s, d) => Analytics.eventsPropsStats(s, d)),
@@ -347,6 +355,69 @@ object SparkEntry {
       |  JOIN perm p ON p.role_id = c.desc_id
       |)""".stripMargin
   private val qv = "q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)"
+
+  // B31/B32 graph-walk replay (mirrors ann.GraphSearch exactly): IVF
+  // cell medoids (nearest member per cell, ties to the smaller id) seed
+  // a fixed-round synchronous beam search over the symmetrized exact
+  // 5-NN graph — per round, the top-Ef of everything visited expands
+  // its out-edges and newly visited nodes get exact L2 distances. Every
+  // step is deterministic, so the walk unrolls into one CTE per round;
+  // v{Rounds} is the full (query, visited, dist) relation both serving
+  // keys rank.
+  private val graphWalk: String = {
+    val base =
+      s"""gcent AS (
+         |  SELECT list_id, centroid
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_centroids_k16.parquet/*.parquet')),
+         |gdists AS MATERIALIZED (
+         |  SELECT e.vec_id, c.list_id,
+         |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |           i -> (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) ^ 2)) AS d
+         |  FROM embeddings e CROSS JOIN gcent c),
+         |gassign AS MATERIALIZED (
+         |  SELECT vec_id, list_id, d,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+         |  FROM gdists),
+         |medoid AS MATERIALIZED (
+         |  SELECT vec_id AS cand_id FROM (
+         |    SELECT list_id, vec_id,
+         |           row_number() OVER (PARTITION BY list_id ORDER BY d, vec_id) AS mrn
+         |    FROM gassign WHERE rn = 1) WHERE mrn = 1),
+         |gknn AS MATERIALIZED (
+         |  SELECT a.vec_id AS src, b.vec_id AS nbr
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id <> b.vec_id
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY a.vec_id
+         |    ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) <= ${graft.ann.GraphSearch.GraphK}),
+         |gund AS MATERIALIZED (SELECT src, nbr FROM gknn UNION SELECT nbr AS src, src AS nbr FROM gknn),
+         |gq AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+         |       WHERE vec_id < ${graft.ann.GraphSearch.Nq}),
+         |v0 AS MATERIALIZED (
+         |  SELECT q.query_id, m.cand_id,
+         |         list_distance(e.embedding::DOUBLE[], q.qv) AS dist
+         |  FROM gq q CROSS JOIN medoid m JOIN embeddings e ON e.vec_id = m.cand_id
+         |  WHERE m.cand_id <> q.query_id)""".stripMargin
+    val rounds = (1 to graft.ann.GraphSearch.Rounds).map { r =>
+      s"""b$r AS (
+         |  SELECT query_id, cand_id FROM v${r - 1}
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist, cand_id) <= ${graft.ann.GraphSearch.Ef}),
+         |nv$r AS MATERIALIZED (
+         |  SELECT n.query_id, n.cand_id,
+         |         list_distance(e.embedding::DOUBLE[], q.qv) AS dist
+         |  FROM (SELECT DISTINCT b.query_id, u.nbr AS cand_id
+         |        FROM b$r b JOIN gund u ON u.src = b.cand_id) n
+         |  JOIN embeddings e ON e.vec_id = n.cand_id
+         |  JOIN gq q USING (query_id)
+         |  WHERE n.cand_id <> n.query_id),
+         |v$r AS MATERIALIZED (
+         |  SELECT DISTINCT query_id, cand_id, dist
+         |  FROM (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM nv$r))""".stripMargin
+    }.mkString(",\n")
+    base + ",\n" + rounds
+  }
+  private val graphVFinal = s"v${graft.ann.GraphSearch.Rounds}"
 
   // Derived PartSupp replay (mirrors Analytics.partsupp, SURVEY §3
   // style): 4 supplier rows per part, arithmetic availqty/supplycost.
@@ -879,6 +950,24 @@ object SparkEntry {
         |  PARTITION BY a.vec_id
         |  ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) <= 5
         |ORDER BY src, nbr""".stripMargin,
+    // B31: the whole fixed-round beam walk is deterministic given the
+    // centroid sidecar — seeds, per-round beams, expansions and the
+    // final ranking all replay as unrolled CTEs (see graphWalk above).
+    "ann_graph_topk" ->
+      s"""WITH $graphWalk
+         |SELECT query_id, cand_id AS block_id FROM $graphVFinal
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY query_id ORDER BY dist, cand_id) <= 10
+         |ORDER BY query_id, block_id""".stripMargin,
+    // B32: ACORN filtered search = the SAME walk relation, permission
+    // predicate applied to the result ranking only (traversal blind).
+    "rbac_graph_topk" ->
+      s"""WITH $ur1, $perm, $acc, $graphWalk
+         |SELECT v.cand_id AS block_id, v.cand_id AS document_id
+         |FROM $graphVFinal v JOIN acc ON v.cand_id = acc.document_id
+         |WHERE v.query_id = 0
+         |ORDER BY v.dist, v.cand_id
+         |LIMIT 10""".stripMargin,
     "events_props_stats" ->
       """SELECT CAST(props->>'$.k' AS BIGINT) // 10 AS k_bucket,
         |       count(*) AS n, round(sum(value), 4) AS sum_value

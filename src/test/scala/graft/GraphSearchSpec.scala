@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.{Ann, GraphSearch, IvfIndex}
+
+/** B31/B32 batch graph-walk serving: driver-reference exactness (the
+  * whole walk re-run in plain Scala doubles), hnswlib-class recall vs
+  * exact ground truth, ACORN result semantics (filter on results, not
+  * traversal), persist hygiene, and the forced-broadcast policy.
+  */
+class GraphSearchSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def l2(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** The walk replicated on the driver with the engine's arithmetic:
+    * medoid seeds from the SAME fitted centroids, exact gk-NN graph
+    * symmetrized, Rounds synchronous top-Ef expansions, (dist, id) ties.
+    * Returns every visited node with its distance, per query.
+    */
+  private def referenceWalk(): (Map[Long, Map[Long, Double]], Seq[Long]) = {
+    val sp = spark
+    val emb = Tables.embeddings(sp, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val ids = emb.keys.toSeq.sorted
+    val cents = IvfIndex.getOrBuild(sp, sf, GraphSearch.Cells).centroids
+    def centD(v: Array[Float], c: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { val d = v(i).toDouble - c(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    val ownCell = ids.map(id => id -> cents.indices.minBy(ci => (centD(emb(id), cents(ci)), ci))).toMap
+    val medoids = ownCell.groupBy(_._2).values
+      .map(m => m.keys.minBy(id => (centD(emb(id), cents(ownCell(id))), id))).toSeq.sorted
+    val knn = ids.map(s =>
+      s -> ids.filter(_ != s).sortBy(o => (l2(emb(s), emb(o)), o)).take(GraphSearch.GraphK)).toMap
+    val und = ids.map { s =>
+      s -> (knn(s).toSet ++ ids.filter(o => knn(o).contains(s)))
+    }.toMap
+    val walks = (0L until GraphSearch.Nq.toLong).map { q =>
+      val qv = emb(q)
+      var visited = medoids.filter(_ != q).map(m => m -> l2(emb(m), qv)).toMap
+      for (_ <- 1 to GraphSearch.Rounds) {
+        val beam = visited.toSeq.sortBy { case (id, d) => (d, id) }
+          .take(GraphSearch.Ef).map(_._1)
+        val fresh = beam.flatMap(und).toSet -- visited.keySet - q
+        visited = visited ++ fresh.map(f => f -> l2(emb(f), qv))
+      }
+      q -> visited
+    }.toMap
+    (walks, medoids)
+  }
+
+  test("graph walk equals the driver reference exactly (both serving keys)") {
+    val sp = spark
+    val (walks, medoids) = referenceWalk()
+    assert(medoids.nonEmpty && medoids.size <= GraphSearch.Cells)
+    val expectAnn = walks.toSeq.flatMap { case (q, vis) =>
+      vis.toSeq.sortBy { case (id, d) => (d, id) }.take(10).map(c => (q, c._1))
+    }.toSet
+    val gotAnn = GraphSearch.graphTopK(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotAnn == expectAnn,
+      s"walk diverged: only-engine=${gotAnn -- expectAnn} only-ref=${expectAnn -- gotAnn}")
+
+    // ACORN form: query 0's visited slice, permission predicate on the
+    // RESULT ranking only — order-sensitive compare (rows in dist order)
+    val acc = graft.rbac.Rbac.accessibleDocs(sp, sf, 1).collect().map(_.getLong(0)).toSet
+    val expectRbac = walks(0L).toSeq.filter(p => acc(p._1))
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+    val gotRbac = GraphSearch.rbacGraphTopK(sp, sf).collect().map(_.getLong(0)).toSeq
+    assert(gotRbac == expectRbac)
+  }
+
+  test("serving recall vs exact ground truth is hnswlib-class") {
+    val sp = spark
+    val gt = Ann.batchTopK(sp, sf, GraphSearch.Nq, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = GraphSearch.graphTopK(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(gt).size.toDouble / gt.size
+    // deterministic given the testdata; measured 1.0 at sf0.001 — the
+    // floor leaves margin for testdata regeneration, not for randomness
+    assert(recall >= 0.9, s"graph-serving recall too low: $recall")
+  }
+
+  test("rbac walk: results accessible, drawn from the shared visited slice") {
+    val sp = spark
+    val acc = graft.rbac.Rbac.accessibleDocs(sp, sf, 1).collect().map(_.getLong(0)).toSet
+    val vis0 = GraphSearch.visited(sp, sf).filter(col("query_id") === 0)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val got = GraphSearch.rbacGraphTopK(sp, sf).collect().map(_.getLong(0)).toSeq
+    assert(got.nonEmpty && got.forall(acc))
+    assert(got.toSet.subsetOf(vis0.map(_._1).toSet),
+      "ACORN results must come from the predicate-blind traversal's visited set")
+    // and the filtered recall is bounded by what the walk visited — the
+    // reference's own accuracy/selectivity trade (acorn_search.cpp)
+    val gtPre = graft.rbac.Rbac.prefilterTopK(sp, sf, 1, 10).collect()
+      .map(_.getLong(0)).filter(_ != 0L).toSet
+    val recall = got.toSet.intersect(gtPre).size.toDouble / gtPre.size
+    assert(recall >= 0.5, s"filtered-walk recall collapsed: $recall")
+  }
+
+  test("repeated serving calls leak no persisted blocks (walk cached per session)") {
+    val sp = spark
+    GraphSearch.graphTopK(sp, sf).count()
+    val n0 = sp.sparkContext.getPersistentRDDs.size
+    GraphSearch.graphTopK(sp, sf).count()
+    GraphSearch.rbacGraphTopK(sp, sf).count()
+    assert(sp.sparkContext.getPersistentRDDs.size == n0,
+      "every serving call must reuse the session-cached walk state")
+  }
+
+  test("with auto-broadcast off, broadcast subtrees are point-selections only") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val sp = spark
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // a cold parameter key forces a fresh walk build under these confs
+      // (the shared graph/medoid caches are reused — they are the index)
+      val vis = GraphSearch.visited(sp, sf, ef = GraphSearch.Ef - 1)
+      vis.queryExecution.executedPlan.foreach {
+        case b: BroadcastExchangeExec =>
+          b.collect { case f: FileSourceScanExec => f }.foreach { f =>
+            assert(f.dataFilters.nonEmpty,
+              s"forced broadcast scans a relation with NO point-selection filter:\n$b")
+          }
+        case _ =>
+      }
+    } finally {
+      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+      sp.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+}
