@@ -80,6 +80,14 @@ object SparkEntry {
       IvfIndex.writeCentroidSidecar(s, d, 16)
       graft.ann.GraphSearch.rbacGraphTopK(s, d)
     }),
+    "ann_graph_delete_topk" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16)
+      graft.ann.GraphSearch.graphDeleteTopK(s, d)
+    }),
+    "ann_graph_insert" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16)
+      graft.ann.GraphSearch.insertNeighbors(s, d)
+    }),
     "hybrid_rrf_topk" -> ((s, d) => graft.ann.Hybrid.hybridRrfTopK(s, d)),
     "ann_half_topk" -> ((s, d) => graft.ann.Half.halfTopK(s, d)),
     "events_props_stats" -> ((s, d) => Analytics.eventsPropsStats(s, d)),
@@ -364,7 +372,7 @@ object SparkEntry {
   // step is deterministic, so the walk unrolls into one CTE per round;
   // v{Rounds} is the full (query, visited, dist) relation both serving
   // keys rank.
-  private val graphWalk: String = {
+  private def graphWalkCtes(baseWhere: String, queriesWhere: String): String = {
     val base =
       s"""gcent AS (
          |  SELECT list_id, centroid
@@ -373,7 +381,8 @@ object SparkEntry {
          |  SELECT e.vec_id, c.list_id,
          |         list_sum(list_transform(range(1, len(e.embedding) + 1),
          |           i -> (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) ^ 2)) AS d
-         |  FROM embeddings e CROSS JOIN gcent c),
+         |  FROM embeddings e CROSS JOIN gcent c
+         |  WHERE $baseWhere),
          |gassign AS MATERIALIZED (
          |  SELECT vec_id, list_id, d,
          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
@@ -385,14 +394,15 @@ object SparkEntry {
          |    FROM gassign WHERE rn = 1) WHERE mrn = 1),
          |gknn AS MATERIALIZED (
          |  SELECT a.vec_id AS src, b.vec_id AS nbr
-         |  FROM embeddings a, embeddings b
+         |  FROM (SELECT * FROM embeddings WHERE $baseWhere) a,
+         |       (SELECT * FROM embeddings WHERE $baseWhere) b
          |  WHERE a.vec_id <> b.vec_id
          |  QUALIFY row_number() OVER (
          |    PARTITION BY a.vec_id
          |    ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) <= ${graft.ann.GraphSearch.GraphK}),
          |gund AS MATERIALIZED (SELECT src, nbr FROM gknn UNION SELECT nbr AS src, src AS nbr FROM gknn),
          |gq AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
-         |       WHERE vec_id < ${graft.ann.GraphSearch.Nq}),
+         |       WHERE $queriesWhere),
          |v0 AS MATERIALIZED (
          |  SELECT q.query_id, m.cand_id,
          |         list_distance(e.embedding::DOUBLE[], q.qv) AS dist
@@ -417,6 +427,14 @@ object SparkEntry {
     }.mkString(",\n")
     base + ",\n" + rounds
   }
+  // the serving walk (B31/B32/B34): full graph, queries vec_id < Nq
+  private val graphWalk: String =
+    graphWalkCtes("TRUE", s"vec_id < ${graft.ann.GraphSearch.Nq}")
+  // the insert walk (B33): base-prefix graph, the trailing batch queries it
+  private val graphInsertCut =
+    s"(SELECT count(*) - ${graft.ann.GraphSearch.InsertTail} FROM embeddings)"
+  private val graphInsertWalk: String =
+    graphWalkCtes(s"vec_id < $graphInsertCut", s"vec_id >= $graphInsertCut")
   private val graphVFinal = s"v${graft.ann.GraphSearch.Rounds}"
 
   // Derived PartSupp replay (mirrors Analytics.partsupp, SURVEY §3
@@ -968,6 +986,25 @@ object SparkEntry {
          |WHERE v.query_id = 0
          |ORDER BY v.dist, v.cand_id
          |LIMIT 10""".stripMargin,
+    // B34: mark-deleted serving — tombstoned nodes (A13's rule) stay
+    // in the traversal relation, are excluded from result ranking only.
+    "ann_graph_delete_topk" ->
+      s"""WITH $graphWalk
+         |SELECT query_id, cand_id AS block_id FROM $graphVFinal
+         |WHERE cand_id % 17 <> 0
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY query_id ORDER BY dist, cand_id) <= 10
+         |ORDER BY query_id, block_id""".stripMargin,
+    // B33: incremental insertion — the trailing batch beam-searches the
+    // base-prefix graph; each new node links to its walk's top-GraphK.
+    "ann_graph_insert" ->
+      s"""WITH $graphInsertWalk
+         |SELECT src, nbr FROM (
+         |  SELECT query_id AS src, cand_id AS nbr,
+         |         row_number() OVER (
+         |           PARTITION BY query_id ORDER BY dist, cand_id) AS rn
+         |  FROM $graphVFinal) WHERE rn <= ${graft.ann.GraphSearch.GraphK}
+         |ORDER BY src, nbr""".stripMargin,
     "events_props_stats" ->
       """SELECT CAST(props->>'$.k' AS BIGINT) // 10 AS k_bucket,
         |       count(*) AS n, round(sum(value), 4) AS sum_value

@@ -112,15 +112,27 @@ object Ann {
   def knnGraph(spark: SparkSession, dir: String, k: Int, cells: Int = 16): DataFrame =
     knnEdges(spark, dir, k, cells).orderBy("src", "nbr")
 
+  /** B11 restricted to the base prefix `vec_id < maxId` — the graph an
+    * incremental insert batch (B33) walks. The IVF scaffolding (fit +
+    * radii) stays full-corpus: a full-cell radius upper-bounds the
+    * subset's, so the triangle pruning remains lossless, just slightly
+    * less tight.
+    */
+  def knnGraphOn(spark: SparkSession, dir: String, k: Int, cells: Int,
+                 maxId: Long): DataFrame =
+    knnEdges(spark, dir, k, cells, Some(maxId)).orderBy("src", "nbr")
+
   /** B11's edge set WITHOUT the query-surface total-order sort —
     * consumers that repartition anyway (GraphX centrality) skip one
     * full range-exchange over the k·N edges.
     */
-  private def knnEdges(spark: SparkSession, dir: String, k: Int, cells: Int): DataFrame = {
+  private def knnEdges(spark: SparkSession, dir: String, k: Int, cells: Int,
+                       maxId: Option[Long] = None): DataFrame = {
     val idx = IvfIndex.getOrBuild(spark, dir, cells)
     val radiiDf = broadcast(spark.createDataFrame(
       IvfIndex.cellRadii(spark, dir, cells).toSeq).toDF("cell", "radius"))
-    val e = IvfIndex.withCells(spark, dir, cells)
+    val all = IvfIndex.withCells(spark, dir, cells)
+    val e = maxId.fold(all)(m => all.filter(col("vec_id") < m))
     val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("cell"))
     val b = e.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("cell"))
     val bound = a.join(b, "cell")

@@ -56,18 +56,20 @@ object GraphSearch {
   /** Batch width of the serving walk (matches ann_batch_topk's nq). */
   val Nq = 8
 
-  private val graphCache = new graft.SessionFrameCache[(String, Int, Int)]
-  private val medoidCache = new graft.SessionFrameCache[(String, Int)]
-  private val visitedCache = new graft.SessionFrameCache[(String, Int, Int, Int, Int, Int)]
+  private val graphCache = new graft.SessionFrameCache[(String, Int, Int, Long)]
+  private val medoidCache = new graft.SessionFrameCache[(String, Int, Long)]
+  private val visitedCache = new graft.SessionFrameCache[(String, String, Int, Int, Int, Int)]
 
   /** Undirected serving graph: B11's exact kNN edges plus their
     * reverses, deduplicated — (src, nbr) slim longs, persisted once per
-    * session (the graph-index build step).
+    * session (the graph-index build step). `baseMax` restricts the
+    * graph to the base prefix an insert batch walks (B33); -1 = full.
     */
   def servingGraph(spark: SparkSession, dir: String, gk: Int = GraphK,
-                   cells: Int = Cells): DataFrame =
-    graphCache.getOrElseUpdate(spark, (dir, gk, cells)) {
-      val g = Ann.knnGraph(spark, dir, gk, cells).select("src", "nbr")
+                   cells: Int = Cells, baseMax: Long = -1L): DataFrame =
+    graphCache.getOrElseUpdate(spark, (dir, gk, cells, baseMax)) {
+      val g = (if (baseMax < 0) Ann.knnGraph(spark, dir, gk, cells)
+               else Ann.knnGraphOn(spark, dir, gk, cells, baseMax)).select("src", "nbr")
       val und = g.union(g.select(col("nbr").as("src"), col("src").as("nbr")))
         .distinct().persist()
       und.count()
@@ -76,12 +78,16 @@ object GraphSearch {
 
   /** Entry points: for every non-empty IVF cell, the member closest to
     * its centroid (ties to the smaller vec_id). min_by partial-aggregates
-    * — one scan, `cells` output rows, no per-cell sort.
+    * — one scan, `cells` output rows, no per-cell sort. `baseMax`
+    * restricts candidates to the base prefix (-1 = full corpus).
     */
-  def cellMedoids(spark: SparkSession, dir: String, cells: Int = Cells): DataFrame =
-    medoidCache.getOrElseUpdate(spark, (dir, cells)) {
+  def cellMedoids(spark: SparkSession, dir: String, cells: Int = Cells,
+                  baseMax: Long = -1L): DataFrame =
+    medoidCache.getOrElseUpdate(spark, (dir, cells, baseMax)) {
       val idx = IvfIndex.getOrBuild(spark, dir, cells)
-      val m = IvfIndex.withCells(spark, dir, cells)
+      val all = IvfIndex.withCells(spark, dir, cells)
+      val base = if (baseMax < 0) all else all.filter(col("vec_id") < baseMax)
+      val m = base
         // the own-cell distance IS the min over centroids (that is what
         // assigned the cell), so no element_at indexing is needed
         .withColumn("d", array_min(centroid_dists(col("embedding"), idx.centroids)))
@@ -93,22 +99,37 @@ object GraphSearch {
       m
     }
 
-  /** The walk itself: every (query, visited node, distance) after
-    * `rounds` synchronous expansions for queries vec_id < nq. Session-
-    * cached persisted frame — the shared state BOTH serving queries
-    * read (plain top-k and the RBAC-filtered ACORN form), built once.
+  /** The serving walk for queries vec_id < Nq over the full graph —
+    * the shared state the three serving keys read (plain top-k,
+    * mark-deleted top-k, the RBAC-filtered ACORN form), built once.
     */
   def visited(spark: SparkSession, dir: String, nq: Int = Nq, ef: Int = Ef,
               rounds: Int = Rounds, gk: Int = GraphK, cells: Int = Cells): DataFrame =
-    visitedCache.getOrElseUpdate(spark, (dir, nq, ef, rounds, gk, cells)) {
+    visitedCache.getOrElseUpdate(spark, (dir, s"serve$nq", ef, rounds, gk, cells)) {
       val e = Tables.embeddings(spark, dir)
-      val corpus = e.select(col("vec_id").as("cand_id"), col("embedding"))
       // nq is a bounded constant (point selection), so the per-round
       // distance attach may broadcast the query vectors; at large nq
       // drop the hint and it becomes a query_id equi-join
       val queries = broadcast(e.filter(col("vec_id") < nq)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
-      val edges = servingGraph(spark, dir, gk, cells)
+      val v = buildVisited(spark, dir, queries, ef, rounds, gk, cells, baseMax = -1L)
+        .persist()
+      v.count()
+      v
+    }
+
+  /** One fixed-round beam walk for an arbitrary bounded query frame
+    * (query_id, qvec) over the (possibly base-restricted) graph.
+    * Returns the final round UNMATERIALIZED (lineage = one round's
+    * joins over the checkpointed previous rounds) — standing callers
+    * persist it, one-shot callers execute it once.
+    */
+  private[graft] def buildVisited(spark: SparkSession, dir: String, queries: DataFrame,
+                                  ef: Int, rounds: Int, gk: Int, cells: Int,
+                                  baseMax: Long): DataFrame = {
+      val e = Tables.embeddings(spark, dir)
+      val corpus = e.select(col("vec_id").as("cand_id"), col("embedding"))
+      val edges = servingGraph(spark, dir, gk, cells, baseMax)
 
       // attach exact L2 distances to (query_id, cand_id) pairs,
       // excluding the query's own corpus row (the ann-family convention)
@@ -119,11 +140,24 @@ object GraphSearch {
         .select(col("query_id"), col("cand_id"),
           l2_dist(col("embedding"), col("qvec")).as("dist"))
 
-      val seeds = queries.select("query_id").crossJoin(cellMedoids(spark, dir, cells))
-      var vis = withDist(seeds).persist()
-      val stale = scala.collection.mutable.ArrayBuffer(vis)
+      val seeds = queries.select("query_id")
+        .crossJoin(cellMedoids(spark, dir, cells, baseMax))
+      // each round references the previous one THREE times (beam rank,
+      // anti-join, union) and the union carries it twice — without
+      // truncation the logical tree doubles per round (2^rounds copies
+      // of the graph-build subtree), exploding analysis and plan-string
+      // cost even though execution would reuse the cache. An eager
+      // localCheckpoint per round materializes the (tiny: ≤ queries ×
+      // visited-bound rows) frame and cuts the lineage to one LogicalRDD
+      // — on a cluster this is the per-round checkpoint an iterative
+      // frontier job does anyway (the Bpe merge-round convention).
+      // Superseded rounds' blocks are released by the ContextCleaner
+      // once unreferenced. The LAST round stays un-checkpointed so the
+      // returned frame's plan still exhibits one round's join shape
+      // (the plan-policy spec inspects it); its lineage depth is O(1).
+      var vis = withDist(seeds).localCheckpoint()
       val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
-      for (_ <- 1 to rounds) {
+      for (r <- 1 to rounds) {
         val beam = vis.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= ef)
           .select(col("query_id"), col("cand_id").as("src"))
@@ -131,13 +165,11 @@ object GraphSearch {
           .select(col("query_id"), col("nbr").as("cand_id"))
           .distinct()
           .join(vis.select("query_id", "cand_id"), Seq("query_id", "cand_id"), "left_anti")
-        vis = vis.union(withDist(fresh)).persist()
-        stale += vis
+        val next = vis.union(withDist(fresh))
+        vis = if (r < rounds) next.localCheckpoint() else next
       }
-      vis.count() // materialize the final round before dropping the chain
-      stale.dropRight(1).foreach(_.unpersist())
       vis
-    }
+  }
 
   /** B31 `ann_graph_topk`: per-query top-k of the walk — the batch form
     * of hnswlib knn_query over the whole corpus. */
@@ -167,5 +199,88 @@ object GraphSearch {
       .orderBy(col("dist"), col("cand_id"))
       .limit(k)
       .select(col("cand_id").as("block_id"), col("cand_id").as("document_id"))
+  }
+
+  /** B34 `ann_graph_delete_topk`: hnswlib's mark_deleted serving
+    * semantics (hnswalg.h markDelete / knn_query interplay): deleted
+    * nodes STAY in the graph — traversal walks through them, keeping
+    * the graph navigable — and are excluded from results only. Same
+    * tombstone rule as A13 (`vec_id % 17 = 0`), same shared walk state
+    * as B31: the delete costs one ranking filter, zero index surgery.
+    */
+  def graphDeleteTopK(spark: SparkSession, dir: String, nq: Int = Nq,
+                      k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
+    visited(spark, dir, nq)
+      .filter(pmod(col("cand_id"), lit(17)) =!= 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id").as("block_id"))
+      .orderBy("query_id", "block_id")
+  }
+
+  /** Insert-batch size for B33 (the trailing vec_ids play the role of
+    * newly arriving vectors; the rest are the already-indexed base). */
+  val InsertTail = 50
+
+  /** First vec_id of the insert batch: corpus size minus the tail. */
+  def insertCutoff(spark: SparkSession, dir: String): Long =
+    Tables.embeddings(spark, dir).count() - InsertTail
+
+  /** B33 `ann_graph_insert`: incremental graph insertion — hnswlib's
+    * add_items neighbor-finding step (hnswalg.h addPoint: beam-search
+    * the EXISTING graph for each new point, link to its top-M
+    * results). The trailing `InsertTail` vectors walk the BASE-prefix
+    * graph (base kNN edges + base medoid seeds) and each new node's
+    * neighbor list is the top-GraphK of its walk — the batch
+    * formulation: all inserts advance one synchronous expansion per
+    * round, so an arriving batch costs `rounds` frontier joins total,
+    * not |batch| pointer chases. (The reciprocal half of the link
+    * update is a union + per-node bounded re-prune over the touched
+    * nodes — the same topk machinery — omitted from the report, which
+    * checks the hard part: where the walk lands.) Deterministic given
+    * the base graph, so fully oracle-replayable.
+    */
+  def insertNeighbors(spark: SparkSession, dir: String, ef: Int = Ef,
+                      rounds: Int = Rounds, gk: Int = GraphK,
+                      cells: Int = Cells): DataFrame = {
+    val cutoff = insertCutoff(spark, dir)
+    val vis = visitedCache.getOrElseUpdate(
+      spark, (dir, s"insert$InsertTail", ef, rounds, gk, cells)) {
+      val batch = broadcast(Tables.embeddings(spark, dir)
+        .filter(col("vec_id") >= cutoff)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+      val v = buildVisited(spark, dir, batch, ef, rounds, gk, cells, baseMax = cutoff)
+        .persist()
+      v.count()
+      v
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
+    vis.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= gk)
+      .select(col("query_id").as("src"), col("cand_id").as("nbr"))
+      .orderBy("src", "nbr")
+  }
+
+  /** One-shot serving for an arbitrary bounded query frame (query_id,
+    * qvec) — the unit G17's micro-batch serving runs: one walk over the
+    * session-cached graph index, ranked to (query_id, block_id, rank).
+    * The walk state is TRANSIENT (this is a passing batch, not the
+    * standing benchmark query set): the result is persisted +
+    * materialized, every intermediate released before returning — the
+    * caller unpersists the result when done (G17 does so after the
+    * sink write).
+    */
+  def graphTopKFor(spark: SparkSession, dir: String, queries: DataFrame,
+                   k: Int = 10, ef: Int = Ef, rounds: Int = Rounds,
+                   gk: Int = GraphK, cells: Int = Cells): DataFrame = {
+    val vis = buildVisited(spark, dir, broadcast(queries), ef, rounds, gk, cells, -1L)
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
+    val out = vis.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id").as("block_id"), col("rn").as("rank"))
+      .persist()
+    out.count() // after this the walk's checkpoint blocks are unreferenced
+    out
   }
 }

@@ -77,4 +77,35 @@ object VectorStream {
       }
       .toDF("topk_ids")
   }
+
+  /** G17: micro-batch GRAPH serving — arriving QUERY vectors are
+    * answered by the session-cached graph index (B31's symmetrized kNN
+    * graph + medoid seeds) and the answers append to `outDir` as
+    * (query_id, block_id, rank) parquet. The walk is an ITERATIVE beam
+    * (rounds of frontier joins) — not expressible as one incremental
+    * streaming plan, and it doesn't need to be: each micro-batch is a
+    * bounded query set, exactly the batch walk's input, so foreachBatch
+    * runs `GraphSearch.graphTopKFor` per trigger (the standard
+    * batch-inside-stream serving shape; per-batch walk state released
+    * after the sink write). Results are asserted EQUAL to the batch
+    * walk in GraphSearchSpec.
+    */
+  def graphServeStream(spark: SparkSession, dir: String, queryDir: String,
+                       outDir: String, checkpoint: String, k: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(rawSchema).parquet(queryDir)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val out = graft.ann.GraphSearch.graphTopKFor(spark, dir, batch, k)
+          out.write.mode("append").parquet(outDir)
+          out.unpersist()
+        }
+        () // foreachBatch wants Unit
+      }
+      .start()
+  }
 }

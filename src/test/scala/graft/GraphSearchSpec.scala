@@ -22,13 +22,16 @@ class GraphSearchSpec extends AnyFunSuite {
   /** The walk replicated on the driver with the engine's arithmetic:
     * medoid seeds from the SAME fitted centroids, exact gk-NN graph
     * symmetrized, Rounds synchronous top-Ef expansions, (dist, id) ties.
-    * Returns every visited node with its distance, per query.
+    * Returns every visited node with its distance, per query. `baseMax`
+    * restricts the graph + seeds to the base prefix (insert mode).
     */
-  private def referenceWalk(): (Map[Long, Map[Long, Double]], Seq[Long]) = {
+  private def referenceWalk(baseMax: Option[Long] = None,
+                            queryIds: Seq[Long] = 0L until GraphSearch.Nq.toLong)
+      : (Map[Long, Map[Long, Double]], Seq[Long]) = {
     val sp = spark
     val emb = Tables.embeddings(sp, sf).select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val ids = emb.keys.toSeq.sorted
+    val ids = emb.keys.toSeq.sorted.filter(id => baseMax.forall(id < _))
     val cents = IvfIndex.getOrBuild(sp, sf, GraphSearch.Cells).centroids
     def centD(v: Array[Float], c: Array[Float]): Double = {
       var s = 0.0; var i = 0
@@ -44,7 +47,7 @@ class GraphSearchSpec extends AnyFunSuite {
     val und = ids.map { s =>
       s -> (knn(s).toSet ++ ids.filter(o => knn(o).contains(s)))
     }.toMap
-    val walks = (0L until GraphSearch.Nq.toLong).map { q =>
+    val walks = queryIds.map { q =>
       val qv = emb(q)
       var visited = medoids.filter(_ != q).map(m => m -> l2(emb(m), qv)).toMap
       for (_ <- 1 to GraphSearch.Rounds) {
@@ -108,14 +111,89 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"filtered-walk recall collapsed: $recall")
   }
 
+  test("mark-deleted serving: tombstones out of results, kept in traversal") {
+    val sp = spark
+    val got = GraphSearch.graphDeleteTopK(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.forall(_._2 % 17 != 0))
+    // reference: the SAME walk's ranking with tombstoned ids removed
+    val (walks, _) = referenceWalk()
+    val expect = walks.toSeq.flatMap { case (q, vis) =>
+      vis.toSeq.filter(_._1 % 17 != 0)
+        .sortBy { case (id, d) => (d, id) }.take(10).map(c => (q, c._1))
+    }.toSet
+    assert(got.toSet == expect)
+    // markDelete semantics: the graph is untouched — deleted nodes are
+    // still visited (traversal navigates through them)
+    val deletedVisited = GraphSearch.visited(sp, sf)
+      .filter(pmod(col("cand_id"), lit(17)) === 0).count()
+    assert(deletedVisited > 0, "deleted nodes must remain in the traversal relation")
+  }
+
+  test("incremental insert: each new node links to its base-walk top-gk") {
+    val sp = spark
+    val cutoff = GraphSearch.insertCutoff(sp, sf)
+    val newIds = cutoff until (cutoff + GraphSearch.InsertTail)
+    val got = GraphSearch.insertNeighbors(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).distinct.length == GraphSearch.InsertTail)
+    assert(got.forall { case (s, n) => s >= cutoff && n < cutoff })
+    // driver reference: the identical walk over the base-prefix graph
+    val (walks, _) = referenceWalk(Some(cutoff), newIds)
+    val expect = walks.toSeq.flatMap { case (q, vis) =>
+      vis.toSeq.sortBy { case (id, d) => (d, id) }
+        .take(GraphSearch.GraphK).map(c => (q, c._1))
+    }.toSet
+    assert(got.toSet == expect,
+      s"insert walk diverged: only-engine=${got.toSet -- expect}")
+    // link quality: recall vs each new node's EXACT base top-gk
+    val emb = Tables.embeddings(sp, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val baseIds = emb.keys.filter(_ < cutoff).toSeq
+    val hits = newIds.map { q =>
+      val exact = baseIds.sortBy(o => (l2(emb(q), emb(o)), o))
+        .take(GraphSearch.GraphK).toSet
+      got.filter(_._1 == q).map(_._2).count(exact)
+    }.sum
+    val recall = hits.toDouble / (GraphSearch.InsertTail * GraphSearch.GraphK)
+    assert(recall >= 0.85, s"insert link recall too low: $recall")
+  }
+
   test("repeated serving calls leak no persisted blocks (walk cached per session)") {
     val sp = spark
     GraphSearch.graphTopK(sp, sf).count()
+    GraphSearch.insertNeighbors(sp, sf).count()
     val n0 = sp.sparkContext.getPersistentRDDs.size
     GraphSearch.graphTopK(sp, sf).count()
     GraphSearch.rbacGraphTopK(sp, sf).count()
-    assert(sp.sparkContext.getPersistentRDDs.size == n0,
+    GraphSearch.graphDeleteTopK(sp, sf).count()
+    GraphSearch.insertNeighbors(sp, sf).count()
+    // no growth: every call reuses the session-cached walk state (the
+    // count may SHRINK if the ContextCleaner releases superseded round
+    // checkpoints in the window — that is the desired direction)
+    assert(sp.sparkContext.getPersistentRDDs.size <= n0,
       "every serving call must reuse the session-cached walk state")
+  }
+
+  test("G17 streaming graph serving equals the batch walk exactly") {
+    val sp = spark
+    val tmp = java.nio.file.Files.createTempDirectory("g17_").toString
+    // stage the benchmark queries as an "arriving" query stream
+    Tables.embeddings(sp, sf).filter(col("vec_id") < GraphSearch.Nq)
+      .write.mode("overwrite").parquet(s"$tmp/queries")
+    val q = graft.streaming.VectorStream.graphServeStream(
+      sp, sf, s"$tmp/queries", s"$tmp/out", s"$tmp/ckpt")
+    q.awaitTermination()
+    val got = sp.read.parquet(s"$tmp/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = GraphSearch.graphTopK(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch, "stream-served answers must equal the batch walk")
+    // per-batch walk state released after the sink write: re-serving
+    // from the standing cache adds no persisted entries
+    val leaked = sp.sparkContext.getPersistentRDDs
+    GraphSearch.graphTopK(sp, sf).count() // cached state may legitimately persist
+    assert(sp.sparkContext.getPersistentRDDs.size <= leaked.size)
   }
 
   test("with auto-broadcast off, broadcast subtrees are point-selections only") {
@@ -125,17 +203,27 @@ class GraphSearchSpec extends AnyFunSuite {
     sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     sp.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      // a cold parameter key forces a fresh walk build under these confs
+      // build directly (uncached, unpersisted): the returned frame's
+      // final round exhibits the per-round join shape every round has
       // (the shared graph/medoid caches are reused — they are the index)
-      val vis = GraphSearch.visited(sp, sf, ef = GraphSearch.Ef - 1)
+      val queries = broadcast(Tables.embeddings(sp, sf)
+        .filter(col("vec_id") < GraphSearch.Nq)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+      val vis = GraphSearch.buildVisited(sp, sf, queries, GraphSearch.Ef,
+        GraphSearch.Rounds, GraphSearch.GraphK, GraphSearch.Cells, -1L)
+      var broadcasts = 0
       vis.queryExecution.executedPlan.foreach {
         case b: BroadcastExchangeExec =>
+          broadcasts += 1
           b.collect { case f: FileSourceScanExec => f }.foreach { f =>
             assert(f.dataFilters.nonEmpty,
               s"forced broadcast scans a relation with NO point-selection filter:\n$b")
           }
         case _ =>
       }
+      // the hinted query frame must actually appear (the plan is not a
+      // bare checkpoint scan) — guards against this test going vacuous
+      assert(broadcasts > 0, "expected the point-selection query broadcast in the round plan")
     } finally {
       sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
       sp.conf.set("spark.sql.adaptive.enabled", "true")
