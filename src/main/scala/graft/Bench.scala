@@ -57,6 +57,14 @@ object Bench {
       // role closures (A19/A20 metadata sidecars, session-cached)
       graft.rbac.Hierarchy.roleClosure(spark).count()
       graft.rbac.Hierarchy.dagClosure(spark).count()
+      // graph-serving index state (B31-B37): the symmetrized kNN graph
+      // + medoid entry points, full and base-prefix (B33) variants —
+      // index builds; the WALK itself stays timed (it is the search)
+      graft.ann.GraphSearch.servingGraph(spark, sfDir)
+      graft.ann.GraphSearch.cellMedoids(spark, sfDir)
+      val gcut = graft.ann.GraphSearch.insertCutoff(spark, sfDir)
+      graft.ann.GraphSearch.servingGraph(spark, sfDir, baseMax = gcut)
+      graft.ann.GraphSearch.cellMedoids(spark, sfDir, baseMax = gcut)
     } catch { case _: Throwable => () }
     // Overlap queries on a small pool: a single local session leaves
     // cores idle during per-query driver phases (planning, codegen,

@@ -88,6 +88,15 @@ object SparkEntry {
       IvfIndex.writeCentroidSidecar(s, d, 16)
       graft.ann.GraphSearch.insertNeighbors(s, d)
     }),
+    "ann_knn_classify" -> ((s, d) => graft.ann.Classify.knnClassify(s, d)),
+    "ann_graph_classify" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16)
+      graft.ann.Classify.graphClassify(s, d)
+    }),
+    "ann_cell_label_stats" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16)
+      graft.ann.Classify.cellLabelStats(s, d)
+    }),
     "hybrid_rrf_topk" -> ((s, d) => graft.ann.Hybrid.hybridRrfTopK(s, d)),
     "ann_half_topk" -> ((s, d) => graft.ann.Half.halfTopK(s, d)),
     "events_props_stats" -> ((s, d) => Analytics.eventsPropsStats(s, d)),
@@ -1005,6 +1014,70 @@ object SparkEntry {
          |           PARTITION BY query_id ORDER BY dist, cand_id) AS rn
          |  FROM $graphVFinal) WHERE rn <= ${graft.ann.GraphSearch.GraphK}
          |ORDER BY src, nbr""".stripMargin,
+    // B35: exact kNN majority-vote classification (ties to the smaller
+    // label) — the standard supervised index evaluation.
+    "ann_knn_classify" ->
+      """WITH qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |            FROM embeddings WHERE vec_id < 8),
+        |topk AS (
+        |  SELECT q.query_id, e.vec_id
+        |  FROM embeddings e, qs q
+        |  WHERE e.vec_id <> q.query_id
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY q.query_id
+        |    ORDER BY list_distance(e.embedding::DOUBLE[], q.qv), e.vec_id) <= 10),
+        |v AS (
+        |  SELECT t.query_id, l.label, count(*) AS n
+        |  FROM topk t JOIN embeddings l USING (vec_id)
+        |  GROUP BY 1, 2)
+        |SELECT query_id, label AS pred_label, n AS votes FROM v
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY query_id ORDER BY n DESC, label) = 1
+        |ORDER BY query_id""".stripMargin,
+    // B37: the same vote over the graph walk's top-10 — classification
+    // through the approximate serving index.
+    "ann_graph_classify" ->
+      s"""WITH $graphWalk,
+         |topk AS (
+         |  SELECT query_id, cand_id AS vec_id FROM $graphVFinal
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist, cand_id) <= 10),
+         |v AS (
+         |  SELECT t.query_id, l.label, count(*) AS n
+         |  FROM topk t JOIN embeddings l USING (vec_id)
+         |  GROUP BY 1, 2)
+         |SELECT query_id, label AS pred_label, n AS votes FROM v
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY query_id ORDER BY n DESC, label) = 1
+         |ORDER BY query_id""".stripMargin,
+    // B36: per-cell label purity from the replayed assignment — purity
+    // in exact integer ten-thousandths (BIGINT // division).
+    "ann_cell_label_stats" ->
+      s"""WITH cent AS (
+         |  SELECT list_id, centroid
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_centroids_k16.parquet/*.parquet')),
+         |dists AS (
+         |  SELECT e.vec_id, e.label, c.list_id,
+         |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |           i -> (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) ^ 2)) AS d
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id, label, list_id FROM (
+         |    SELECT vec_id, label, list_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |cl AS (
+         |  SELECT list_id AS cell, label, count(*) AS n
+         |  FROM assign GROUP BY 1, 2),
+         |top AS (
+         |  SELECT cell, label, n FROM cl
+         |  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) = 1),
+         |tot AS (SELECT cell, sum(n)::BIGINT AS n_vectors FROM cl GROUP BY 1)
+         |SELECT t.cell::INT AS cell, tt.n_vectors,
+         |       t.label AS major_label, t.n AS major_votes,
+         |       (t.n * 10000) // tt.n_vectors AS purity_x10000
+         |FROM top t JOIN tot tt USING (cell)
+         |ORDER BY cell""".stripMargin,
     "events_props_stats" ->
       """SELECT CAST(props->>'$.k' AS BIGINT) // 10 AS k_bucket,
         |       count(*) AS n, round(sum(value), 4) AS sum_value

@@ -112,21 +112,21 @@ object GraphSearch {
       // drop the hint and it becomes a query_id equi-join
       val queries = broadcast(e.filter(col("vec_id") < nq)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
-      val v = buildVisited(spark, dir, queries, ef, rounds, gk, cells, baseMax = -1L)
-        .persist()
-      v.count()
-      v
+      buildVisited(spark, dir, queries, ef, rounds, gk, cells, baseMax = -1L)
     }
 
   /** One fixed-round beam walk for an arbitrary bounded query frame
     * (query_id, qvec) over the (possibly base-restricted) graph.
-    * Returns the final round UNMATERIALIZED (lineage = one round's
-    * joins over the checkpointed previous rounds) — standing callers
-    * persist it, one-shot callers execute it once.
+    * Returns the final round PERSISTED and materialized, every
+    * intermediate round's blocks released (blocking) before returning —
+    * the caller owns exactly one persisted frame. With
+    * `inspectPlan = true` the final round is returned raw instead
+    * (un-truncated, un-executed) so plan-policy specs can audit the
+    * per-round join shape.
     */
   private[graft] def buildVisited(spark: SparkSession, dir: String, queries: DataFrame,
                                   ef: Int, rounds: Int, gk: Int, cells: Int,
-                                  baseMax: Long): DataFrame = {
+                                  baseMax: Long, inspectPlan: Boolean = false): DataFrame = {
       val e = Tables.embeddings(spark, dir)
       val corpus = e.select(col("vec_id").as("cand_id"), col("embedding"))
       val edges = servingGraph(spark, dir, gk, cells, baseMax)
@@ -146,17 +146,25 @@ object GraphSearch {
       // anti-join, union) and the union carries it twice — without
       // truncation the logical tree doubles per round (2^rounds copies
       // of the graph-build subtree), exploding analysis and plan-string
-      // cost even though execution would reuse the cache. An eager
-      // localCheckpoint per round materializes the (tiny: ≤ queries ×
-      // visited-bound rows) frame and cuts the lineage to one LogicalRDD
-      // — on a cluster this is the per-round checkpoint an iterative
-      // frontier job does anyway (the Bpe merge-round convention).
-      // Superseded rounds' blocks are released by the ContextCleaner
-      // once unreferenced. The LAST round stays un-checkpointed so the
-      // returned frame's plan still exhibits one round's join shape
-      // (the plan-policy spec inspects it); its lineage depth is O(1).
-      var vis = withDist(seeds).localCheckpoint()
+      // cost even though execution would reuse the cache (observed: an
+      // 8 GiB plan-string OOM before truncation). Each round is
+      // therefore materialized (persist + count) and REBASED onto its
+      // own row RDD — a per-round checkpoint, as an iterative frontier
+      // job does on a cluster (the Bpe merge-round convention) — but
+      // with EXPLICIT blocking release of superseded rounds:
+      // rdd.localCheckpoint blocks are only freed by the async
+      // ContextCleaner, which turned the suite's persisted-block
+      // accounting nondeterministic.
+      val stale = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def cutRound(df: DataFrame): DataFrame = {
+        val p = df.persist()
+        p.count()
+        stale += p
+        spark.createDataFrame(p.rdd, df.schema)
+      }
+      var vis = cutRound(withDist(seeds))
       val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
+      var last: DataFrame = vis
       for (r <- 1 to rounds) {
         val beam = vis.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= ef)
@@ -165,10 +173,17 @@ object GraphSearch {
           .select(col("query_id"), col("nbr").as("cand_id"))
           .distinct()
           .join(vis.select("query_id", "cand_id"), Seq("query_id", "cand_id"), "left_anti")
-        val next = vis.union(withDist(fresh))
-        vis = if (r < rounds) next.localCheckpoint() else next
+        last = vis.union(withDist(fresh))
+        vis = if (r < rounds) cutRound(last) else last
       }
-      vis
+      if (inspectPlan) { // raw final round, for (non-executing) plan audits
+        stale.foreach(_.unpersist(blocking = true))
+        return last
+      }
+      val out = last.persist()
+      out.count()
+      stale.foreach(_.unpersist(blocking = true))
+      out
   }
 
   /** B31 `ann_graph_topk`: per-query top-k of the walk — the batch form
@@ -250,10 +265,7 @@ object GraphSearch {
       val batch = broadcast(Tables.embeddings(spark, dir)
         .filter(col("vec_id") >= cutoff)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
-      val v = buildVisited(spark, dir, batch, ef, rounds, gk, cells, baseMax = cutoff)
-        .persist()
-      v.count()
-      v
+      buildVisited(spark, dir, batch, ef, rounds, gk, cells, baseMax = cutoff)
     }
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
     vis.withColumn("rn", row_number().over(w))
@@ -280,7 +292,8 @@ object GraphSearch {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("cand_id").as("block_id"), col("rn").as("rank"))
       .persist()
-    out.count() // after this the walk's checkpoint blocks are unreferenced
+    out.count()
+    vis.unpersist(blocking = true) // one-shot walk: release before returning
     out
   }
 }

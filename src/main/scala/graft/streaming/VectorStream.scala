@@ -102,7 +102,7 @@ object VectorStream {
         if (!batch.isEmpty) {
           val out = graft.ann.GraphSearch.graphTopKFor(spark, dir, batch, k)
           out.write.mode("append").parquet(outDir)
-          out.unpersist()
+          out.unpersist(blocking = true)
         }
         () // foreachBatch wants Unit
       }

@@ -168,10 +168,10 @@ class GraphSearchSpec extends AnyFunSuite {
     GraphSearch.rbacGraphTopK(sp, sf).count()
     GraphSearch.graphDeleteTopK(sp, sf).count()
     GraphSearch.insertNeighbors(sp, sf).count()
-    // no growth: every call reuses the session-cached walk state (the
-    // count may SHRINK if the ContextCleaner releases superseded round
-    // checkpoints in the window — that is the desired direction)
-    assert(sp.sparkContext.getPersistentRDDs.size <= n0,
+    // exact stability: every call reuses the session-cached walk state,
+    // and round scratch is released with blocking unpersists (no async
+    // cleaner involvement to make the count drift)
+    assert(sp.sparkContext.getPersistentRDDs.size == n0,
       "every serving call must reuse the session-cached walk state")
   }
 
@@ -193,7 +193,7 @@ class GraphSearchSpec extends AnyFunSuite {
     // from the standing cache adds no persisted entries
     val leaked = sp.sparkContext.getPersistentRDDs
     GraphSearch.graphTopK(sp, sf).count() // cached state may legitimately persist
-    assert(sp.sparkContext.getPersistentRDDs.size <= leaked.size)
+    assert(sp.sparkContext.getPersistentRDDs.size == leaked.size)
   }
 
   test("with auto-broadcast off, broadcast subtrees are point-selections only") {
@@ -210,7 +210,8 @@ class GraphSearchSpec extends AnyFunSuite {
         .filter(col("vec_id") < GraphSearch.Nq)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
       val vis = GraphSearch.buildVisited(sp, sf, queries, GraphSearch.Ef,
-        GraphSearch.Rounds, GraphSearch.GraphK, GraphSearch.Cells, -1L)
+        GraphSearch.Rounds, GraphSearch.GraphK, GraphSearch.Cells, -1L,
+        inspectPlan = true)
       var broadcasts = 0
       vis.queryExecution.executedPlan.foreach {
         case b: BroadcastExchangeExec =>
