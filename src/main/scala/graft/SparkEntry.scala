@@ -409,7 +409,16 @@ object SparkEntry {
          |  QUALIFY row_number() OVER (
          |    PARTITION BY a.vec_id
          |    ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) <= ${graft.ann.GraphSearch.GraphK}),
-         |gund AS MATERIALIZED (SELECT src, nbr FROM gknn UNION SELECT nbr AS src, src AS nbr FROM gknn),
+         |gund0 AS (SELECT src, nbr FROM gknn UNION SELECT nbr AS src, src AS nbr FROM gknn),
+         |gund AS MATERIALIZED (
+         |  SELECT src, nbr FROM (
+         |    SELECT u.src, u.nbr,
+         |           row_number() OVER (PARTITION BY u.src
+         |             ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), u.nbr) AS rn
+         |    FROM gund0 u
+         |    JOIN embeddings a ON a.vec_id = u.src
+         |    JOIN embeddings b ON b.vec_id = u.nbr)
+         |  WHERE rn <= ${2 * graft.ann.GraphSearch.GraphK}),
          |gq AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
          |       WHERE $queriesWhere),
          |v0 AS MATERIALIZED (

@@ -123,11 +123,12 @@ object Ann {
     knnEdges(spark, dir, k, cells, Some(maxId)).orderBy("src", "nbr")
 
   /** B11's edge set WITHOUT the query-surface total-order sort —
-    * consumers that repartition anyway (GraphX centrality) skip one
-    * full range-exchange over the k·N edges.
+    * consumers that repartition anyway (GraphX centrality, the
+    * serving-graph symmetrize+cap build) skip one full range-exchange
+    * over the k·N edges.
     */
-  private def knnEdges(spark: SparkSession, dir: String, k: Int, cells: Int,
-                       maxId: Option[Long] = None): DataFrame = {
+  private[ann] def knnEdges(spark: SparkSession, dir: String, k: Int, cells: Int,
+                            maxId: Option[Long] = None): DataFrame = {
     val idx = IvfIndex.getOrBuild(spark, dir, cells)
     val radiiDf = broadcast(spark.createDataFrame(
       IvfIndex.cellRadii(spark, dir, cells).toSeq).toDF("cell", "radius"))

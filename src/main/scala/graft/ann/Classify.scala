@@ -1,12 +1,10 @@
 package graft.ann
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 import graft.functions.vector._
-import graft.operators.TopKAgg.topk_ids
 
 /** B35-B37: the supervised evaluation surface of a vector index — the
   * `label` column that ships with the embeddings table put to its
@@ -28,16 +26,14 @@ object Classify {
     */
   def knnClassify(spark: SparkSession, dir: String, nq: Int = 8,
                   k: Int = 10): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val queries = broadcast(e.filter(col("vec_id") < nq)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
-    val topk = e.select(col("vec_id"), col("embedding"))
-      .crossJoin(queries)
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id")
-      .agg(topk_ids(l2_dist(col("embedding"), col("qvec")), col("vec_id"), k).as("ids"))
-      .select(col("query_id"), explode(col("ids")).as("vec_id"))
-    votes(topk.join(e.select("vec_id", "label"), "vec_id"))
+    // the exact top-k IS ann_batch_topk's — one shared definition of
+    // the batch ground-truth pipeline (broadcast queries, self
+    // exclusion, bounded heap), so the tie/exclusion conventions
+    // cannot drift between the oracle-checked keys
+    val topk = Ann.batchTopK(spark, dir, nq, k)
+      .withColumnRenamed("block_id", "vec_id")
+    val labels = Tables.embeddings(spark, dir).select("vec_id", "label")
+    votes(topk.join(labels, "vec_id"))
   }
 
   /** B37 `ann_graph_classify`: the SAME vote over the graph walk's
@@ -48,10 +44,7 @@ object Classify {
   def graphClassify(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"))
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
-    val topk = GraphSearch.visited(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    val topk = GraphSearch.topOf(GraphSearch.visited(spark, dir), k)
       .select(col("query_id"), col("cand_id").as("vec_id"))
     votes(topk.join(labels, "vec_id"))
   }

@@ -19,9 +19,13 @@ import graft.functions.vector._
   * beam search where every query advances one expansion per round.
   *
   *   - Serving graph: B11's exact kNN edges symmetrized (HNSW keeps
-  *     bidirectional links). Built once per session and persisted — at
-  *     scale this is the graph index written as parquet bucketed by
-  *     `src`, so each round's frontier join is a co-located equi-join.
+  *     bidirectional links) and degree-capped at 2·gk per node by
+  *     distance (hnswlib's M_max pruning — the cap is what makes every
+  *     per-round bound below CONSTRUCTIVE, not just expected; a hub's
+  *     raw in-degree is unbounded on clustered data). Built once per
+  *     session and persisted — at scale this is the graph index
+  *     written as parquet bucketed by `src`, so each round's frontier
+  *     join is a co-located equi-join.
   *   - Entry points: per-IVF-cell medoids (the member nearest its cell
   *     centroid) — deterministic, geometry-covering seeds, the batch
   *     analogue of HNSW's upper-layer descent to a good entry point.
@@ -61,17 +65,34 @@ object GraphSearch {
   private val visitedCache = new graft.SessionFrameCache[(String, String, Int, Int, Int, Int)]
 
   /** Undirected serving graph: B11's exact kNN edges plus their
-    * reverses, deduplicated — (src, nbr) slim longs, persisted once per
+    * reverses, deduplicated, then DEGREE-CAPPED at 2·gk per node by
+    * (distance, nbr) — hnswlib's M_max reverse-link pruning
+    * (hnswalg.h mutuallyConnectNewElement shrinks a node's list to
+    * M_max by distance). The cap is what makes the walk's visited
+    * bound constructive: without it a hub vector's in-degree (how many
+    * nodes list IT among their top-gk) is unbounded on clustered data.
+    * Built from the un-sorted edge set (the union+distinct and cap
+    * repartition anyway — B11's query-surface sort would be a wasted
+    * k·N range-exchange). (src, nbr) slim longs, persisted once per
     * session (the graph-index build step). `baseMax` restricts the
     * graph to the base prefix an insert batch walks (B33); -1 = full.
     */
   def servingGraph(spark: SparkSession, dir: String, gk: Int = GraphK,
                    cells: Int = Cells, baseMax: Long = -1L): DataFrame =
     graphCache.getOrElseUpdate(spark, (dir, gk, cells, baseMax)) {
-      val g = (if (baseMax < 0) Ann.knnGraph(spark, dir, gk, cells)
-               else Ann.knnGraphOn(spark, dir, gk, cells, baseMax)).select("src", "nbr")
+      val g = Ann.knnEdges(spark, dir, gk, cells,
+        if (baseMax < 0) None else Some(baseMax)).select("src", "nbr")
+      val e = Tables.embeddings(spark, dir)
+      val w = Window.partitionBy("src").orderBy(col("dist"), col("nbr"))
       val und = g.union(g.select(col("nbr").as("src"), col("src").as("nbr")))
-        .distinct().persist()
+        .distinct()
+        .join(e.select(col("vec_id").as("src"), col("embedding").as("es")), "src")
+        .join(e.select(col("vec_id").as("nbr"), col("embedding").as("en")), "nbr")
+        .withColumn("dist", l2_dist(col("es"), col("en")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2 * gk)
+        .select("src", "nbr")
+        .persist()
       und.count()
       und
     }
@@ -126,19 +147,26 @@ object GraphSearch {
     */
   private[graft] def buildVisited(spark: SparkSession, dir: String, queries: DataFrame,
                                   ef: Int, rounds: Int, gk: Int, cells: Int,
-                                  baseMax: Long, inspectPlan: Boolean = false): DataFrame = {
+                                  baseMax: Long, inspectPlan: Boolean = false,
+                                  excludeSelf: Boolean = true): DataFrame = {
       val e = Tables.embeddings(spark, dir)
       val corpus = e.select(col("vec_id").as("cand_id"), col("embedding"))
       val edges = servingGraph(spark, dir, gk, cells, baseMax)
 
-      // attach exact L2 distances to (query_id, cand_id) pairs,
-      // excluding the query's own corpus row (the ann-family convention)
-      def withDist(cand: DataFrame): DataFrame = cand
-        .filter(col("cand_id") =!= col("query_id"))
-        .join(corpus, "cand_id")
-        .join(queries, "query_id")
-        .select(col("query_id"), col("cand_id"),
-          l2_dist(col("embedding"), col("qvec")).as("dist"))
+      // attach exact L2 distances to (query_id, cand_id) pairs.
+      // excludeSelf drops the candidate whose id EQUALS the query id —
+      // correct only for the benchmark walks, whose queries ARE corpus
+      // rows (the ann-family self-exclusion convention). Arbitrary
+      // arriving queries (graphTopKFor / G17) carry ids from their own
+      // space, where id-equality is a spurious collision — they serve
+      // hnswlib-style (an indexed twin of the query ranks first).
+      def withDist(cand: DataFrame): DataFrame = {
+        val c = if (excludeSelf) cand.filter(col("cand_id") =!= col("query_id")) else cand
+        c.join(corpus, "cand_id")
+          .join(queries, "query_id")
+          .select(col("query_id"), col("cand_id"),
+            l2_dist(col("embedding"), col("qvec")).as("dist"))
+      }
 
       val seeds = queries.select("query_id")
         .crossJoin(cellMedoids(spark, dir, cells, baseMax))
@@ -186,16 +214,21 @@ object GraphSearch {
       out
   }
 
+  /** The walk's result-ranking convention — ONE definition of the
+    * (dist, cand_id) tie rule every serving key, oracle replay, and
+    * driver reference shares: per-query top-n of a visited frame.
+    */
+  private[graft] def topOf(vis: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
+    vis.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
   /** B31 `ann_graph_topk`: per-query top-k of the walk — the batch form
     * of hnswlib knn_query over the whole corpus. */
-  def graphTopK(spark: SparkSession, dir: String, nq: Int = Nq, k: Int = 10): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
-    visited(spark, dir, nq)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+  def graphTopK(spark: SparkSession, dir: String, nq: Int = Nq, k: Int = 10): DataFrame =
+    topOf(visited(spark, dir, nq), k)
       .select(col("query_id"), col("cand_id").as("block_id"))
       .orderBy("query_id", "block_id")
-  }
 
   /** B32 `rbac_graph_topk`: ACORN's filtered search — the SAME
     * predicate-blind walk (query 0's slice of the shared visited set),
@@ -224,15 +257,10 @@ object GraphSearch {
     * as B31: the delete costs one ranking filter, zero index surgery.
     */
   def graphDeleteTopK(spark: SparkSession, dir: String, nq: Int = Nq,
-                      k: Int = 10): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
-    visited(spark, dir, nq)
-      .filter(pmod(col("cand_id"), lit(17)) =!= 0)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+                      k: Int = 10): DataFrame =
+    topOf(visited(spark, dir, nq).filter(pmod(col("cand_id"), lit(17)) =!= 0), k)
       .select(col("query_id"), col("cand_id").as("block_id"))
       .orderBy("query_id", "block_id")
-  }
 
   /** Insert-batch size for B33 (the trailing vec_ids play the role of
     * newly arriving vectors; the rest are the already-indexed base). */
@@ -267,9 +295,7 @@ object GraphSearch {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
       buildVisited(spark, dir, batch, ef, rounds, gk, cells, baseMax = cutoff)
     }
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
-    vis.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= gk)
+    topOf(vis, gk)
       .select(col("query_id").as("src"), col("cand_id").as("nbr"))
       .orderBy("src", "nbr")
   }
@@ -277,6 +303,11 @@ object GraphSearch {
   /** One-shot serving for an arbitrary bounded query frame (query_id,
     * qvec) — the unit G17's micro-batch serving runs: one walk over the
     * session-cached graph index, ranked to (query_id, block_id, rank).
+    * Arriving queries carry ids from their OWN space, so NO
+    * id-equality self-exclusion applies (hnswlib semantics: a query
+    * identical to an indexed vector ranks that vector first) — the
+    * corpus-drawn benchmark convention would silently drop the corpus
+    * row whose vec_id collides with an external query id.
     * The walk state is TRANSIENT (this is a passing batch, not the
     * standing benchmark query set): the result is persisted +
     * materialized, every intermediate released before returning — the
@@ -286,10 +317,9 @@ object GraphSearch {
   def graphTopKFor(spark: SparkSession, dir: String, queries: DataFrame,
                    k: Int = 10, ef: Int = Ef, rounds: Int = Rounds,
                    gk: Int = GraphK, cells: Int = Cells): DataFrame = {
-    val vis = buildVisited(spark, dir, broadcast(queries), ef, rounds, gk, cells, -1L)
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
-    val out = vis.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    val vis = buildVisited(spark, dir, broadcast(queries), ef, rounds, gk, cells,
+      -1L, excludeSelf = false)
+    val out = topOf(vis, k)
       .select(col("query_id"), col("cand_id").as("block_id"), col("rn").as("rank"))
       .persist()
     out.count()

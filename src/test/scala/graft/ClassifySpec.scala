@@ -11,11 +11,7 @@ import graft.ann.{Classify, GraphSearch, IvfIndex}
 class ClassifySpec extends AnyFunSuite {
   import SparkTest._
 
-  private def l2(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-    math.sqrt(s)
-  }
+  private def l2(a: Array[Float], b: Array[Float]): Double = refL2(a, b)
 
   private def majority(labels: Seq[Int]): (Int, Long) =
     labels.groupBy(identity).map { case (l, v) => (l, v.size.toLong) }

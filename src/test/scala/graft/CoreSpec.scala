@@ -30,6 +30,16 @@ object SparkTest {
     current
   }
   val sf = "/root/testdata/sf0.001"
+
+  /** The engine's L2 arithmetic (double subtract, index-order double
+    * accumulate, sqrt) — the ONE driver-reference kernel every
+    * "driver-exact" spec assertion shares.
+    */
+  def refL2(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    math.sqrt(s)
+  }
 }
 
 class CoreSpec extends AnyFunSuite {
@@ -730,11 +740,7 @@ class BlockedSimilaritySpec extends AnyFunSuite {
   import graft.ann.Ann
   import graft.dedup.Dedup
 
-  private def l2(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
-    math.sqrt(s)
-  }
+  private def l2(a: Array[Float], b: Array[Float]): Double = refL2(a, b)
 
   private lazy val vecs: Array[(Long, Array[Float])] =
     graft.Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()

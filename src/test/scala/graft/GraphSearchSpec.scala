@@ -13,11 +13,7 @@ import graft.ann.{Ann, GraphSearch, IvfIndex}
 class GraphSearchSpec extends AnyFunSuite {
   import SparkTest._
 
-  private def l2(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-    math.sqrt(s)
-  }
+  private def l2(a: Array[Float], b: Array[Float]): Double = refL2(a, b)
 
   /** The walk replicated on the driver with the engine's arithmetic:
     * medoid seeds from the SAME fitted centroids, exact gk-NN graph
@@ -45,7 +41,10 @@ class GraphSearchSpec extends AnyFunSuite {
     val knn = ids.map(s =>
       s -> ids.filter(_ != s).sortBy(o => (l2(emb(s), emb(o)), o)).take(GraphSearch.GraphK)).toMap
     val und = ids.map { s =>
-      s -> (knn(s).toSet ++ ids.filter(o => knn(o).contains(s)))
+      // symmetrize, then the M_max-style degree cap by (distance, nbr)
+      val raw = knn(s).toSet ++ ids.filter(o => knn(o).contains(s))
+      s -> raw.toSeq.sortBy(o => (l2(emb(s), emb(o)), o))
+        .take(2 * GraphSearch.GraphK).toSet
     }.toMap
     val walks = queryIds.map { q =>
       val qv = emb(q)
@@ -161,7 +160,11 @@ class GraphSearchSpec extends AnyFunSuite {
 
   test("repeated serving calls leak no persisted blocks (walk cached per session)") {
     val sp = spark
+    // warm EVERY serving path first (incl. the RBAC dimension caches a
+    // first rbacGraphTopK would populate) so the snapshot is
+    // self-contained regardless of suite/test ordering
     GraphSearch.graphTopK(sp, sf).count()
+    GraphSearch.rbacGraphTopK(sp, sf).count()
     GraphSearch.insertNeighbors(sp, sf).count()
     val n0 = sp.sparkContext.getPersistentRDDs.size
     GraphSearch.graphTopK(sp, sf).count()
@@ -175,20 +178,34 @@ class GraphSearchSpec extends AnyFunSuite {
       "every serving call must reuse the session-cached walk state")
   }
 
-  test("G17 streaming graph serving equals the batch walk exactly") {
+  test("G17 streaming graph serving equals the one-shot batch walk exactly") {
     val sp = spark
     val tmp = java.nio.file.Files.createTempDirectory("g17_").toString
-    // stage the benchmark queries as an "arriving" query stream
-    Tables.embeddings(sp, sf).filter(col("vec_id") < GraphSearch.Nq)
-      .write.mode("overwrite").parquet(s"$tmp/queries")
+    // arriving queries live in their OWN id space (offset: ids that do
+    // NOT exist in the corpus) — G17's contract is hnswlib's, with no
+    // corpus-id self-exclusion
+    val qbatch = Tables.embeddings(sp, sf).filter(col("vec_id") < GraphSearch.Nq)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    qbatch.write.mode("overwrite").parquet(s"$tmp/queries")
     val q = graft.streaming.VectorStream.graphServeStream(
       sp, sf, s"$tmp/queries", s"$tmp/out", s"$tmp/ckpt")
     q.awaitTermination()
     val got = sp.read.parquet(s"$tmp/out")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val batch = GraphSearch.graphTopK(sp, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the stream must equal its batch operator on the same query frame
+    val bf = GraphSearch.graphTopKFor(sp, sf,
+      qbatch.select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+    val batch = bf.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    bf.unpersist(blocking = true)
     assert(got == batch, "stream-served answers must equal the batch walk")
+    // hnswlib self-inclusion semantics: each external query is an exact
+    // twin of corpus row (id - 100000), which must rank FIRST (dist 0)
+    // — the corpus-drawn convention would have silently dropped it had
+    // the ids collided
+    val rank1 = got.filter(_._3 == 1)
+    assert(rank1.size == GraphSearch.Nq &&
+      rank1.forall { case (qid, block, _) => block == qid - 100000L },
+      s"indexed twin must rank first: $rank1")
     // per-batch walk state released after the sink write: re-serving
     // from the standing cache adds no persisted entries
     val leaked = sp.sparkContext.getPersistentRDDs
