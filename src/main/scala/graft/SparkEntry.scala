@@ -97,6 +97,10 @@ object SparkEntry {
       IvfIndex.writeCentroidSidecar(s, d, 16)
       graft.ann.Classify.cellLabelStats(s, d)
     }),
+    "rbac_partition_graph_topk" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16)
+      graft.ann.GraphSearch.partitionGraphTopK(s, d)
+    }),
     "hybrid_rrf_topk" -> ((s, d) => graft.ann.Hybrid.hybridRrfTopK(s, d)),
     "ann_half_topk" -> ((s, d) => graft.ann.Half.halfTopK(s, d)),
     "events_props_stats" -> ((s, d) => Analytics.eventsPropsStats(s, d)),
@@ -1059,6 +1063,32 @@ object SparkEntry {
          |QUALIFY row_number() OVER (
          |  PARTITION BY query_id ORDER BY n DESC, label) = 1
          |ORDER BY query_id""".stripMargin,
+    // A21: the reference's serving architecture in graph form — A7's
+    // routing CTEs (user comb → partition ids → member docs) feed the
+    // walk generator as the BASE predicate; query 0 walks the routed
+    // partition's graph; permissions apply at merge (search.py:31).
+    "rbac_partition_graph_topk" ->
+      s"""WITH $urAll, $ur1, $perm, $acc, $costLayout,
+         |user_pid AS (
+         |  SELECT l.partition_id FROM layout l
+         |  JOIN ucomb u ON u.comb_key = l.comb_key
+         |  WHERE u.user_id = 1
+         |),
+         |partdocs AS (
+         |  SELECT DISTINCT l.partition_id, p.document_id
+         |  FROM combroles cr JOIN perm p USING (role_id)
+         |  JOIN layout l ON l.comb_key = cr.comb_key
+         |),
+         |scandocs AS MATERIALIZED (
+         |  SELECT DISTINCT pd.document_id
+         |  FROM partdocs pd JOIN user_pid up ON pd.partition_id = up.partition_id
+         |),
+         |${graphWalkCtes("vec_id IN (SELECT document_id FROM scandocs)", "vec_id = 0")}
+         |SELECT v.cand_id AS block_id, v.cand_id AS document_id
+         |FROM $graphVFinal v JOIN acc ON v.cand_id = acc.document_id
+         |WHERE v.query_id = 0
+         |ORDER BY v.dist, v.cand_id
+         |LIMIT 10""".stripMargin,
     // B36: per-cell label purity from the replayed assignment — purity
     // in exact integer ten-thousandths (BIGINT // division).
     "ann_cell_label_stats" ->

@@ -129,11 +129,21 @@ object Ann {
     */
   private[ann] def knnEdges(spark: SparkSession, dir: String, k: Int, cells: Int,
                             maxId: Option[Long] = None): DataFrame = {
+    val all = IvfIndex.withCells(spark, dir, cells)
+    knnEdgesFrom(spark, dir, k, cells, maxId.fold(all)(m => all.filter(col("vec_id") < m)))
+  }
+
+  /** B11's exact build over an ARBITRARY member subset `e` of the
+    * cell-attached corpus (any restriction of `IvfIndex.withCells`) —
+    * the per-dynamic-partition graph build (A21) routes through this.
+    * The IVF scaffolding (fit + radii) stays full-corpus: a full-cell
+    * radius upper-bounds any subset's, so pruning stays lossless.
+    */
+  private[ann] def knnEdgesFrom(spark: SparkSession, dir: String, k: Int, cells: Int,
+                                e: DataFrame): DataFrame = {
     val idx = IvfIndex.getOrBuild(spark, dir, cells)
     val radiiDf = broadcast(spark.createDataFrame(
       IvfIndex.cellRadii(spark, dir, cells).toSeq).toDF("cell", "radius"))
-    val all = IvfIndex.withCells(spark, dir, cells)
-    val e = maxId.fold(all)(m => all.filter(col("vec_id") < m))
     val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("cell"))
     val b = e.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("cell"))
     val bound = a.join(b, "cell")

@@ -60,9 +60,12 @@ object GraphSearch {
   /** Batch width of the serving walk (matches ann_batch_topk's nq). */
   val Nq = 8
 
-  private val graphCache = new graft.SessionFrameCache[(String, Int, Int, Long)]
-  private val medoidCache = new graft.SessionFrameCache[(String, Int, Long)]
+  private val graphCache = new graft.SessionFrameCache[(String, Int, Int, String)]
+  private val medoidCache = new graft.SessionFrameCache[(String, Int, String)]
   private val visitedCache = new graft.SessionFrameCache[(String, String, Int, Int, Int, Int)]
+
+  private def baseTag(baseMax: Long): String =
+    if (baseMax < 0) "full" else s"prefix$baseMax"
 
   /** Undirected serving graph: B11's exact kNN edges plus their
     * reverses, deduplicated, then DEGREE-CAPPED at 2·gk per node by
@@ -79,9 +82,29 @@ object GraphSearch {
     */
   def servingGraph(spark: SparkSession, dir: String, gk: Int = GraphK,
                    cells: Int = Cells, baseMax: Long = -1L): DataFrame =
-    graphCache.getOrElseUpdate(spark, (dir, gk, cells, baseMax)) {
-      val g = Ann.knnEdges(spark, dir, gk, cells,
-        if (baseMax < 0) None else Some(baseMax)).select("src", "nbr")
+    graphCache.getOrElseUpdate(spark, (dir, gk, cells, baseTag(baseMax))) {
+      buildGraph(spark, dir, gk,
+        Ann.knnEdges(spark, dir, gk, cells,
+          if (baseMax < 0) None else Some(baseMax)))
+    }
+
+  /** The serving graph over an ARBITRARY member subset (A21's routed
+    * dynamic partition): exact kNN edges among `members` (ids), then
+    * the same symmetrize + M_max cap. `tag` names the subset for the
+    * session cache — it must determine `members` (e.g. "dynpart<user>").
+    */
+  def servingGraphOn(spark: SparkSession, dir: String, tag: String,
+                     members: DataFrame, gk: Int = GraphK,
+                     cells: Int = Cells): DataFrame =
+    graphCache.getOrElseUpdate(spark, (dir, gk, cells, tag)) {
+      val e = IvfIndex.withCells(spark, dir, cells)
+        .join(members.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      buildGraph(spark, dir, gk, Ann.knnEdgesFrom(spark, dir, gk, cells, e))
+    }
+
+  private def buildGraph(spark: SparkSession, dir: String, gk: Int,
+                         edges: DataFrame): DataFrame = {
+      val g = edges.select("src", "nbr")
       val e = Tables.embeddings(spark, dir)
       val w = Window.partitionBy("src").orderBy(col("dist"), col("nbr"))
       val und = g.union(g.select(col("nbr").as("src"), col("src").as("nbr")))
@@ -95,7 +118,7 @@ object GraphSearch {
         .persist()
       und.count()
       und
-    }
+  }
 
   /** Entry points: for every non-empty IVF cell, the member closest to
     * its centroid (ties to the smaller vec_id). min_by partial-aggregates
@@ -103,11 +126,23 @@ object GraphSearch {
     * restricts candidates to the base prefix (-1 = full corpus).
     */
   def cellMedoids(spark: SparkSession, dir: String, cells: Int = Cells,
-                  baseMax: Long = -1L): DataFrame =
-    medoidCache.getOrElseUpdate(spark, (dir, cells, baseMax)) {
+                  baseMax: Long = -1L): DataFrame = {
+    val all = IvfIndex.withCells(spark, dir, cells)
+    cellMedoidsFrom(spark, dir, cells, baseTag(baseMax),
+      if (baseMax < 0) all else all.filter(col("vec_id") < baseMax))
+  }
+
+  /** Medoid entry points of an arbitrary member subset (keyed by tag). */
+  def cellMedoidsOn(spark: SparkSession, dir: String, tag: String,
+                    members: DataFrame, cells: Int = Cells): DataFrame =
+    cellMedoidsFrom(spark, dir, cells, tag,
+      IvfIndex.withCells(spark, dir, cells)
+        .join(members.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+
+  private def cellMedoidsFrom(spark: SparkSession, dir: String, cells: Int,
+                              tag: String, base: DataFrame): DataFrame =
+    medoidCache.getOrElseUpdate(spark, (dir, cells, tag)) {
       val idx = IvfIndex.getOrBuild(spark, dir, cells)
-      val all = IvfIndex.withCells(spark, dir, cells)
-      val base = if (baseMax < 0) all else all.filter(col("vec_id") < baseMax)
       val m = base
         // the own-cell distance IS the min over centroids (that is what
         // assigned the cell), so no element_at indexing is needed
@@ -133,7 +168,8 @@ object GraphSearch {
       // drop the hint and it becomes a query_id equi-join
       val queries = broadcast(e.filter(col("vec_id") < nq)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
-      buildVisited(spark, dir, queries, ef, rounds, gk, cells, baseMax = -1L)
+      buildVisited(spark, dir, queries, ef, rounds,
+        servingGraph(spark, dir, gk, cells), cellMedoids(spark, dir, cells))
     }
 
   /** One fixed-round beam walk for an arbitrary bounded query frame
@@ -146,12 +182,12 @@ object GraphSearch {
     * per-round join shape.
     */
   private[graft] def buildVisited(spark: SparkSession, dir: String, queries: DataFrame,
-                                  ef: Int, rounds: Int, gk: Int, cells: Int,
-                                  baseMax: Long, inspectPlan: Boolean = false,
+                                  ef: Int, rounds: Int,
+                                  edges: DataFrame, medoids: DataFrame,
+                                  inspectPlan: Boolean = false,
                                   excludeSelf: Boolean = true): DataFrame = {
       val e = Tables.embeddings(spark, dir)
       val corpus = e.select(col("vec_id").as("cand_id"), col("embedding"))
-      val edges = servingGraph(spark, dir, gk, cells, baseMax)
 
       // attach exact L2 distances to (query_id, cand_id) pairs.
       // excludeSelf drops the candidate whose id EQUALS the query id —
@@ -168,8 +204,7 @@ object GraphSearch {
             l2_dist(col("embedding"), col("qvec")).as("dist"))
       }
 
-      val seeds = queries.select("query_id")
-        .crossJoin(cellMedoids(spark, dir, cells, baseMax))
+      val seeds = queries.select("query_id").crossJoin(medoids)
       // each round references the previous one THREE times (beam rank,
       // anti-join, union) and the union carries it twice — without
       // truncation the logical tree doubles per round (2^rounds copies
@@ -293,11 +328,56 @@ object GraphSearch {
       val batch = broadcast(Tables.embeddings(spark, dir)
         .filter(col("vec_id") >= cutoff)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
-      buildVisited(spark, dir, batch, ef, rounds, gk, cells, baseMax = cutoff)
+      buildVisited(spark, dir, batch, ef, rounds,
+        servingGraph(spark, dir, gk, cells, baseMax = cutoff),
+        cellMedoids(spark, dir, cells, baseMax = cutoff))
     }
     topOf(vis, gk)
       .select(col("query_id").as("src"), col("cand_id").as("nbr"))
       .orderBy("src", "nbr")
+  }
+
+  /** A21 `rbac_partition_graph_topk`: the reference's LITERAL serving
+    * architecture in graph form — cost-model dynamic partitions with a
+    * graph index PER PARTITION, searched via the routed partition only,
+    * permissions applied at merge (controller/dynamic_partition/
+    * search.py:31: user roles → RolePartitions → per-partition HNSW
+    * top-k → merge_results_with_filter; the per-partition index build
+    * is initialize/partition index creation). The user's comb routes to
+    * its partition ids (bounded driver metadata, as A7); the routed
+    * partitions' member docs get their OWN exact-kNN serving graph +
+    * medoid seeds (session-cached per user tag — at scale these are the
+    * per-partition graph indexes built by the layout job); query 0
+    * walks that graph; the permission semi-join runs at merge time
+    * (the shared partition holds other combs' blocks).
+    */
+  def partitionGraphTopK(spark: SparkSession, dir: String, userId: Long = 1,
+                         k: Int = 10, ef: Int = Ef, rounds: Int = Rounds,
+                         gk: Int = GraphK, cells: Int = Cells,
+                         alpha: Double = 2.0): DataFrame = {
+    import graft.rbac.{Partitioned, Rbac}
+    val tag = s"dynpart$userId"
+    val vis = visitedCache.getOrElseUpdate(spark, (dir, tag, ef, rounds, gk, cells)) {
+      val pids = Partitioned.costModelLayout(spark, dir, alpha)
+        .join(Partitioned.userCombs(spark, dir).filter(col("user_id") === userId), "comb_key")
+        .select("partition_id").distinct()
+        .collect().map(r => Int.box(r.getInt(0))).toSeq
+      val members = Partitioned.costModelPartitionDocs(spark, dir, alpha)
+        .filter(col("partition_id").isin(pids: _*))
+        .select(col("document_id").as("vec_id")).distinct()
+      val queries = broadcast(Tables.embeddings(spark, dir)
+        .filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+      buildVisited(spark, dir, queries, ef, rounds,
+        servingGraphOn(spark, dir, tag, members, gk, cells),
+        cellMedoidsOn(spark, dir, tag, members, cells))
+    }
+    val acc = Rbac.accessibleDocs(spark, dir, userId)
+      .select(col("document_id").as("cand_id"))
+    vis.join(broadcast(acc), Seq("cand_id"), "left_semi")
+      .orderBy(col("dist"), col("cand_id"))
+      .limit(k)
+      .select(col("cand_id").as("block_id"), col("cand_id").as("document_id"))
   }
 
   /** One-shot serving for an arbitrary bounded query frame (query_id,
@@ -317,8 +397,9 @@ object GraphSearch {
   def graphTopKFor(spark: SparkSession, dir: String, queries: DataFrame,
                    k: Int = 10, ef: Int = Ef, rounds: Int = Rounds,
                    gk: Int = GraphK, cells: Int = Cells): DataFrame = {
-    val vis = buildVisited(spark, dir, broadcast(queries), ef, rounds, gk, cells,
-      -1L, excludeSelf = false)
+    val vis = buildVisited(spark, dir, broadcast(queries), ef, rounds,
+      servingGraph(spark, dir, gk, cells), cellMedoids(spark, dir, cells),
+      excludeSelf = false)
     val out = topOf(vis, k)
       .select(col("query_id"), col("cand_id").as("block_id"), col("rn").as("rank"))
       .persist()

@@ -22,12 +22,14 @@ class GraphSearchSpec extends AnyFunSuite {
     * restricts the graph + seeds to the base prefix (insert mode).
     */
   private def referenceWalk(baseMax: Option[Long] = None,
-                            queryIds: Seq[Long] = 0L until GraphSearch.Nq.toLong)
+                            queryIds: Seq[Long] = 0L until GraphSearch.Nq.toLong,
+                            memberOf: Long => Boolean = _ => true)
       : (Map[Long, Map[Long, Double]], Seq[Long]) = {
     val sp = spark
     val emb = Tables.embeddings(sp, sf).select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val ids = emb.keys.toSeq.sorted.filter(id => baseMax.forall(id < _))
+    val ids = emb.keys.toSeq.sorted
+      .filter(id => baseMax.forall(id < _) && memberOf(id))
     val cents = IvfIndex.getOrBuild(sp, sf, GraphSearch.Cells).centroids
     def centD(v: Array[Float], c: Array[Float]): Double = {
       var s = 0.0; var i = 0
@@ -158,6 +160,32 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"insert link recall too low: $recall")
   }
 
+  test("A21 routed-partition graph serving equals the driver walk over the member set") {
+    val sp = spark
+    // the member derivation is A7's (oracle-checked there): the user's
+    // comb partitions' doc sets
+    val pids = graft.rbac.Partitioned.costModelLayout(sp, sf)
+      .join(graft.rbac.Partitioned.userCombs(sp, sf).filter(col("user_id") === 1), "comb_key")
+      .select("partition_id").distinct().collect().map(_.getInt(0)).toSet
+    val members = graft.rbac.Partitioned.costModelPartitionDocs(sp, sf)
+      .filter(col("partition_id").isin(pids.toSeq.map(Int.box): _*))
+      .select("document_id").collect().map(_.getLong(0)).toSet
+    assert(members.nonEmpty)
+    val (walks, _) = referenceWalk(None, Seq(0L), memberOf = members)
+    val acc = graft.rbac.Rbac.accessibleDocs(sp, sf, 1).collect().map(_.getLong(0)).toSet
+    val expect = walks(0L).toSeq.filter(p => acc(p._1))
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+    val got = GraphSearch.partitionGraphTopK(sp, sf).collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+    // every result is routed AND accessible (merge-time permission)
+    assert(got.forall(id => members(id) && acc(id)))
+    // sanity: the routed graph walk finds most of the user's true top-k
+    val gtPre = graft.rbac.Rbac.prefilterTopK(sp, sf, 1, 10).collect()
+      .map(_.getLong(0)).filter(_ != 0L).toSet
+    val recall = got.toSet.intersect(gtPre).size.toDouble / gtPre.size
+    assert(recall >= 0.5, s"routed-partition walk recall collapsed: $recall")
+  }
+
   test("repeated serving calls leak no persisted blocks (walk cached per session)") {
     val sp = spark
     // warm EVERY serving path first (incl. the RBAC dimension caches a
@@ -227,8 +255,8 @@ class GraphSearchSpec extends AnyFunSuite {
         .filter(col("vec_id") < GraphSearch.Nq)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
       val vis = GraphSearch.buildVisited(sp, sf, queries, GraphSearch.Ef,
-        GraphSearch.Rounds, GraphSearch.GraphK, GraphSearch.Cells, -1L,
-        inspectPlan = true)
+        GraphSearch.Rounds, GraphSearch.servingGraph(sp, sf),
+        GraphSearch.cellMedoids(sp, sf), inspectPlan = true)
       var broadcasts = 0
       vis.queryExecution.executedPlan.foreach {
         case b: BroadcastExchangeExec =>
