@@ -380,6 +380,34 @@ object GraphSearch {
       .select(col("cand_id").as("block_id"), col("cand_id").as("document_id"))
   }
 
+  /** Measured ef→recall curve and target inversion — B22's
+    * measured-points-beat-the-fit convention applied to the graph
+    * index (hnswlib tunes efSearch the same way: sweep, measure
+    * recall, pick). Returns (ef, recall) per grid point; `efFor` picks
+    * the SMALLEST measured ef meeting the target (grid max if none
+    * does). Deterministic: the walk and the exact ground truth are
+    * both constants of the dataset; everything is driver arithmetic
+    * over nq·k id sets.
+    */
+  def efRecallCurve(spark: SparkSession, dir: String, nq: Int = Nq, k: Int = 10,
+                    grid: Seq[Int] = Seq(8, 16, 32, Ef)): Seq[(Int, Double)] = {
+    val gt = Ann.batchTopK(spark, dir, nq, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    grid.sorted.map { ef =>
+      val got = topOf(visited(spark, dir, nq, ef = ef), k)
+        .select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      ef -> got.intersect(gt).size.toDouble / gt.size
+    }
+  }
+
+  def efFor(spark: SparkSession, dir: String, target: Double, nq: Int = Nq,
+            k: Int = 10, grid: Seq[Int] = Seq(8, 16, 32, Ef)): Int = {
+    val curve = efRecallCurve(spark, dir, nq, k, grid)
+    curve.collectFirst { case (ef, r) if r >= target => ef }
+      .getOrElse(curve.last._1)
+  }
+
   /** One-shot serving for an arbitrary bounded query frame (query_id,
     * qvec) — the unit G17's micro-batch serving runs: one walk over the
     * session-cached graph index, ranked to (query_id, block_id, rank).

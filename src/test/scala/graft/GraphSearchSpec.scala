@@ -186,6 +186,25 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"routed-partition walk recall collapsed: $recall")
   }
 
+  test("efFor picks the smallest measured beam width meeting the recall target") {
+    val sp = spark
+    val curve = GraphSearch.efRecallCurve(sp, sf)
+    // recall is monotone non-decreasing in ef on the measured grid
+    // (visited sets grow with the beam)
+    assert(curve.map(_._2).sliding(2).forall(p => p.head <= p.last + 1e-12),
+      s"non-monotone curve: $curve")
+    // CALIBRATION.md round-8 values (deterministic constants of the
+    // testdata): 0.50 / 0.74 / 0.95 / 1.00 at ef 8/16/32/64
+    assert(curve.last._2 >= 0.9)
+    val pick = GraphSearch.efFor(sp, sf, target = 0.9)
+    val (pickEf, pickRecall) = curve.find(_._1 == pick).get
+    assert(pickRecall >= 0.9, s"pick ef=$pickEf misses target: $pickRecall")
+    // minimality: every SMALLER measured ef is below target
+    assert(curve.takeWhile(_._1 < pick).forall(_._2 < 0.9))
+    // an unreachable target degrades to the largest measured ef
+    assert(GraphSearch.efFor(sp, sf, target = 2.0) == curve.last._1)
+  }
+
   test("repeated serving calls leak no persisted blocks (walk cached per session)") {
     val sp = spark
     // warm EVERY serving path first (incl. the RBAC dimension caches a
