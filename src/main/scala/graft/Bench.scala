@@ -65,9 +65,10 @@ object Bench {
       val gcut = graft.ann.GraphSearch.insertCutoff(spark, sfDir)
       graft.ann.GraphSearch.servingGraph(spark, sfDir, baseMax = gcut)
       graft.ann.GraphSearch.cellMedoids(spark, sfDir, baseMax = gcut)
-      // A21's per-dynamic-partition graph + walk state (built by the
-      // layout job at scale; the timed run is the merge/serve only)
-      graft.ann.GraphSearch.partitionGraphTopK(spark, sfDir, 1, 1).count()
+      // A21's per-dynamic-partition graph INDEX (built by the layout
+      // job at scale); the walk stays timed like B31-B37's — it is
+      // the search
+      graft.ann.GraphSearch.partitionGraphIndex(spark, sfDir, 1)
     } catch { case _: Throwable => () }
     // Overlap queries on a small pool: a single local session leaves
     // cores idle during per-query driver phases (planning, codegen,

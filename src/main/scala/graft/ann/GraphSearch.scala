@@ -351,26 +351,37 @@ object GraphSearch {
     * walks that graph; the permission semi-join runs at merge time
     * (the shared partition holds other combs' blocks).
     */
+  /** A21's per-partition index state (graph + medoid seeds over the
+    * user's routed member docs) WITHOUT the walk — what the layout job
+    * builds at scale, and what Bench's warm-up pre-builds (the walk
+    * itself stays timed: it is the search, as for B31-B37). The cache
+    * tag carries userId AND alpha — both determine the member set.
+    */
+  def partitionGraphIndex(spark: SparkSession, dir: String, userId: Long = 1,
+                          gk: Int = GraphK, cells: Int = Cells,
+                          alpha: Double = 2.0): (DataFrame, DataFrame) = {
+    import graft.rbac.Partitioned
+    val tag = s"dynpart${userId}_a$alpha"
+    val pids = Partitioned.routedPartitionIds(spark, dir, userId, alpha)
+    val members = Partitioned.costModelPartitionDocs(spark, dir, alpha)
+      .filter(col("partition_id").isin(pids: _*))
+      .select(col("document_id").as("vec_id")).distinct()
+    (servingGraphOn(spark, dir, tag, members, gk, cells),
+      cellMedoidsOn(spark, dir, tag, members, cells))
+  }
+
   def partitionGraphTopK(spark: SparkSession, dir: String, userId: Long = 1,
                          k: Int = 10, ef: Int = Ef, rounds: Int = Rounds,
                          gk: Int = GraphK, cells: Int = Cells,
                          alpha: Double = 2.0): DataFrame = {
-    import graft.rbac.{Partitioned, Rbac}
-    val tag = s"dynpart$userId"
+    import graft.rbac.Rbac
+    val tag = s"dynpart${userId}_a$alpha"
     val vis = visitedCache.getOrElseUpdate(spark, (dir, tag, ef, rounds, gk, cells)) {
-      val pids = Partitioned.costModelLayout(spark, dir, alpha)
-        .join(Partitioned.userCombs(spark, dir).filter(col("user_id") === userId), "comb_key")
-        .select("partition_id").distinct()
-        .collect().map(r => Int.box(r.getInt(0))).toSeq
-      val members = Partitioned.costModelPartitionDocs(spark, dir, alpha)
-        .filter(col("partition_id").isin(pids: _*))
-        .select(col("document_id").as("vec_id")).distinct()
+      val (edges, medoids) = partitionGraphIndex(spark, dir, userId, gk, cells, alpha)
       val queries = broadcast(Tables.embeddings(spark, dir)
         .filter(col("vec_id") === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
-      buildVisited(spark, dir, queries, ef, rounds,
-        servingGraphOn(spark, dir, tag, members, gk, cells),
-        cellMedoidsOn(spark, dir, tag, members, cells))
+      buildVisited(spark, dir, queries, ef, rounds, edges, medoids)
     }
     val acc = Rbac.accessibleDocs(spark, dir, userId)
       .select(col("document_id").as("cand_id"))

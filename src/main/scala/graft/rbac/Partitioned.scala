@@ -236,6 +236,18 @@ object Partitioned {
         "comb_key")
       .select("partition_id", "document_id").distinct()
 
+  /** The user's routed partition ids — bounded driver metadata (the
+    * comb maps to one partition; like prunedRoleSearch's role ids).
+    * ONE definition shared by A7's routed scan, A21's per-partition
+    * graph serving, and their specs.
+    */
+  def routedPartitionIds(spark: SparkSession, dir: String, userId: Long,
+                         alpha: Double = 2.0): Seq[Integer] =
+    costModelLayout(spark, dir, alpha)
+      .join(userCombs(spark, dir).filter(col("user_id") === userId), "comb_key")
+      .select("partition_id").distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq
+
   def dynamicPartitionTopK(spark: SparkSession, dir: String, userId: Long, k: Int,
                            alpha: Double = 2.0): DataFrame = {
     // The reference materializes each dynamic partition as its own
@@ -247,10 +259,7 @@ object Partitioned {
     // The only driver-side state is the routed partition id(s): the
     // user's comb maps to one partition — tiny index metadata, like
     // prunedRoleSearch's role ids.
-    val pids = costModelLayout(spark, dir, alpha)
-      .join(userCombs(spark, dir).filter(col("user_id") === userId), "comb_key")
-      .select("partition_id").distinct()
-      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    val pids = routedPartitionIds(spark, dir, userId, alpha)
     val layoutPath = graft.sources.Layouts.costModelLayoutPath(spark, dir, alpha)
     // permission filter at merge time — the shared partition holds
     // blocks of other combs the user cannot read; the per-user doc set

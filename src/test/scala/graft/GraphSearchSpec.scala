@@ -164,11 +164,9 @@ class GraphSearchSpec extends AnyFunSuite {
     val sp = spark
     // the member derivation is A7's (oracle-checked there): the user's
     // comb partitions' doc sets
-    val pids = graft.rbac.Partitioned.costModelLayout(sp, sf)
-      .join(graft.rbac.Partitioned.userCombs(sp, sf).filter(col("user_id") === 1), "comb_key")
-      .select("partition_id").distinct().collect().map(_.getInt(0)).toSet
+    val pids = graft.rbac.Partitioned.routedPartitionIds(sp, sf, 1)
     val members = graft.rbac.Partitioned.costModelPartitionDocs(sp, sf)
-      .filter(col("partition_id").isin(pids.toSeq.map(Int.box): _*))
+      .filter(col("partition_id").isin(pids: _*))
       .select("document_id").collect().map(_.getLong(0)).toSet
     assert(members.nonEmpty)
     val (walks, _) = referenceWalk(None, Seq(0L), memberOf = members)
@@ -189,10 +187,12 @@ class GraphSearchSpec extends AnyFunSuite {
   test("efFor picks the smallest measured beam width meeting the recall target") {
     val sp = spark
     val curve = GraphSearch.efRecallCurve(sp, sf)
-    // recall is monotone non-decreasing in ef on the measured grid
-    // (visited sets grow with the beam)
-    assert(curve.map(_._2).sliding(2).forall(p => p.head <= p.last + 1e-12),
-      s"non-monotone curve: $curve")
+    // NOTE: recall is NOT provably monotone in ef (visited sets are
+    // not nested across beam widths — a small-beam hit can fall out of
+    // a larger beam's top-ef mid-walk), so no monotonicity assert; the
+    // measured endpoints just sanity-check the sweep covered the range
+    assert(curve.head._2 < curve.last._2 || curve.head._2 >= 0.9,
+      s"degenerate sweep: $curve")
     // CALIBRATION.md round-8 values (deterministic constants of the
     // testdata): 0.50 / 0.74 / 0.95 / 1.00 at ef 8/16/32/64
     assert(curve.last._2 >= 0.9)
