@@ -143,13 +143,16 @@ class SessionCycleSpec extends AnyFunSuite {
   import SparkTest._
   import graft.operators.Analytics
 
-  test("q15/q11/SQL-surface/dedup caches survive session cycling") {
+  test("q15/q11/SQL-surface/dedup/graph-walk caches survive session cycling") {
     val s1 = spark
     val app1 = s1.sparkContext.applicationId
     val q15a = Analytics.q15TopSupplier(s1, sf).collect().map(_.toString).toSeq
     val q11a = Analytics.q11ImportantStock(s1, sf).collect().map(_.toString).toSeq
     val sqlA = SqlSurface.prefilterTopKSql(s1, sf).collect().map(_.toString).toSeq
     val lshA = graft.dedup.Dedup.minhashLsh(s1, sf).collect().map(_.toString).toSeq
+    // graph-serving state: three nested SessionFrameCaches (walk →
+    // graph/medoids → IVF cell frames), all context-bound
+    val gwA = graft.ann.GraphSearch.graphTopK(s1, sf).collect().map(_.toString).toSeq
     s1.stop()
 
     val s2 = spark // SparkTest self-heals: fresh session, fresh context
@@ -158,5 +161,6 @@ class SessionCycleSpec extends AnyFunSuite {
     assert(Analytics.q11ImportantStock(s2, sf).collect().map(_.toString).toSeq == q11a)
     assert(SqlSurface.prefilterTopKSql(s2, sf).collect().map(_.toString).toSeq == sqlA)
     assert(graft.dedup.Dedup.minhashLsh(s2, sf).collect().map(_.toString).toSeq == lshA)
+    assert(graft.ann.GraphSearch.graphTopK(s2, sf).collect().map(_.toString).toSeq == gwA)
   }
 }
