@@ -276,9 +276,15 @@ object GraphSearch {
                     k: Int = 10): DataFrame = {
     val acc = graft.rbac.Rbac.accessibleDocs(spark, dir, userId)
       .select(col("document_id").as("cand_id"))
+    // NO forced broadcast on the accessible-doc set: the probe side
+    // (query 0's visited slice) is bounded at seeds + rounds·ef·2gk
+    // rows BY CONSTRUCTION, so AQE broadcasts whichever side is small
+    // — and at 100 TB a high-selectivity user's doc set would blow the
+    // 8 GB broadcast cap that a forced hint pins it to. (The prefilter
+    // family keeps its documented hint; the graph keys don't need it.)
     visited(spark, dir)
       .filter(col("query_id") === 0)
-      .join(broadcast(acc), Seq("cand_id"), "left_semi")
+      .join(acc, Seq("cand_id"), "left_semi")
       .orderBy(col("dist"), col("cand_id"))
       .limit(k)
       .select(col("cand_id").as("block_id"), col("cand_id").as("document_id"))
@@ -385,7 +391,9 @@ object GraphSearch {
     }
     val acc = Rbac.accessibleDocs(spark, dir, userId)
       .select(col("document_id").as("cand_id"))
-    vis.join(broadcast(acc), Seq("cand_id"), "left_semi")
+    // unhinted like rbacGraphTopK: the visited side is walk-bounded,
+    // the acc side is scale-variant — let AQE pick the build side
+    vis.join(acc, Seq("cand_id"), "left_semi")
       .orderBy(col("dist"), col("cand_id"))
       .limit(k)
       .select(col("cand_id").as("block_id"), col("cand_id").as("document_id"))
@@ -400,17 +408,38 @@ object GraphSearch {
     * both constants of the dataset; everything is driver arithmetic
     * over nq·k id sets.
     */
+  /** Measured curves are memoized as plain driver data (they are
+    * constants of the dataset), NOT as persisted walk frames: a sweep
+    * builds each non-default-ef walk TRANSIENTLY and releases it after
+    * measuring — only the default-ef serving walk stays session-cached
+    * (the round-8 advice: a wide sweep must not accumulate persisted
+    * walk states for the session lifetime).
+    */
+  private val curveCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, List[Int]), Seq[(Int, Double)]]
+
   def efRecallCurve(spark: SparkSession, dir: String, nq: Int = Nq, k: Int = 10,
-                    grid: Seq[Int] = Seq(8, 16, 32, Ef)): Seq[(Int, Double)] = {
-    val gt = Ann.batchTopK(spark, dir, nq, k).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    grid.sorted.map { ef =>
-      val got = topOf(visited(spark, dir, nq, ef = ef), k)
-        .select("query_id", "cand_id").collect()
+                    grid: Seq[Int] = Seq(8, 16, 32, Ef)): Seq[(Int, Double)] =
+    curveCache.getOrElseUpdate((dir, nq, k, grid.sorted.toList), {
+      val gt = Ann.batchTopK(spark, dir, nq, k).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      ef -> got.intersect(gt).size.toDouble / gt.size
-    }
-  }
+      grid.sorted.map { ef =>
+        val vis =
+          if (ef == Ef) visited(spark, dir, nq) // the standing serving walk
+          else {
+            val e = Tables.embeddings(spark, dir)
+            val queries = broadcast(e.filter(col("vec_id") < nq)
+              .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+            buildVisited(spark, dir, queries, ef, Rounds,
+              servingGraph(spark, dir), cellMedoids(spark, dir))
+          }
+        val got = topOf(vis, k)
+          .select("query_id", "cand_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        if (ef != Ef) vis.unpersist(blocking = true) // sweep walk: release
+        ef -> got.intersect(gt).size.toDouble / gt.size
+      }
+    })
 
   def efFor(spark: SparkSession, dir: String, target: Double, nq: Int = Nq,
             k: Int = 10, grid: Seq[Int] = Seq(8, 16, 32, Ef)): Int = {

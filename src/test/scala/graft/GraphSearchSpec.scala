@@ -264,6 +264,11 @@ class GraphSearchSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val sp = spark
+    // restore the values IN EFFECT before the test, not hard-coded
+    // defaults — else a harness running with non-default settings gets
+    // its shared-session config silently rewritten (round-8 advice)
+    val prevThreshold = sp.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = sp.conf.get("spark.sql.adaptive.enabled")
     sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     sp.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -290,8 +295,51 @@ class GraphSearchSpec extends AnyFunSuite {
       // bare checkpoint scan) — guards against this test going vacuous
       assert(broadcasts > 0, "expected the point-selection query broadcast in the round plan")
     } finally {
-      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
-      sp.conf.set("spark.sql.adaptive.enabled", "true")
+      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      sp.conf.set("spark.sql.adaptive.enabled", prevAdaptive)
     }
+  }
+
+  test("merge-time permission joins carry no forced broadcast (graph serving keys)") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val sp = spark
+    val prevThreshold = sp.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = sp.conf.get("spark.sql.adaptive.enabled")
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sp.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the accessible-doc set is SCALE-VARIANT (a ~19%-selectivity
+      // user's docs outgrow the 8 GB broadcast cap at 100 TB) while the
+      // visited side is walk-bounded by construction — so the merge-time
+      // semi-join must be UNHINTED: with auto-broadcast off it plans as
+      // a shuffle join, proving no hint pins acc to the build side (AQE
+      // re-picks broadcast at runtime when acc is genuinely small)
+      for (df <- Seq(GraphSearch.rbacGraphTopK(sp, sf),
+                     GraphSearch.partitionGraphTopK(sp, sf))) {
+        val forcedSemi = df.queryExecution.executedPlan.collect {
+          case b: BroadcastHashJoinExec if b.joinType == LeftSemi => b
+        }
+        assert(forcedSemi.isEmpty,
+          s"merge-time permission semi-join is force-broadcast:\n${forcedSemi.mkString}")
+      }
+    } finally {
+      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      sp.conf.set("spark.sql.adaptive.enabled", prevAdaptive)
+    }
+  }
+
+  test("ef sweep leaves no persisted walk state beyond the standing serving walk") {
+    val sp = spark
+    GraphSearch.graphTopK(sp, sf).count() // standing serving walk cached
+    val n0 = sp.sparkContext.getPersistentRDDs.size
+    // a fresh grid (not the memoized default) must build its walks
+    // transiently: measure, release, leave the block count unchanged
+    val curve = GraphSearch.efRecallCurve(sp, sf, grid = Seq(4, 12, GraphSearch.Ef))
+    assert(curve.size == 3 && curve.last._2 >= 0.9)
+    assert(sp.sparkContext.getPersistentRDDs.size == n0,
+      "recall sweep must not accumulate persisted walk states")
+    // and the memoized curve re-serves without any Spark work
+    assert(GraphSearch.efRecallCurve(sp, sf, grid = Seq(4, 12, GraphSearch.Ef)) == curve)
   }
 }
