@@ -990,6 +990,34 @@ object SparkEntry {
         |  PARTITION BY a.vec_id
         |  ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) <= 5
         |ORDER BY src, nbr""".stripMargin,
+    // B27 (promoted r9): GraphX staticPageRank's recurrence — r₀ = 1,
+    // rₜ₊₁ = 0.15 + 0.85·Σ rₜ(u)·(1/deg⁺(u)) with msg-less vertices at
+    // 0 (outerJoinVertices getOrElse 0.0) — replayed as 10 unrolled
+    // rounds over the same exact k=5 graph (every out-degree is k, so
+    // the edge weight is the constant 1/5). Ranks round DIRECTLY to
+    // 4dp on both sides: cross-engine sum-order noise is ~1e-13, far
+    // inside a digit; see Ann.knnCentrality on the double-rounding trap.
+    "ann_knn_centrality" -> {
+      val rounds = (1 to 10).map { t =>
+        s"""r$t AS MATERIALIZED (
+           |  SELECT v.vec_id, 0.15 + 0.85 * COALESCE(m.s, 0.0) AS pr
+           |  FROM r${t - 1} v LEFT JOIN (
+           |    SELECT g.nbr AS vec_id, sum(r.pr * (1.0/5)) AS s
+           |    FROM gk5 g JOIN r${t - 1} r ON r.vec_id = g.src GROUP BY 1) m
+           |  USING (vec_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH gk5 AS MATERIALIZED (
+         |  SELECT a.vec_id AS src, b.vec_id AS nbr
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id <> b.vec_id
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY a.vec_id
+         |    ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) <= 5),
+         |r0 AS (SELECT vec_id, 1.0::DOUBLE AS pr FROM embeddings),
+         |$rounds
+         |SELECT vec_id, round(pr, 4) AS pagerank FROM r10
+         |ORDER BY vec_id""".stripMargin
+    },
     // B31: the whole fixed-round beam walk is deterministic given the
     // centroid sidecar — seeds, per-round beams, expansions and the
     // final ranking all replay as unrolled CTEs (see graphWalk above).

@@ -177,9 +177,14 @@ object Ann {
     * (Pregel) over B11's edges: r₀=1, rₜ₊₁ = 0.15 + 0.85·Σ rₜ(u)/deg⁺(u),
     * fixed iteration count — at scale each round is one
     * aggregateMessages pass over |E| = k·N slim edges. Every vertex
-    * has out-degree k, so there are no dangling corrections. Rows-only
-    * (iterative float fixpoint); the spec re-runs the identical power
-    * iteration on the driver and bounds the difference.
+    * has out-degree k, so there are no dangling corrections.
+    * Oracle-checked (r9): the recurrence is deterministic double
+    * arithmetic over a deterministic edge set, so DuckDB replays all
+    * `iters` rounds as unrolled CTEs. Ranks round DIRECTLY to 4dp —
+    * coarse enough that cross-engine summation-order noise (~1e-13)
+    * cannot flip a digit; rounding to 6dp first and re-rounding would
+    * double-round values near a .00005 boundary (observed: 1.2165495 →
+    * 1.216550 → 1.2166 vs the direct 1.2165).
     */
   def knnCentrality(spark: SparkSession, dir: String, k: Int = 5,
                     iters: Int = 10, cells: Int = 16): DataFrame = {
@@ -189,7 +194,7 @@ object Ann {
     val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 0)
     graph.staticPageRank(iters, resetProb = 0.15).vertices
       .toDF("vec_id", "pr")
-      .select(col("vec_id"), round(col("pr"), 6).as("pagerank"))
+      .select(col("vec_id"), round(col("pr"), 4).as("pagerank"))
       .orderBy("vec_id")
   }
 
