@@ -101,6 +101,10 @@ object SparkEntry {
       IvfIndex.writeCentroidSidecar(s, d, 16)
       graft.ann.GraphSearch.partitionGraphTopK(s, d)
     }),
+    "rbac_partition_graph_sweep" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16)
+      graft.ann.GraphSearch.partitionGraphSweep(s, d)
+    }),
     "hybrid_rrf_topk" -> ((s, d) => graft.ann.Hybrid.hybridRrfTopK(s, d)),
     "ann_half_topk" -> ((s, d) => graft.ann.Half.halfTopK(s, d)),
     "events_props_stats" -> ((s, d) => Analytics.eventsPropsStats(s, d)),
@@ -385,27 +389,32 @@ object SparkEntry {
   // step is deterministic, so the walk unrolls into one CTE per round;
   // v{Rounds} is the full (query, visited, dist) relation both serving
   // keys rank.
-  private def graphWalkCtes(baseWhere: String, queriesWhere: String): String = {
+  // `p` prefixes every CTE name so several walks (the A21 user sweep)
+  // can coexist in ONE statement; `ef` is a SQL expression (a literal,
+  // or a scalar subquery over the model-picked-ef sidecar for B38).
+  private def graphWalkCtes(baseWhere: String, queriesWhere: String,
+                            p: String = "",
+                            ef: String = graft.ann.GraphSearch.Ef.toString): String = {
     val base =
-      s"""gcent AS (
+      s"""${p}gcent AS (
          |  SELECT list_id, centroid
          |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_centroids_k16.parquet/*.parquet')),
-         |gdists AS MATERIALIZED (
+         |${p}gdists AS MATERIALIZED (
          |  SELECT e.vec_id, c.list_id,
          |         list_sum(list_transform(range(1, len(e.embedding) + 1),
          |           i -> (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) ^ 2)) AS d
-         |  FROM embeddings e CROSS JOIN gcent c
+         |  FROM embeddings e CROSS JOIN ${p}gcent c
          |  WHERE $baseWhere),
-         |gassign AS MATERIALIZED (
+         |${p}gassign AS MATERIALIZED (
          |  SELECT vec_id, list_id, d,
          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
-         |  FROM gdists),
-         |medoid AS MATERIALIZED (
+         |  FROM ${p}gdists),
+         |${p}medoid AS MATERIALIZED (
          |  SELECT vec_id AS cand_id FROM (
          |    SELECT list_id, vec_id,
          |           row_number() OVER (PARTITION BY list_id ORDER BY d, vec_id) AS mrn
-         |    FROM gassign WHERE rn = 1) WHERE mrn = 1),
-         |gknn AS MATERIALIZED (
+         |    FROM ${p}gassign WHERE rn = 1) WHERE mrn = 1),
+         |${p}gknn AS MATERIALIZED (
          |  SELECT a.vec_id AS src, b.vec_id AS nbr
          |  FROM (SELECT * FROM embeddings WHERE $baseWhere) a,
          |       (SELECT * FROM embeddings WHERE $baseWhere) b
@@ -413,39 +422,39 @@ object SparkEntry {
          |  QUALIFY row_number() OVER (
          |    PARTITION BY a.vec_id
          |    ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) <= ${graft.ann.GraphSearch.GraphK}),
-         |gund0 AS (SELECT src, nbr FROM gknn UNION SELECT nbr AS src, src AS nbr FROM gknn),
-         |gund AS MATERIALIZED (
+         |${p}gund0 AS (SELECT src, nbr FROM ${p}gknn UNION SELECT nbr AS src, src AS nbr FROM ${p}gknn),
+         |${p}gund AS MATERIALIZED (
          |  SELECT src, nbr FROM (
          |    SELECT u.src, u.nbr,
          |           row_number() OVER (PARTITION BY u.src
          |             ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), u.nbr) AS rn
-         |    FROM gund0 u
+         |    FROM ${p}gund0 u
          |    JOIN embeddings a ON a.vec_id = u.src
          |    JOIN embeddings b ON b.vec_id = u.nbr)
          |  WHERE rn <= ${2 * graft.ann.GraphSearch.GraphK}),
-         |gq AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+         |${p}gq AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
          |       WHERE $queriesWhere),
-         |v0 AS MATERIALIZED (
+         |${p}v0 AS MATERIALIZED (
          |  SELECT q.query_id, m.cand_id,
          |         list_distance(e.embedding::DOUBLE[], q.qv) AS dist
-         |  FROM gq q CROSS JOIN medoid m JOIN embeddings e ON e.vec_id = m.cand_id
+         |  FROM ${p}gq q CROSS JOIN ${p}medoid m JOIN embeddings e ON e.vec_id = m.cand_id
          |  WHERE m.cand_id <> q.query_id)""".stripMargin
     val rounds = (1 to graft.ann.GraphSearch.Rounds).map { r =>
-      s"""b$r AS (
-         |  SELECT query_id, cand_id FROM v${r - 1}
+      s"""${p}b$r AS (
+         |  SELECT query_id, cand_id FROM ${p}v${r - 1}
          |  QUALIFY row_number() OVER (
-         |    PARTITION BY query_id ORDER BY dist, cand_id) <= ${graft.ann.GraphSearch.Ef}),
-         |nv$r AS MATERIALIZED (
+         |    PARTITION BY query_id ORDER BY dist, cand_id) <= ($ef)),
+         |${p}nv$r AS MATERIALIZED (
          |  SELECT n.query_id, n.cand_id,
          |         list_distance(e.embedding::DOUBLE[], q.qv) AS dist
          |  FROM (SELECT DISTINCT b.query_id, u.nbr AS cand_id
-         |        FROM b$r b JOIN gund u ON u.src = b.cand_id) n
+         |        FROM ${p}b$r b JOIN ${p}gund u ON u.src = b.cand_id) n
          |  JOIN embeddings e ON e.vec_id = n.cand_id
-         |  JOIN gq q USING (query_id)
+         |  JOIN ${p}gq q USING (query_id)
          |  WHERE n.cand_id <> n.query_id),
-         |v$r AS MATERIALIZED (
+         |${p}v$r AS MATERIALIZED (
          |  SELECT DISTINCT query_id, cand_id, dist
-         |  FROM (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM nv$r))""".stripMargin
+         |  FROM (SELECT * FROM ${p}v${r - 1} UNION ALL SELECT * FROM ${p}nv$r))""".stripMargin
     }.mkString(",\n")
     base + ",\n" + rounds
   }
@@ -1117,6 +1126,49 @@ object SparkEntry {
          |WHERE v.query_id = 0
          |ORDER BY v.dist, v.cand_id
          |LIMIT 10""".stripMargin,
+    // A21 sweep (r9): the same routing + walk + merge replay, once per
+    // swept user (prefixed CTEs keep the three walks apart) and over
+    // the B31-width query batch — the reference's user sweep
+    // (test_dynamic_partition.py). Covers the SHARED partition routing
+    // (user 1 at the test scales), where the merge-time permission
+    // filter actually bites.
+    "rbac_partition_graph_sweep" -> {
+      val users = graft.ann.GraphSearch.SweepUsers
+      val perUser = users.map { u =>
+        s"""user_pid_$u AS (
+           |  SELECT l.partition_id FROM layout l
+           |  JOIN ucomb c ON c.comb_key = l.comb_key
+           |  WHERE c.user_id = $u
+           |),
+           |scandocs_$u AS MATERIALIZED (
+           |  SELECT DISTINCT pd.document_id
+           |  FROM partdocs pd JOIN user_pid_$u up ON pd.partition_id = up.partition_id
+           |),
+           |acc_$u AS (
+           |  SELECT DISTINCT p.document_id
+           |  FROM ur_all a JOIN perm p USING (role_id) WHERE a.user_id = $u
+           |),
+           |${graphWalkCtes(s"vec_id IN (SELECT document_id FROM scandocs_$u)",
+                            s"vec_id < ${graft.ann.GraphSearch.Nq}", p = s"u${u}_")}""".stripMargin
+      }.mkString(",\n")
+      val branches = users.map { u =>
+        s"""SELECT $u::BIGINT AS user_id, v.query_id, v.cand_id AS block_id
+           |FROM u${u}_$graphVFinal v JOIN acc_$u ON v.cand_id = acc_$u.document_id
+           |QUALIFY row_number() OVER (
+           |  PARTITION BY v.query_id ORDER BY v.dist, v.cand_id) <= 10""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $urAll, $perm, $costLayout,
+         |partdocs AS (
+         |  SELECT DISTINCT l.partition_id, p.document_id
+         |  FROM combroles cr JOIN perm p USING (role_id)
+         |  JOIN layout l ON l.comb_key = cr.comb_key
+         |),
+         |$perUser
+         |SELECT user_id, query_id, block_id FROM (
+         |$branches
+         |)
+         |ORDER BY user_id, query_id, block_id""".stripMargin
+    },
     // B36: per-cell label purity from the replayed assignment — purity
     // in exact integer ten-thousandths (BIGINT // division).
     "ann_cell_label_stats" ->

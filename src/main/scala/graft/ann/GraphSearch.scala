@@ -399,6 +399,51 @@ object GraphSearch {
       .select(col("cand_id").as("block_id"), col("cand_id").as("document_id"))
   }
 
+  /** A21 sweep users (r9): the reference's dynamic-partition benchmark
+    * sweeps users, not one fixed principal
+    * (test_dynamic_partition.py) — these three span structurally
+    * different routings at the test scales: users 0 and 2 route to
+    * DEDICATED partitions, user 1 to the SHARED partition 0 (where the
+    * merge-time permission filter actually bites: the shared partition
+    * holds other combs' blocks). The oracle replays the routing per
+    * user, so correctness is independent of which partition a user
+    * lands in at any given scale.
+    */
+  val SweepUsers: Seq[Long] = Seq(0L, 1L, 2L)
+
+  /** A21 widened: dynamic-partition graph serving swept over users and
+    * a query BATCH (B31's nq) — per user: A7's routing → that user's
+    * per-partition graph index → one batch walk → permission semi-join
+    * at merge → per-query top-k. Output (user_id, query_id, block_id).
+    * Each user's walk is session-cached like the single-user key's
+    * (the per-partition indexes are layout-job artifacts at scale).
+    */
+  def partitionGraphSweep(spark: SparkSession, dir: String,
+                          userIds: Seq[Long] = SweepUsers, nq: Int = Nq,
+                          k: Int = 10, ef: Int = Ef, rounds: Int = Rounds,
+                          gk: Int = GraphK, cells: Int = Cells,
+                          alpha: Double = 2.0): DataFrame = {
+    import graft.rbac.Rbac
+    userIds.map { u =>
+      val tag = s"dynpartsweep${u}_n${nq}_a$alpha"
+      val vis = visitedCache.getOrElseUpdate(spark, (dir, tag, ef, rounds, gk, cells)) {
+        val (edges, medoids) = partitionGraphIndex(spark, dir, u, gk, cells, alpha)
+        val queries = broadcast(Tables.embeddings(spark, dir)
+          .filter(col("vec_id") < nq)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+        buildVisited(spark, dir, queries, ef, rounds, edges, medoids)
+      }
+      val acc = Rbac.accessibleDocs(spark, dir, u)
+        .select(col("document_id").as("cand_id"))
+      // unhinted merge-time semi-join (same policy as the other graph
+      // serving keys), then the shared per-query ranking rule
+      topOf(vis.join(acc, Seq("cand_id"), "left_semi"), k)
+        .select(lit(u).as("user_id"), col("query_id"),
+          col("cand_id").as("block_id"))
+    }.reduce(_.unionAll(_))
+      .orderBy("user_id", "query_id", "block_id")
+  }
+
   /** Measured ef→recall curve and target inversion — B22's
     * measured-points-beat-the-fit convention applied to the graph
     * index (hnswlib tunes efSearch the same way: sweep, measure

@@ -184,6 +184,38 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"routed-partition walk recall collapsed: $recall")
   }
 
+  test("A21 user sweep: per-user batch serving matches the driver walk; shared routing covered") {
+    val sp = spark
+    val got = GraphSearch.partitionGraphSweep(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).distinct.sorted.toSeq == GraphSearch.SweepUsers.sorted)
+    // the sweep must exercise the SHARED partition (partition 0 holds
+    // other combs' blocks — the merge-time filter's reason to exist)
+    val routings = GraphSearch.SweepUsers.map(u =>
+      u -> graft.rbac.Partitioned.routedPartitionIds(sp, sf, u)).toMap
+    assert(routings.exists(_._2.contains(0: Integer)),
+      s"no swept user routes to the shared partition: $routings")
+    assert(routings.count(!_._2.contains(0: Integer)) >= 2,
+      s"sweep should also cover dedicated routings: $routings")
+    for (u <- GraphSearch.SweepUsers) {
+      val members = graft.rbac.Partitioned.costModelPartitionDocs(sp, sf)
+        .filter(col("partition_id").isin(routings(u): _*))
+        .select("document_id").collect().map(_.getLong(0)).toSet
+      val acc = graft.rbac.Rbac.accessibleDocs(sp, sf, u).collect().map(_.getLong(0)).toSet
+      val (walks, _) = referenceWalk(None, 0L until GraphSearch.Nq.toLong,
+        memberOf = members)
+      val expect = walks.toSeq.flatMap { case (q, vis) =>
+        vis.toSeq.filter(p => acc(p._1))
+          .sortBy { case (id, d) => (d, id) }.take(10).map(c => (u, q, c._1))
+      }.toSet
+      val gotU = got.filter(_._1 == u).toSet
+      assert(gotU == expect, s"user $u sweep diverged: only-engine=${gotU -- expect}")
+      // merge-time permission: routed AND accessible, for every user —
+      // for the shared-partition user this is where the filter bites
+      assert(gotU.forall { case (_, _, id) => members(id) && acc(id) })
+    }
+  }
+
   test("efFor picks the smallest measured beam width meeting the recall target") {
     val sp = spark
     val curve = GraphSearch.efRecallCurve(sp, sf)
