@@ -88,6 +88,10 @@ object SparkEntry {
       IvfIndex.writeCentroidSidecar(s, d, 16)
       graft.ann.GraphSearch.insertNeighbors(s, d)
     }),
+    "ann_graph_insert_links" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16)
+      graft.ann.GraphSearch.insertReciprocalLinks(s, d)
+    }),
     "ann_knn_classify" -> ((s, d) => graft.ann.Classify.knnClassify(s, d)),
     "ann_graph_classify" -> ((s, d) => {
       IvfIndex.writeCentroidSidecar(s, d, 16)
@@ -1063,6 +1067,35 @@ object SparkEntry {
          |         row_number() OVER (
          |           PARTITION BY query_id ORDER BY dist, cand_id) AS rn
          |  FROM $graphVFinal) WHERE rn <= ${graft.ann.GraphSearch.GraphK}
+         |ORDER BY src, nbr""".stripMargin,
+    // B33 reciprocal half (r9): hnswlib mutuallyConnectNewElement — the
+    // insert walk's top-gk links reversed onto their base neighbors,
+    // every touched node's list re-pruned to the 2·gk cap by
+    // (distance, nbr). `gund` here IS the base-prefix graph (the
+    // insert-walk CTEs build it), so the replay extends the walk with
+    // one bounded union + one bounded rank.
+    "ann_graph_insert_links" ->
+      s"""WITH $graphInsertWalk,
+         |links AS (
+         |  SELECT query_id AS src, cand_id AS nbr FROM (
+         |    SELECT query_id, cand_id,
+         |           row_number() OVER (
+         |             PARTITION BY query_id ORDER BY dist, cand_id) AS rn
+         |    FROM $graphVFinal) WHERE rn <= ${graft.ann.GraphSearch.GraphK}),
+         |rev AS (SELECT nbr AS src, src AS nbr FROM links),
+         |touched AS (SELECT DISTINCT src FROM rev),
+         |cand AS (
+         |  SELECT g.src, g.nbr FROM gund g JOIN touched t ON g.src = t.src
+         |  UNION ALL
+         |  SELECT src, nbr FROM rev)
+         |SELECT src, nbr FROM (
+         |  SELECT c.src, c.nbr,
+         |         row_number() OVER (PARTITION BY c.src
+         |           ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), c.nbr) AS rn
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.src
+         |  JOIN embeddings b ON b.vec_id = c.nbr)
+         |WHERE rn <= ${2 * graft.ann.GraphSearch.GraphK}
          |ORDER BY src, nbr""".stripMargin,
     // B35: exact kNN majority-vote classification (ties to the smaller
     // label) — the standard supervised index evaluation.

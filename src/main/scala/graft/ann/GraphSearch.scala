@@ -399,6 +399,42 @@ object GraphSearch {
       .select(col("cand_id").as("block_id"), col("cand_id").as("document_id"))
   }
 
+  /** B33's reciprocal half (r9): hnswlib's mutuallyConnectNewElement
+    * (hnswalg.h) — after a new node links to its walk's top-gk, the
+    * REVERSE edge is added to each of those base neighbors, and every
+    * TOUCHED node's list is re-pruned to the M_max cap (2·gk) by
+    * (distance, nbr). Output: the re-pruned adjacency of the touched
+    * base nodes — bounded at |batch|·gk touched rows ∪ their existing
+    * edges; the re-prune window never leaves the touched set, so an
+    * arriving batch costs one bounded union + one bounded rank, no
+    * full-graph rebuild. Deterministic given the base graph → fully
+    * oracle-replayable (the insert-walk CTEs extended by the re-prune).
+    */
+  def insertReciprocalLinks(spark: SparkSession, dir: String, ef: Int = Ef,
+                            rounds: Int = Rounds, gk: Int = GraphK,
+                            cells: Int = Cells): DataFrame = {
+    val cutoff = insertCutoff(spark, dir)
+    val links = insertNeighbors(spark, dir, ef, rounds, gk, cells)
+    val rev = links.select(col("nbr").as("src"), col("src").as("nbr"))
+    val touched = rev.select("src").distinct()
+    // base edges end < cutoff, reverse edges end >= cutoff: disjoint
+    // sets, and `links` rows are unique per (query, cand) — a plain
+    // unionAll introduces no duplicates
+    val cand = servingGraph(spark, dir, gk, cells, baseMax = cutoff)
+      .join(touched, Seq("src"), "left_semi")
+      .unionAll(rev)
+    val e = Tables.embeddings(spark, dir)
+    val w = Window.partitionBy("src").orderBy(col("dist"), col("nbr"))
+    cand
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("es")), "src")
+      .join(e.select(col("vec_id").as("nbr"), col("embedding").as("en")), "nbr")
+      .withColumn("dist", l2_dist(col("es"), col("en")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2 * gk)
+      .select("src", "nbr")
+      .orderBy("src", "nbr")
+  }
+
   /** A21 sweep users (r9): the reference's dynamic-partition benchmark
     * sweeps users, not one fixed principal
     * (test_dynamic_partition.py) — these three span structurally

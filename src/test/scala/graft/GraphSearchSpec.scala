@@ -24,7 +24,7 @@ class GraphSearchSpec extends AnyFunSuite {
   private def referenceWalk(baseMax: Option[Long] = None,
                             queryIds: Seq[Long] = 0L until GraphSearch.Nq.toLong,
                             memberOf: Long => Boolean = _ => true)
-      : (Map[Long, Map[Long, Double]], Seq[Long]) = {
+      : (Map[Long, Map[Long, Double]], Seq[Long], Map[Long, Set[Long]]) = {
     val sp = spark
     val emb = Tables.embeddings(sp, sf).select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
@@ -59,12 +59,12 @@ class GraphSearchSpec extends AnyFunSuite {
       }
       q -> visited
     }.toMap
-    (walks, medoids)
+    (walks, medoids, und)
   }
 
   test("graph walk equals the driver reference exactly (both serving keys)") {
     val sp = spark
-    val (walks, medoids) = referenceWalk()
+    val (walks, medoids, _) = referenceWalk()
     assert(medoids.nonEmpty && medoids.size <= GraphSearch.Cells)
     val expectAnn = walks.toSeq.flatMap { case (q, vis) =>
       vis.toSeq.sortBy { case (id, d) => (d, id) }.take(10).map(c => (q, c._1))
@@ -118,7 +118,7 @@ class GraphSearchSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got.nonEmpty && got.forall(_._2 % 17 != 0))
     // reference: the SAME walk's ranking with tombstoned ids removed
-    val (walks, _) = referenceWalk()
+    val (walks, _, _) = referenceWalk()
     val expect = walks.toSeq.flatMap { case (q, vis) =>
       vis.toSeq.filter(_._1 % 17 != 0)
         .sortBy { case (id, d) => (d, id) }.take(10).map(c => (q, c._1))
@@ -140,7 +140,7 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length == GraphSearch.InsertTail)
     assert(got.forall { case (s, n) => s >= cutoff && n < cutoff })
     // driver reference: the identical walk over the base-prefix graph
-    val (walks, _) = referenceWalk(Some(cutoff), newIds)
+    val (walks, _, _) = referenceWalk(Some(cutoff), newIds)
     val expect = walks.toSeq.flatMap { case (q, vis) =>
       vis.toSeq.sortBy { case (id, d) => (d, id) }
         .take(GraphSearch.GraphK).map(c => (q, c._1))
@@ -160,6 +160,37 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"insert link recall too low: $recall")
   }
 
+  test("reciprocal links: reverse edges union base lists, re-pruned to the cap") {
+    val sp = spark
+    val cutoff = GraphSearch.insertCutoff(sp, sf)
+    val links = GraphSearch.insertNeighbors(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = GraphSearch.insertReciprocalLinks(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the re-prune window is exactly the touched base nodes — the
+    // update never leaves them (hnswlib repairs only the new node's
+    // neighbors' lists)
+    val touched = links.map(_._2).toSet
+    assert(got.map(_._1).toSet == touched)
+    assert(got.groupBy(_._1).values.forall(_.length <= 2 * GraphSearch.GraphK))
+    // driver reference: per touched node, base list ∪ reverse new
+    // links, ranked by (distance, nbr), capped at 2·gk
+    val (_, _, und) = referenceWalk(Some(cutoff))
+    val emb = Tables.embeddings(sp, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val revOf = links.groupBy(_._2).map { case (t, ls) => t -> ls.map(_._1).toSet }
+    val expect = touched.flatMap { t =>
+      (und(t) ++ revOf(t)).toSeq
+        .sortBy(o => (l2(emb(t), emb(o)), o))
+        .take(2 * GraphSearch.GraphK).map(t -> _)
+    }
+    assert(got.toSet == expect,
+      s"re-prune diverged: only-engine=${got.toSet -- expect} only-ref=${expect -- got.toSet}")
+    // the update is not vacuous: some reverse edge survives its
+    // touched node's re-prune (a new node IS near its walk's top-gk)
+    assert(got.exists(_._2 >= cutoff), "no reverse edge survived the re-prune")
+  }
+
   test("A21 routed-partition graph serving equals the driver walk over the member set") {
     val sp = spark
     // the member derivation is A7's (oracle-checked there): the user's
@@ -169,7 +200,7 @@ class GraphSearchSpec extends AnyFunSuite {
       .filter(col("partition_id").isin(pids: _*))
       .select("document_id").collect().map(_.getLong(0)).toSet
     assert(members.nonEmpty)
-    val (walks, _) = referenceWalk(None, Seq(0L), memberOf = members)
+    val (walks, _, _) = referenceWalk(None, Seq(0L), memberOf = members)
     val acc = graft.rbac.Rbac.accessibleDocs(sp, sf, 1).collect().map(_.getLong(0)).toSet
     val expect = walks(0L).toSeq.filter(p => acc(p._1))
       .sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
@@ -202,7 +233,7 @@ class GraphSearchSpec extends AnyFunSuite {
         .filter(col("partition_id").isin(routings(u): _*))
         .select("document_id").collect().map(_.getLong(0)).toSet
       val acc = graft.rbac.Rbac.accessibleDocs(sp, sf, u).collect().map(_.getLong(0)).toSet
-      val (walks, _) = referenceWalk(None, 0L until GraphSearch.Nq.toLong,
+      val (walks, _, _) = referenceWalk(None, 0L until GraphSearch.Nq.toLong,
         memberOf = members)
       val expect = walks.toSeq.flatMap { case (q, vis) =>
         vis.toSeq.filter(p => acc(p._1))
