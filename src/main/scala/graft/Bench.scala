@@ -106,8 +106,14 @@ object Bench {
       graft.ann.GraphSearch.cellMedoids(spark, sfDir, baseMax = gcut)
       // A21's per-dynamic-partition graph INDEX (built by the layout
       // job at scale); the walk stays timed like B31-B37's — it is
-      // the search
+      // the search. The sweep key serves users 0-2: warm each routed
+      // partition's index too.
       graft.ann.GraphSearch.partitionGraphIndex(spark, sfDir, 1)
+      graft.ann.GraphSearch.SweepUsers
+        .foreach(u => graft.ann.GraphSearch.partitionGraphIndex(spark, sfDir, u))
+      // B38's measured ef→recall curve (model fit = index-build-time
+      // work, the B22 convention; the model-ef WALK stays timed)
+      graft.ann.GraphSearch.efRecallCurve(spark, sfDir)
     } catch { case _: Throwable => () }
     // Overlap queries on a small pool: a single local session leaves
     // cores idle during per-query driver phases (planning, codegen,

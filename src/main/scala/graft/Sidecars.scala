@@ -32,7 +32,8 @@ object Sidecars {
     "opq_components.parquet",
     "opq_codebook.parquet",
     "pca_components_k32.parquet",
-    "qdtree_splits.parquet")
+    "qdtree_splits.parquet",
+    "graph_ef.parquet")
 
   def root: String = sys.props.getOrElse("graft.sidecar.dir", DefaultRoot)
 

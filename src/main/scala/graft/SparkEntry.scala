@@ -72,6 +72,11 @@ object SparkEntry {
     // 0.29→0.61→0.88→0.95 over rounds is asserted in ScalaTest)
     "ann_knn_graph_nnd" -> ((s, d) => Ann.knnGraphDescent(s, d, 5, iters = 1)),
     "ann_knn_centrality" -> ((s, d) => Ann.knnCentrality(s, d)),
+    "ann_graph_topk_model" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16)
+      graft.ann.GraphSearch.writeEfSidecar(s, d) // model-picked beam width
+      graft.ann.GraphSearch.graphTopKModel(s, d)
+    }),
     "ann_graph_topk" -> ((s, d) => {
       IvfIndex.writeCentroidSidecar(s, d, 16) // oracle replays the medoid seeds
       graft.ann.GraphSearch.graphTopK(s, d)
@@ -1036,6 +1041,17 @@ object SparkEntry {
     // final ranking all replay as unrolled CTEs (see graphWalk above).
     "ann_graph_topk" ->
       s"""WITH $graphWalk
+         |SELECT query_id, cand_id AS block_id FROM $graphVFinal
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY query_id ORDER BY dist, cand_id) <= 10
+         |ORDER BY query_id, block_id""".stripMargin,
+    // B38 (r9): the SAME walk at the model-picked beam width — the ef
+    // sidecar (written by the key from the measured recall curve)
+    // parameterizes every round's beam rank, so the oracle value-checks
+    // the walk the model actually chose.
+    "ann_graph_topk_model" ->
+      s"""WITH ${graphWalkCtes("TRUE", s"vec_id < ${graft.ann.GraphSearch.Nq}",
+                               ef = s"SELECT ef FROM read_parquet('${graft.Sidecars.DefaultRoot}/graph_ef.parquet/*.parquet')")}
          |SELECT query_id, cand_id AS block_id FROM $graphVFinal
          |QUALIFY row_number() OVER (
          |  PARTITION BY query_id ORDER BY dist, cand_id) <= 10

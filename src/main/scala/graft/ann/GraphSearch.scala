@@ -529,6 +529,32 @@ object GraphSearch {
       .getOrElse(curve.last._1)
   }
 
+  /** B38 (r9): model-DRIVEN serving — `efFor` wired into a serving key
+    * the way B12/B21 consume `nprobeFor`: walk at the SMALLEST measured
+    * beam width meeting the recall target (hnswlib's own efSearch
+    * tuning loop: sweep, measure, pick). The picked ef is a
+    * deterministic constant of the dataset; the sidecar carries it so
+    * the oracle replays the walk at exactly that beam width.
+    */
+  val RecallTarget = 0.9
+
+  def modelEf(spark: SparkSession, dir: String): Int =
+    efFor(spark, dir, RecallTarget)
+
+  /** One-row (ef) sidecar for the oracle's parameterized walk replay. */
+  def writeEfSidecar(spark: SparkSession, dir: String): Unit =
+    if (graft.Sidecars.active) {
+      spark.range(1).select(lit(modelEf(spark, dir)).as("ef"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(graft.Sidecars.path("graph_ef.parquet"))
+    }
+
+  def graphTopKModel(spark: SparkSession, dir: String, nq: Int = Nq,
+                     k: Int = 10): DataFrame =
+    topOf(visited(spark, dir, nq, ef = modelEf(spark, dir)), k)
+      .select(col("query_id"), col("cand_id").as("block_id"))
+      .orderBy("query_id", "block_id")
+
   /** One-shot serving for an arbitrary bounded query frame (query_id,
     * qvec) — the unit G17's micro-batch serving runs: one walk over the
     * session-cached graph index, ranked to (query_id, block_id, rank).

@@ -268,6 +268,26 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(GraphSearch.efFor(sp, sf, target = 2.0) == curve.last._1)
   }
 
+  test("model-driven serving meets the recall target at no more than the fixed-Ef cost") {
+    val sp = spark
+    val ef = GraphSearch.modelEf(sp, sf)
+    assert(ef <= GraphSearch.Ef, s"model must pick from the measured grid: $ef")
+    // recall at the picked ef meets the target (the pick's contract)
+    val gt = Ann.batchTopK(sp, sf, GraphSearch.Nq, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = GraphSearch.graphTopKModel(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(gt).size.toDouble / gt.size
+    assert(recall >= GraphSearch.RecallTarget,
+      s"model walk (ef=$ef) misses target: $recall")
+    // cost never exceeds the fixed-Ef walk's: the beam is no wider, so
+    // the visited set (the walk's work) is no larger
+    val visModel = GraphSearch.visited(sp, sf, ef = ef).count()
+    val visFull = GraphSearch.visited(sp, sf).count()
+    assert(visModel <= visFull,
+      s"model walk visited MORE than the fixed-Ef walk: $visModel > $visFull")
+  }
+
   test("repeated serving calls leak no persisted blocks (walk cached per session)") {
     val sp = spark
     // warm EVERY serving path first (incl. the RBAC dimension caches a
