@@ -172,3 +172,85 @@ object Calibrate {
     spark.stop()
   }
 }
+
+/** Round-9 appendix (`sbt "runMain graft.PointServe"`) — an honest
+  * micro-benchmark of the ONE surface this engine declares out of
+  * scope: per-point-query ONLINE serving latency (hnswlib's sub-ms
+  * single-lookup pointer chase). The batch walk (B31) IS the
+  * Spark-native form of graph serving; this harness quantifies what a
+  * dedicated serving TIER would add on top: the session-cached graph
+  * index + medoids + vectors are collected to driver maps (what a
+  * serving node holds in RAM), then each benchmark query runs the
+  * identical beam walk (ef, rounds, degree-capped edges, (dist, id)
+  * ties) as a plain in-memory pointer chase. Results are asserted
+  * EQUAL to the engine's batch top-k before timing — the number
+  * quantifies the declared gap, it does not claim the serving tier.
+  * Numbers land in CALIBRATION.md per round.
+  */
+object PointServe {
+  def main(args: Array[String]): Unit = {
+    Sidecars.isolate("graft_pointserve_sidecars")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ann.GraphSearch
+
+    // "index load": collect the graph index a serving node would mmap
+    val tLoad0 = System.nanoTime()
+    val edges = GraphSearch.servingGraph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val medoids = GraphSearch.cellMedoids(spark, sfDir).collect().map(_.getLong(0))
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val loadMs = (System.nanoTime() - tLoad0) / 1e6
+
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    def walk(q: Long): Seq[Long] = {
+      val qv = emb(q)
+      var visited = medoids.filter(_ != q).map(m => m -> l2(emb(m), qv)).toMap
+      for (_ <- 1 to GraphSearch.Rounds) {
+        val beam = visited.toSeq.sortBy { case (id, d) => (d, id) }
+          .take(GraphSearch.Ef).map(_._1)
+        val fresh = beam.flatMap(b => edges.getOrElse(b, Array.empty[Long]))
+          .toSet -- visited.keySet - q
+        visited = visited ++ fresh.map(f => f -> l2(emb(f), qv))
+      }
+      visited.toSeq.sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+    }
+
+    // correctness gate first: the pointer chase must reproduce the
+    // batch walk exactly, or its timing is meaningless
+    val batch = GraphSearch.graphTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).sorted.toSeq }
+    val qids = 0L until GraphSearch.Nq.toLong
+    qids.foreach { q =>
+      val got = walk(q).sorted
+      require(got == batch(q), s"pointer chase diverged on query $q")
+    }
+
+    // timing: per-query wall over repeated sweeps (steady-state JIT)
+    val reps = 20
+    val times = Array.fill(reps * qids.length)(0.0)
+    var i = 0
+    for (_ <- 1 to reps; q <- qids) {
+      val t0 = System.nanoTime()
+      walk(q)
+      times(i) = (System.nanoTime() - t0) / 1e3; i += 1
+    }
+    val sorted = times.sorted
+    val (p50, p99) = (sorted(sorted.length / 2), sorted((sorted.length * 99) / 100))
+    println(f"""{"metric":"point_serve","index_load_ms":$loadMs%.1f,"walk_us_p50":$p50%.1f,"walk_us_p99":$p99%.1f,"n_nodes":${emb.size},"n_queries":${qids.length},"reps":$reps,"ef":${GraphSearch.Ef},"rounds":${GraphSearch.Rounds},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
