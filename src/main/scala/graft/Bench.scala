@@ -199,10 +199,24 @@ object Bench {
           retimeOnce(name)
         } else first
       }
+    // The serial phase starts the moment the pool drains, while the
+    // 1-min load average still carries the concurrent burst (~60 s
+    // decay) — without this wait the alphabetically-first rows are
+    // quarantined SYSTEMATICALLY (observed: 23 early ann_* rows
+    // suspect on an otherwise quiet host). Bounded: give up after
+    // 120 s and let the per-row fence handle a genuinely loaded box.
+    def awaitQuietHost(): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (java.lang.management.ManagementFactory
+               .getOperatingSystemMXBean.getSystemLoadAverage > loadMax &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(5000)
+      }
+    }
     val serialTimes: Option[Seq[(String, Double, Double, Option[String])]] = serialMode match {
       case "off"  => None
-      case "full" => Some(retime(results.map(_._1).sorted))
-      case _      => Some(retime(results.sortBy(-_._2).take(5).map(_._1)))
+      case "full" => awaitQuietHost(); Some(retime(results.map(_._1).sorted))
+      case _      => awaitQuietHost(); Some(retime(results.sortBy(-_._2).take(5).map(_._1)))
     }
     val serialJson = serialTimes.map { timed =>
       val (clean, suspect) = partitionByLoad(timed, loadMax)

@@ -399,7 +399,9 @@ class GraphSearchSpec extends AnyFunSuite {
       // a shuffle join, proving no hint pins acc to the build side (AQE
       // re-picks broadcast at runtime when acc is genuinely small)
       for (df <- Seq(GraphSearch.rbacGraphTopK(sp, sf),
-                     GraphSearch.partitionGraphTopK(sp, sf))) {
+                     GraphSearch.partitionGraphTopK(sp, sf),
+                     GraphSearch.partitionGraphSweep(sp, sf),
+                     GraphSearch.insertReciprocalLinks(sp, sf))) {
         val forcedSemi = df.queryExecution.executedPlan.collect {
           case b: BroadcastHashJoinExec if b.joinType == LeftSemi => b
         }
