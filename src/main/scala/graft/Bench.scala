@@ -114,6 +114,9 @@ object Bench {
       // B38's measured ef→recall curve (model fit = index-build-time
       // work, the B22 convention; the model-ef WALK stays timed)
       graft.ann.GraphSearch.efRecallCurve(spark, sfDir)
+      // B39's NN-Descent serving graph (the approximate INDEX build —
+      // the walk stays timed)
+      graft.ann.GraphSearch.nndServingGraph(spark, sfDir)
     } catch { case _: Throwable => () }
     // Overlap queries on a small pool: a single local session leaves
     // cores idle during per-query driver phases (planning, codegen,

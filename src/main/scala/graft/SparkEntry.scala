@@ -97,6 +97,7 @@ object SparkEntry {
       IvfIndex.writeCentroidSidecar(s, d, 16)
       graft.ann.GraphSearch.insertReciprocalLinks(s, d)
     }),
+    "ann_graph_topk_nnd" -> ((s, d) => graft.ann.GraphSearch.graphTopKNnd(s, d)),
     "ann_knn_classify" -> ((s, d) => graft.ann.Classify.knnClassify(s, d)),
     "ann_graph_classify" -> ((s, d) => {
       IvfIndex.writeCentroidSidecar(s, d, 16)

@@ -399,6 +399,41 @@ object GraphSearch {
       .select(col("cand_id").as("block_id"), col("cand_id").as("document_id"))
   }
 
+  /** B39 (r9): serving over the NN-DESCENT graph — B17's documented
+    * escape hatch made REAL for serving. At 100 TB the exact
+    * cell-bucketed kNN build (B11) is the expensive half of the graph
+    * index (quadratic within cells); NN-Descent builds an approximate
+    * graph in O(iters·k·N) local joins. The identical symmetrize +
+    * M_max cap + medoid-seeded walk runs over that graph: same serving
+    * plan, same constructive visited bounds, approximate only in WHICH
+    * edges exist. Rows-only by B17's declaration (the descent init is
+    * xxhash64-derived — no DuckDB analogue); the spec walks the
+    * COLLECTED graph on the driver (the walk is exact GIVEN the edges)
+    * and pins recall vs exact ground truth.
+    */
+  def nndServingGraph(spark: SparkSession, dir: String, gk: Int = GraphK,
+                      cells: Int = Cells): DataFrame =
+    graphCache.getOrElseUpdate(spark, (dir, gk, cells, "nnd")) {
+      buildGraph(spark, dir, gk,
+        Ann.knnGraphDescent(spark, dir, gk, iters = 2, cells))
+    }
+
+  def graphTopKNnd(spark: SparkSession, dir: String, nq: Int = Nq,
+                   k: Int = 10, ef: Int = Ef, rounds: Int = Rounds,
+                   gk: Int = GraphK, cells: Int = Cells): DataFrame = {
+    val vis = visitedCache.getOrElseUpdate(
+      spark, (dir, s"nndserve$nq", ef, rounds, gk, cells)) {
+      val queries = broadcast(Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < nq)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+      buildVisited(spark, dir, queries, ef, rounds,
+        nndServingGraph(spark, dir, gk, cells), cellMedoids(spark, dir, cells))
+    }
+    topOf(vis, k)
+      .select(col("query_id"), col("cand_id").as("block_id"))
+      .orderBy("query_id", "block_id")
+  }
+
   /** B33's reciprocal half (r9): hnswlib's mutuallyConnectNewElement
     * (hnswalg.h) — after a new node links to its walk's top-gk, the
     * REVERSE edge is added to each of those base neighbors, and every

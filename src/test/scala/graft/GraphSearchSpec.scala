@@ -160,6 +160,41 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"insert link recall too low: $recall")
   }
 
+  test("NND-graph serving: walk exact given the edges, recall floor vs exact") {
+    val sp = spark
+    val got = GraphSearch.graphTopKNnd(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the walk is EXACT given the edge set: replicate it on the driver
+    // over the COLLECTED symmetrized+capped NND graph (the graph
+    // itself is B17's, already spec-gated for recall/convergence)
+    val adj = GraphSearch.nndServingGraph(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val medoids = GraphSearch.cellMedoids(sp, sf).collect().map(_.getLong(0))
+    val emb = Tables.embeddings(sp, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val expect = (0L until GraphSearch.Nq.toLong).flatMap { q =>
+      val qv = emb(q)
+      var visited = medoids.filter(_ != q).map(m => m -> l2(emb(m), qv)).toMap
+      for (_ <- 1 to GraphSearch.Rounds) {
+        val beam = visited.toSeq.sortBy { case (id, d) => (d, id) }
+          .take(GraphSearch.Ef).map(_._1)
+        val fresh = beam.flatMap(b => adj.getOrElse(b, Set.empty))
+          .toSet -- visited.keySet - q
+        visited = visited ++ fresh.map(f => f -> l2(emb(f), qv))
+      }
+      visited.toSeq.sortBy { case (id, d) => (d, id) }.take(10).map(c => (q, c._1))
+    }.toSet
+    assert(got == expect,
+      s"NND walk diverged: only-engine=${got -- expect} only-ref=${expect -- got}")
+    // the approximate-build serving path still lands hnswlib-class
+    // recall — the 100 TB escape hatch must not cost the result
+    val gt = Ann.batchTopK(sp, sf, GraphSearch.Nq, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(gt).size.toDouble / gt.size
+    assert(recall >= 0.8, s"NND-graph serving recall too low: $recall")
+  }
+
   test("reciprocal links: reverse edges union base lists, re-pruned to the cap") {
     val sp = spark
     val cutoff = GraphSearch.insertCutoff(sp, sf)
