@@ -117,6 +117,9 @@ object Bench {
       // B39's NN-Descent serving graph (the approximate INDEX build —
       // the walk stays timed)
       graft.ann.GraphSearch.nndServingGraph(spark, sfDir)
+      // B40's repaired graph (index MAINTENANCE — hnswlib does this at
+      // add time; the post-maintenance serving walk stays timed)
+      graft.ann.GraphSearch.repairedGraph(spark, sfDir)
     } catch { case _: Throwable => () }
     // Overlap queries on a small pool: a single local session leaves
     // cores idle during per-query driver phases (planning, codegen,

@@ -97,6 +97,10 @@ object SparkEntry {
       IvfIndex.writeCentroidSidecar(s, d, 16)
       graft.ann.GraphSearch.insertReciprocalLinks(s, d)
     }),
+    "ann_graph_upsert_topk" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16)
+      graft.ann.GraphSearch.graphUpsertTopK(s, d)
+    }),
     "ann_graph_topk_nnd" -> ((s, d) => graft.ann.GraphSearch.graphTopKNnd(s, d)),
     "ann_knn_classify" -> ((s, d) => graft.ann.Classify.knnClassify(s, d)),
     "ann_graph_classify" -> ((s, d) => {
@@ -399,55 +403,61 @@ object SparkEntry {
   // step is deterministic, so the walk unrolls into one CTE per round;
   // v{Rounds} is the full (query, visited, dist) relation both serving
   // keys rank.
-  // `p` prefixes every CTE name so several walks (the A21 user sweep)
-  // can coexist in ONE statement; `ef` is a SQL expression (a literal,
-  // or a scalar subquery over the model-picked-ef sidecar for B38).
-  private def graphWalkCtes(baseWhere: String, queriesWhere: String,
-                            p: String = "",
-                            ef: String = graft.ann.GraphSearch.Ef.toString): String = {
+  // The walk replay is three composable CTE groups — medoid seeds,
+  // the symmetrized/capped kNN graph, and the walk rounds — so a key
+  // can walk a CUSTOM graph relation (B40's repaired graph) or reuse
+  // seeds across walks. `p` prefixes every CTE name so several walks
+  // coexist in ONE statement; `ef` is a SQL expression (a literal, or
+  // a scalar subquery over the model-picked-ef sidecar for B38).
+  private def medoidCtes(baseWhere: String, p: String): String =
+    s"""${p}gcent AS (
+       |  SELECT list_id, centroid
+       |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_centroids_k16.parquet/*.parquet')),
+       |${p}gdists AS MATERIALIZED (
+       |  SELECT e.vec_id, c.list_id,
+       |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |           i -> (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) ^ 2)) AS d
+       |  FROM embeddings e CROSS JOIN ${p}gcent c
+       |  WHERE $baseWhere),
+       |${p}gassign AS MATERIALIZED (
+       |  SELECT vec_id, list_id, d,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |  FROM ${p}gdists),
+       |${p}medoid AS MATERIALIZED (
+       |  SELECT vec_id AS cand_id FROM (
+       |    SELECT list_id, vec_id,
+       |           row_number() OVER (PARTITION BY list_id ORDER BY d, vec_id) AS mrn
+       |    FROM ${p}gassign WHERE rn = 1) WHERE mrn = 1)""".stripMargin
+
+  private def knnGraphCtes(baseWhere: String, p: String): String =
+    s"""${p}gknn AS MATERIALIZED (
+       |  SELECT a.vec_id AS src, b.vec_id AS nbr
+       |  FROM (SELECT * FROM embeddings WHERE $baseWhere) a,
+       |       (SELECT * FROM embeddings WHERE $baseWhere) b
+       |  WHERE a.vec_id <> b.vec_id
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY a.vec_id
+       |    ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) <= ${graft.ann.GraphSearch.GraphK}),
+       |${p}gund0 AS (SELECT src, nbr FROM ${p}gknn UNION SELECT nbr AS src, src AS nbr FROM ${p}gknn),
+       |${p}gund AS MATERIALIZED (
+       |  SELECT src, nbr FROM (
+       |    SELECT u.src, u.nbr,
+       |           row_number() OVER (PARTITION BY u.src
+       |             ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), u.nbr) AS rn
+       |    FROM ${p}gund0 u
+       |    JOIN embeddings a ON a.vec_id = u.src
+       |    JOIN embeddings b ON b.vec_id = u.nbr)
+       |  WHERE rn <= ${2 * graft.ann.GraphSearch.GraphK})""".stripMargin
+
+  private def walkRoundCtes(queriesWhere: String, p: String, ef: String,
+                            graphCte: String, medoidCte: String): String = {
     val base =
-      s"""${p}gcent AS (
-         |  SELECT list_id, centroid
-         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/ivf_centroids_k16.parquet/*.parquet')),
-         |${p}gdists AS MATERIALIZED (
-         |  SELECT e.vec_id, c.list_id,
-         |         list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |           i -> (e.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE) ^ 2)) AS d
-         |  FROM embeddings e CROSS JOIN ${p}gcent c
-         |  WHERE $baseWhere),
-         |${p}gassign AS MATERIALIZED (
-         |  SELECT vec_id, list_id, d,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
-         |  FROM ${p}gdists),
-         |${p}medoid AS MATERIALIZED (
-         |  SELECT vec_id AS cand_id FROM (
-         |    SELECT list_id, vec_id,
-         |           row_number() OVER (PARTITION BY list_id ORDER BY d, vec_id) AS mrn
-         |    FROM ${p}gassign WHERE rn = 1) WHERE mrn = 1),
-         |${p}gknn AS MATERIALIZED (
-         |  SELECT a.vec_id AS src, b.vec_id AS nbr
-         |  FROM (SELECT * FROM embeddings WHERE $baseWhere) a,
-         |       (SELECT * FROM embeddings WHERE $baseWhere) b
-         |  WHERE a.vec_id <> b.vec_id
-         |  QUALIFY row_number() OVER (
-         |    PARTITION BY a.vec_id
-         |    ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) <= ${graft.ann.GraphSearch.GraphK}),
-         |${p}gund0 AS (SELECT src, nbr FROM ${p}gknn UNION SELECT nbr AS src, src AS nbr FROM ${p}gknn),
-         |${p}gund AS MATERIALIZED (
-         |  SELECT src, nbr FROM (
-         |    SELECT u.src, u.nbr,
-         |           row_number() OVER (PARTITION BY u.src
-         |             ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), u.nbr) AS rn
-         |    FROM ${p}gund0 u
-         |    JOIN embeddings a ON a.vec_id = u.src
-         |    JOIN embeddings b ON b.vec_id = u.nbr)
-         |  WHERE rn <= ${2 * graft.ann.GraphSearch.GraphK}),
-         |${p}gq AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      s"""${p}gq AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
          |       WHERE $queriesWhere),
          |${p}v0 AS MATERIALIZED (
          |  SELECT q.query_id, m.cand_id,
          |         list_distance(e.embedding::DOUBLE[], q.qv) AS dist
-         |  FROM ${p}gq q CROSS JOIN ${p}medoid m JOIN embeddings e ON e.vec_id = m.cand_id
+         |  FROM ${p}gq q CROSS JOIN $medoidCte m JOIN embeddings e ON e.vec_id = m.cand_id
          |  WHERE m.cand_id <> q.query_id)""".stripMargin
     val rounds = (1 to graft.ann.GraphSearch.Rounds).map { r =>
       s"""${p}b$r AS (
@@ -458,7 +468,7 @@ object SparkEntry {
          |  SELECT n.query_id, n.cand_id,
          |         list_distance(e.embedding::DOUBLE[], q.qv) AS dist
          |  FROM (SELECT DISTINCT b.query_id, u.nbr AS cand_id
-         |        FROM ${p}b$r b JOIN ${p}gund u ON u.src = b.cand_id) n
+         |        FROM ${p}b$r b JOIN $graphCte u ON u.src = b.cand_id) n
          |  JOIN embeddings e ON e.vec_id = n.cand_id
          |  JOIN ${p}gq q USING (query_id)
          |  WHERE n.cand_id <> n.query_id),
@@ -468,6 +478,12 @@ object SparkEntry {
     }.mkString(",\n")
     base + ",\n" + rounds
   }
+
+  private def graphWalkCtes(baseWhere: String, queriesWhere: String,
+                            p: String = "",
+                            ef: String = graft.ann.GraphSearch.Ef.toString): String =
+    medoidCtes(baseWhere, p) + ",\n" + knnGraphCtes(baseWhere, p) + ",\n" +
+      walkRoundCtes(queriesWhere, p, ef, s"${p}gund", s"${p}medoid")
   // the serving walk (B31/B32/B34): full graph, queries vec_id < Nq
   private val graphWalk: String =
     graphWalkCtes("TRUE", s"vec_id < ${graft.ann.GraphSearch.Nq}")
@@ -1114,6 +1130,50 @@ object SparkEntry {
          |  JOIN embeddings b ON b.vec_id = c.nbr)
          |WHERE rn <= ${2 * graft.ann.GraphSearch.GraphK}
          |ORDER BY src, nbr""".stripMargin,
+    // B40 (r9): the maintained index serves — the insert walk's links +
+    // the reciprocal re-prune compose into the REPAIRED graph (touched
+    // base lists replaced, new nodes' out-links added); a second walk
+    // runs over that relation from FULL-corpus medoid seeds, with B34's
+    // tombstones excluded from the ranking only. Two walk-round groups
+    // (i_ = insert, s_ = serving) plus two medoid groups (i_ = base
+    // prefix, f_ = full corpus) coexist via CTE prefixes.
+    "ann_graph_upsert_topk" -> {
+      val gs = graft.ann.GraphSearch
+      s"""WITH ${medoidCtes(s"vec_id < $graphInsertCut", "i_")},
+         |${knnGraphCtes(s"vec_id < $graphInsertCut", "i_")},
+         |${walkRoundCtes(s"vec_id >= $graphInsertCut", "i_", gs.Ef.toString, "i_gund", "i_medoid")},
+         |links AS (
+         |  SELECT query_id AS src, cand_id AS nbr FROM (
+         |    SELECT query_id, cand_id,
+         |           row_number() OVER (
+         |             PARTITION BY query_id ORDER BY dist, cand_id) AS rn
+         |    FROM i_$graphVFinal) WHERE rn <= ${gs.GraphK}),
+         |rev AS (SELECT nbr AS src, src AS nbr FROM links),
+         |touched AS (SELECT DISTINCT src FROM rev),
+         |repruned AS (
+         |  SELECT src, nbr FROM (
+         |    SELECT c.src, c.nbr,
+         |           row_number() OVER (PARTITION BY c.src
+         |             ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), c.nbr) AS rn
+         |    FROM (SELECT g.src, g.nbr FROM i_gund g JOIN touched t ON g.src = t.src
+         |          UNION ALL
+         |          SELECT src, nbr FROM rev) c
+         |    JOIN embeddings a ON a.vec_id = c.src
+         |    JOIN embeddings b ON b.vec_id = c.nbr)
+         |  WHERE rn <= ${2 * gs.GraphK}),
+         |repaired AS MATERIALIZED (
+         |  SELECT g.src, g.nbr FROM i_gund g
+         |  WHERE g.src NOT IN (SELECT src FROM touched)
+         |  UNION ALL SELECT src, nbr FROM repruned
+         |  UNION ALL SELECT src, nbr FROM links),
+         |${medoidCtes("TRUE", "f_")},
+         |${walkRoundCtes(s"vec_id < ${gs.Nq}", "s_", gs.Ef.toString, "repaired", "f_medoid")}
+         |SELECT query_id, cand_id AS block_id FROM s_$graphVFinal
+         |WHERE cand_id % 17 <> 0
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY query_id ORDER BY dist, cand_id) <= 10
+         |ORDER BY query_id, block_id""".stripMargin
+    },
     // B35: exact kNN majority-vote classification (ties to the smaller
     // label) — the standard supervised index evaluation.
     "ann_knn_classify" ->

@@ -470,6 +470,54 @@ object GraphSearch {
       .orderBy("src", "nbr")
   }
 
+  /** B40 (r9): the maintained index SERVES — one maintenance cycle
+    * (B33 insert links + B33b reciprocal re-prune + B34 tombstones)
+    * composed into the graph hnswlib actually searches after
+    * add_items + markDelete: the base graph with every TOUCHED node's
+    * list replaced by its re-pruned version, plus the new nodes' own
+    * out-links. B33 checks where the links LAND; this key checks the
+    * repaired graph answers queries — new nodes are reachable (via the
+    * reciprocal edges) and returnable, tombstones stay navigable but
+    * out of results. Fully deterministic → oracle-replayable by
+    * composing the insert-walk CTEs with a second serving walk over
+    * the repaired edge relation.
+    */
+  def repairedGraph(spark: SparkSession, dir: String, ef: Int = Ef,
+                    rounds: Int = Rounds, gk: Int = GraphK,
+                    cells: Int = Cells): DataFrame =
+    graphCache.getOrElseUpdate(spark, (dir, gk, cells, "repaired")) {
+      val cutoff = insertCutoff(spark, dir)
+      val links = insertNeighbors(spark, dir, ef, rounds, gk, cells)
+      val repruned = insertReciprocalLinks(spark, dir, ef, rounds, gk, cells)
+      val touched = repruned.select("src").distinct()
+      val g = servingGraph(spark, dir, gk, cells, baseMax = cutoff)
+        .join(touched, Seq("src"), "left_anti") // touched lists replaced
+        .unionAll(repruned)
+        .unionAll(links.select(col("src"), col("nbr"))) // new nodes' out-links
+        .persist()
+      g.count()
+      g
+    }
+
+  def graphUpsertTopK(spark: SparkSession, dir: String, nq: Int = Nq,
+                      k: Int = 10, ef: Int = Ef, rounds: Int = Rounds,
+                      gk: Int = GraphK, cells: Int = Cells): DataFrame = {
+    val vis = visitedCache.getOrElseUpdate(
+      spark, (dir, s"upsert$nq", ef, rounds, gk, cells)) {
+      val queries = broadcast(Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < nq)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+      // seeds = FULL-corpus medoids (the maintained index covers the
+      // new nodes' cells too); tombstones stay in the traversal
+      buildVisited(spark, dir, queries, ef, rounds,
+        repairedGraph(spark, dir, ef, rounds, gk, cells),
+        cellMedoids(spark, dir, cells))
+    }
+    topOf(vis.filter(pmod(col("cand_id"), lit(17)) =!= 0), k)
+      .select(col("query_id"), col("cand_id").as("block_id"))
+      .orderBy("query_id", "block_id")
+  }
+
   /** A21 sweep users (r9): the reference's dynamic-partition benchmark
     * sweeps users, not one fixed principal
     * (test_dynamic_partition.py) — these three span structurally

@@ -226,6 +226,62 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(got.exists(_._2 >= cutoff), "no reverse edge survived the re-prune")
   }
 
+  test("upsert serving: the repaired graph answers queries (driver replay)") {
+    val sp = spark
+    val cutoff = GraphSearch.insertCutoff(sp, sf)
+    val got = GraphSearch.graphUpsertTopK(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall(_._2 % 17 != 0), "tombstones must stay out of results")
+    // driver reference: compose links + re-pruned lists into the
+    // repaired adjacency, then the standard walk from FULL medoids
+    val links = GraphSearch.insertNeighbors(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val repruned = GraphSearch.insertReciprocalLinks(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val touched = repruned.map(_._1).toSet
+    val (_, medoids, undBase) = referenceWalk(Some(cutoff))
+    val adj: Map[Long, Set[Long]] =
+      (undBase.view.filterKeys(!touched(_)).toMap.view.mapValues(_.toSet).toMap
+        ++ repruned.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        ++ links.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    // serving seeds are FULL-corpus medoids (new nodes' cells covered)
+    val (_, fullMedoids, _) = referenceWalk()
+    val emb = Tables.embeddings(sp, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val expect = (0L until GraphSearch.Nq.toLong).flatMap { q =>
+      val qv = emb(q)
+      var visited = fullMedoids.filter(_ != q).map(m => m -> l2(emb(m), qv)).toMap
+      for (_ <- 1 to GraphSearch.Rounds) {
+        val beam = visited.toSeq.sortBy { case (id, d) => (d, id) }
+          .take(GraphSearch.Ef).map(_._1)
+        val fresh = beam.flatMap(b => adj.getOrElse(b, Set.empty))
+          .toSet -- visited.keySet - q
+        visited = visited ++ fresh.map(f => f -> l2(emb(f), qv))
+      }
+      visited.toSeq.filter(_._1 % 17 != 0)
+        .sortBy { case (id, d) => (d, id) }.take(10).map(c => (q, c._1))
+    }.toSet
+    assert(got.toSet == expect,
+      s"upsert walk diverged: only-engine=${got.toSet -- expect} only-ref=${expect -- got.toSet}")
+    assert(medoids.nonEmpty) // base medoids existed for the insert half
+    // the repair is WHY new nodes serve: reciprocal edges make them
+    // reachable — at least one new node must appear in some result or
+    // in the walk's reachable set (near-isotropic data: check visited)
+    val newReached = (0L until GraphSearch.Nq.toLong).exists { q =>
+      val qv = emb(q)
+      var visited = fullMedoids.filter(_ != q).map(m => m -> l2(emb(m), qv)).toMap
+      for (_ <- 1 to GraphSearch.Rounds) {
+        val beam = visited.toSeq.sortBy { case (id, d) => (d, id) }
+          .take(GraphSearch.Ef).map(_._1)
+        val fresh = beam.flatMap(b => adj.getOrElse(b, Set.empty))
+          .toSet -- visited.keySet - q
+        visited = visited ++ fresh.map(f => f -> l2(emb(f), qv))
+      }
+      visited.keys.exists(_ >= cutoff)
+    }
+    assert(newReached, "no new node is reachable through the repaired graph")
+  }
+
   test("A21 routed-partition graph serving equals the driver walk over the member set") {
     val sp = spark
     // the member derivation is A7's (oracle-checked there): the user's
