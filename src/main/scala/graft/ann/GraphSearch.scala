@@ -445,19 +445,20 @@ object GraphSearch {
     * full-graph rebuild. Deterministic given the base graph → fully
     * oracle-replayable (the insert-walk CTEs extended by the re-prune).
     */
-  def insertReciprocalLinks(spark: SparkSession, dir: String, ef: Int = Ef,
-                            rounds: Int = Rounds, gk: Int = GraphK,
-                            cells: Int = Cells): DataFrame = {
-    val cutoff = insertCutoff(spark, dir)
-    val links = insertNeighbors(spark, dir, ef, rounds, gk, cells)
+  /** The re-pruned adjacency of the nodes TOUCHED by `links` (reverse
+    * edges unioned into their current lists, ranked by (distance, nbr),
+    * capped at 2·gk). Every id must resolve in the corpus table (the
+    * distance attach is a vec_id equi-join). Base edges and reverse
+    * edges are disjoint by construction (a node never lists a vector
+    * that links TO it in the same batch — links point outward), and
+    * `links` rows are unique per (query, cand) — plain unionAll adds
+    * no duplicates. Shared by B33b, B40, and G18's per-batch repair.
+    */
+  private def repruneTouched(spark: SparkSession, dir: String, g: DataFrame,
+                             links: DataFrame, gk: Int): DataFrame = {
     val rev = links.select(col("nbr").as("src"), col("src").as("nbr"))
     val touched = rev.select("src").distinct()
-    // base edges end < cutoff, reverse edges end >= cutoff: disjoint
-    // sets, and `links` rows are unique per (query, cand) — a plain
-    // unionAll introduces no duplicates
-    val cand = servingGraph(spark, dir, gk, cells, baseMax = cutoff)
-      .join(touched, Seq("src"), "left_semi")
-      .unionAll(rev)
+    val cand = g.join(touched, Seq("src"), "left_semi").unionAll(rev)
     val e = Tables.embeddings(spark, dir)
     val w = Window.partitionBy("src").orderBy(col("dist"), col("nbr"))
     cand
@@ -467,6 +468,27 @@ object GraphSearch {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2 * gk)
       .select("src", "nbr")
+  }
+
+  /** One full repair: `g` with every touched node's list replaced by
+    * its re-pruned version, plus the new nodes' own out-links — the
+    * graph hnswlib serves after add_items. Shared by B40 and G18.
+    */
+  private[graft] def repairEdges(spark: SparkSession, dir: String, g: DataFrame,
+                                 links: DataFrame, gk: Int = GraphK): DataFrame = {
+    val touched = links.select(col("nbr").as("src")).distinct()
+    g.join(touched, Seq("src"), "left_anti")
+      .unionAll(repruneTouched(spark, dir, g, links, gk))
+      .unionAll(links.select(col("src"), col("nbr")))
+  }
+
+  def insertReciprocalLinks(spark: SparkSession, dir: String, ef: Int = Ef,
+                            rounds: Int = Rounds, gk: Int = GraphK,
+                            cells: Int = Cells): DataFrame = {
+    val cutoff = insertCutoff(spark, dir)
+    val links = insertNeighbors(spark, dir, ef, rounds, gk, cells)
+    repruneTouched(spark, dir,
+      servingGraph(spark, dir, gk, cells, baseMax = cutoff), links, gk)
       .orderBy("src", "nbr")
   }
 
@@ -488,16 +510,35 @@ object GraphSearch {
     graphCache.getOrElseUpdate(spark, (dir, gk, cells, "repaired")) {
       val cutoff = insertCutoff(spark, dir)
       val links = insertNeighbors(spark, dir, ef, rounds, gk, cells)
-      val repruned = insertReciprocalLinks(spark, dir, ef, rounds, gk, cells)
-      val touched = repruned.select("src").distinct()
-      val g = servingGraph(spark, dir, gk, cells, baseMax = cutoff)
-        .join(touched, Seq("src"), "left_anti") // touched lists replaced
-        .unionAll(repruned)
-        .unionAll(links.select(col("src"), col("nbr"))) // new nodes' out-links
+      val g = repairEdges(spark, dir,
+        servingGraph(spark, dir, gk, cells, baseMax = cutoff), links, gk)
         .persist()
       g.count()
       g
     }
+
+  /** One incremental insert step for an ARBITRARY arriving batch
+    * (query_id, qvec) against a GIVEN current graph (G18's per-trigger
+    * unit; B33's fixed-tail key is this step applied once to the base
+    * graph): beam-walk the graph from the given seeds, link each new
+    * vector to its walk's top-gk, repair (reciprocal re-prune of the
+    * touched lists + the new out-links). Returns the repaired graph
+    * PERSISTED and materialized, all walk scratch released — the
+    * caller owns the swap (and must not unpersist a shared base it
+    * passed in). Every arriving id must resolve in the corpus table
+    * (the distance attaches are vec_id equi-joins).
+    */
+  def insertStep(spark: SparkSession, dir: String, g: DataFrame,
+                 medoids: DataFrame, batch: DataFrame, ef: Int = Ef,
+                 rounds: Int = Rounds, gk: Int = GraphK): DataFrame = {
+    val vis = buildVisited(spark, dir, broadcast(batch), ef, rounds, g, medoids)
+    val links = topOf(vis, gk)
+      .select(col("query_id").as("src"), col("cand_id").as("nbr"))
+    val next = repairEdges(spark, dir, g, links, gk).persist()
+    next.count()
+    vis.unpersist(blocking = true)
+    next
+  }
 
   def graphUpsertTopK(spark: SparkSession, dir: String, nq: Int = Nq,
                       k: Int = 10, ef: Int = Ef, rounds: Int = Rounds,
