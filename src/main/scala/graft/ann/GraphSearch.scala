@@ -449,16 +449,19 @@ object GraphSearch {
     * edges unioned into their current lists, ranked by (distance, nbr),
     * capped at 2·gk). Every id must resolve in the corpus table (the
     * distance attach is a vec_id equi-join). Base edges and reverse
-    * edges are disjoint by construction (a node never lists a vector
-    * that links TO it in the same batch — links point outward), and
-    * `links` rows are unique per (query, cand) — plain unionAll adds
-    * no duplicates. Shared by B33b, B40, and G18's per-batch repair.
+    * edges and reverse edges are deduplicated before ranking: on a
+    * RE-insert a touched node's current list may already carry the
+    * reverse edge from the batch node's previous insertion, and a
+    * duplicate (src, nbr) row would occupy two window ranks — the
+    * distinct (over a touched-bounded set, never corpus-sized) makes
+    * the re-prune idempotent. Shared by B33b, B40, and G18's
+    * per-batch repair.
     */
   private def repruneTouched(spark: SparkSession, dir: String, g: DataFrame,
                              links: DataFrame, gk: Int): DataFrame = {
     val rev = links.select(col("nbr").as("src"), col("src").as("nbr"))
     val touched = rev.select("src").distinct()
-    val cand = g.join(touched, Seq("src"), "left_semi").unionAll(rev)
+    val cand = g.join(touched, Seq("src"), "left_semi").unionAll(rev).distinct()
     val e = Tables.embeddings(spark, dir)
     val w = Window.partitionBy("src").orderBy(col("dist"), col("nbr"))
     cand
@@ -473,12 +476,28 @@ object GraphSearch {
   /** One full repair: `g` with every touched node's list replaced by
     * its re-pruned version, plus the new nodes' own out-links — the
     * graph hnswlib serves after add_items. Shared by B40 and G18.
+    *
+    * RE-insert safe: any out-links the batch's src ids already hold in
+    * `g` (a node inserted before arriving again) are dropped first, so
+    * the new links REPLACE the old list instead of accumulating beside
+    * it — without this anti-join a re-inserted node's adjacency would
+    * carry duplicate edges and exceed the 2·gk cap. Together with
+    * repruneTouched's dedup this makes the repair idempotent:
+    * repairEdges(repairEdges(g, links), links) == repairEdges(g, links)
+    * exactly (spec-pinned).
     */
   private[graft] def repairEdges(spark: SparkSession, dir: String, g: DataFrame,
                                  links: DataFrame, gk: Int = GraphK): DataFrame = {
+    val srcs = links.select("src").distinct()
+    val base = g.join(srcs, Seq("src"), "left_anti")
     val touched = links.select(col("nbr").as("src")).distinct()
-    g.join(touched, Seq("src"), "left_anti")
-      .unionAll(repruneTouched(spark, dir, g, links, gk))
+    // batch srcs' adjacency comes ONLY from `links` — a re-inserted
+    // node that is itself a walk result of another re-insert would
+    // otherwise appear in BOTH the re-pruned reverse edges and its own
+    // out-links; the three unioned relations are disjoint by src
+    base.join(touched, Seq("src"), "left_anti")
+      .unionAll(repruneTouched(spark, dir, base, links, gk)
+        .join(srcs, Seq("src"), "left_anti"))
       .unionAll(links.select(col("src"), col("nbr")))
   }
 
@@ -507,7 +526,11 @@ object GraphSearch {
   def repairedGraph(spark: SparkSession, dir: String, ef: Int = Ef,
                     rounds: Int = Rounds, gk: Int = GraphK,
                     cells: Int = Cells): DataFrame =
-    graphCache.getOrElseUpdate(spark, (dir, gk, cells, "repaired")) {
+    // the cache tag must carry EVERY parameter the built edges depend
+    // on: insertNeighbors walks with (ef, rounds), so two callers with
+    // different walk parameters must get DIFFERENT repaired graphs
+    // (the r8 alpha-in-key lesson, re-applied to r9's own cache)
+    graphCache.getOrElseUpdate(spark, (dir, gk, cells, s"repaired_e${ef}_r$rounds")) {
       val cutoff = insertCutoff(spark, dir)
       val links = insertNeighbors(spark, dir, ef, rounds, gk, cells)
       val g = repairEdges(spark, dir,

@@ -108,4 +108,95 @@ object VectorStream {
       }
       .start()
   }
+
+  /** G18's live graph state: the current serving graph under streaming
+    * maintenance, swapped atomically per trigger. The initial graph is
+    * the session-cached base (NOT stream-owned — never unpersisted
+    * here); every subsequent graph is owned by the stream, and the
+    * superseded one is released (blocking) on swap, so at any moment
+    * the stream holds at most ONE persisted graph beyond the shared
+    * base. `triggerBatches` records each trigger's sorted vec_ids —
+    * the audit log a spec (or an at-scale replayer) uses to recompose
+    * the exact same insert sequence in batch mode; each entry is
+    * micro-batch-bounded, never corpus-sized.
+    */
+  final class GraphInsertHandle private[streaming] (base: DataFrame) {
+    private val ref =
+      new java.util.concurrent.atomic.AtomicReference[(DataFrame, Boolean)]((base, false))
+    private val log = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]
+    def currentGraph: DataFrame = ref.get._1
+    def triggerBatches: Seq[Seq[Long]] = {
+      import scala.jdk.CollectionConverters._
+      log.asScala.toSeq
+    }
+    private[streaming] def record(ids: Seq[Long]): Unit = { log.add(ids); () }
+    private[streaming] def swap(next: DataFrame): Unit = {
+      val (old, owned) = ref.getAndSet((next, true))
+      if (owned) old.unpersist(blocking = true)
+    }
+    /** Release the stream-owned graph (test/shutdown hygiene); the
+      * shared session base is never touched.
+      */
+    def release(): Unit = {
+      val (old, owned) = ref.getAndSet((null, false))
+      if (owned) old.unpersist(blocking = true)
+    }
+  }
+
+  /** G18: streaming incremental graph INSERTION — the maintenance half
+    * of the reference's insert-then-search loop (hnswlib `add_items`,
+    * hnswalg.h addPoint + mutuallyConnectNewElement, run as a live
+    * stream; G17 serves, G18 maintains). Arriving vectors land in
+    * micro-batches; each trigger beam-walks the CURRENT graph for the
+    * batch (`GraphSearch.insertStep`: link each new vector to its
+    * walk's top-gk, reciprocal re-prune of the touched lists), then
+    * swaps the repaired graph into the handle — so a concurrent reader
+    * (G17's server) always sees a complete, materialized graph, never
+    * a half-repaired one. Seeds stay the base-prefix medoids (hnswlib's
+    * fixed entry point). Per-trigger cost is batch-bounded: one walk
+    * (rounds frontier joins over nq=|batch| queries) + one
+    * touched-set-bounded repair; the superseded graph is released on
+    * swap. Every arriving vec_id must resolve in the corpus table (the
+    * distance attaches are equi-joins); re-arrival of an id already in
+    * the graph is safe — repairEdges replaces its list (spec-pinned
+    * idempotence). The drained stream's final graph is asserted EXACTLY
+    * equal to the batch composition of the same trigger sequence.
+    */
+  def graphInsertStream(spark: SparkSession, dir: String, vecDir: String,
+                        checkpoint: String, ef: Int = graft.ann.GraphSearch.Ef,
+                        rounds: Int = graft.ann.GraphSearch.Rounds,
+                        gk: Int = graft.ann.GraphSearch.GraphK,
+                        cells: Int = graft.ann.GraphSearch.Cells)
+      : (org.apache.spark.sql.streaming.StreamingQuery, GraphInsertHandle) = {
+    import graft.ann.GraphSearch
+    val cutoff = GraphSearch.insertCutoff(spark, dir)
+    val base = GraphSearch.servingGraph(spark, dir, gk, cells, baseMax = cutoff)
+    val medoids = GraphSearch.cellMedoids(spark, dir, cells, baseMax = cutoff)
+    val handle = new GraphInsertHandle(base)
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1) // one arriving file = one insert trigger
+      .parquet(vecDir)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // one snapshot of the micro-batch feeds both the audit log
+          // and the walk (a FileStreamSource batch re-reads its files
+          // per action otherwise); micro-batch-bounded, so the id
+          // collect is a bounded driver list, not a data collect
+          val b = batch.persist()
+          val ids = b.select("query_id").collect().map(_.getLong(0)).sorted.toSeq
+          val next = GraphSearch.insertStep(
+            spark, dir, handle.currentGraph, medoids, b, ef, rounds, gk)
+          handle.record(ids)
+          handle.swap(next)
+          b.unpersist(blocking = true)
+        }
+        ()
+      }
+      .start()
+    (q, handle)
+  }
 }

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.GraphSearch
+
+/** Round-10 pins: the repairedGraph cache keys on every parameter the
+  * edges depend on (the r8 alpha-in-key lesson re-applied), repairEdges
+  * is idempotent / re-insert-safe, and G18's streaming graph insertion
+  * equals the batch composition of the same trigger sequence exactly.
+  */
+class Round10Spec extends AnyFunSuite {
+  import SparkTest._
+
+  private def edgesOf(g: DataFrame): Seq[(Long, Long)] =
+    g.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("repairedGraph cache keys on (ef, rounds): non-default walk params build a distinct graph") {
+    val sp = spark
+    val g1 = GraphSearch.repairedGraph(sp, sf)
+    val g2 = GraphSearch.repairedGraph(sp, sf, ef = 2, rounds = 1)
+    assert(g1 ne g2,
+      "non-default (ef, rounds) must miss the default-key cache entry")
+    // the tiny beam links new nodes to worse neighbors — the repaired
+    // edge sets genuinely differ, so serving the wrong cache entry
+    // would be a silent correctness bug, not a perf detail
+    assert(edgesOf(g1) != edgesOf(g2),
+      "ef=2/rounds=1 must repair the graph differently than ef=64/rounds=5")
+    // same params → same cached instance (the cache still caches)
+    assert(GraphSearch.repairedGraph(sp, sf) eq g1)
+  }
+
+  test("repairEdges is idempotent: a re-applied batch replaces lists, never duplicates them") {
+    val sp = spark
+    val cutoff = GraphSearch.insertCutoff(sp, sf)
+    val base = GraphSearch.servingGraph(sp, sf, baseMax = cutoff)
+    val links = GraphSearch.insertNeighbors(sp, sf)
+      .select(col("src"), col("nbr"))
+    val g1 = GraphSearch.repairEdges(sp, sf, base, links)
+    val e1 = edgesOf(g1)
+    // no duplicate (src, nbr) rows in the repaired relation
+    assert(e1.distinct.size == e1.size, "repaired graph carries duplicate edges")
+    // degree caps: every node ≤ 2·gk; batch srcs exactly gk out-links
+    val deg = e1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(deg.values.forall(_ <= 2 * GraphSearch.GraphK))
+    val srcIds = links.select("src").distinct().collect().map(_.getLong(0)).toSet
+    assert(srcIds.forall(s => deg(s) == GraphSearch.GraphK))
+    // the RE-insert: apply the same batch to the already-repaired graph
+    // — under the pre-r10 code the srcs' old out-links survive beside
+    // the new ones (duplicate edges, lists beyond the cap); fixed, the
+    // repair is exactly idempotent
+    val e2 = edgesOf(GraphSearch.repairEdges(sp, sf, g1, links))
+    assert(e2 == e1, "repairEdges(repairEdges(g, links), links) must equal repairEdges(g, links)")
+  }
+
+  /** Stage `df` as ONE parquet file at `target` (an arriving batch file
+    * for the FileStreamSource watch dir).
+    */
+  private def stageOne(df: DataFrame, scratch: String, target: java.nio.file.Path): Unit = {
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(target.getParent)
+    java.nio.file.Files.move(part.toPath, target)
+  }
+
+  test("G18 streaming graph insertion equals the batch composition of its trigger sequence") {
+    val sp = spark
+    val cutoff = GraphSearch.insertCutoff(sp, sf)
+    val tailIds = (cutoff until cutoff + GraphSearch.InsertTail).toSet
+    val half = cutoff + GraphSearch.InsertTail / 2
+    val tmp = java.nio.file.Files.createTempDirectory("g18_").toString
+    val tail = Tables.embeddings(sp, sf).filter(col("vec_id") >= cutoff)
+    stageOne(tail.filter(col("vec_id") < half), s"$tmp/s0",
+      java.nio.file.Paths.get(tmp, "vecs", "b0.parquet"))
+    stageOne(tail.filter(col("vec_id") >= half), s"$tmp/s1",
+      java.nio.file.Paths.get(tmp, "vecs", "b1.parquet"))
+    // warm the base index state the stream reads (graph + medoids are
+    // session-cached index builds, not per-trigger work) so the
+    // persisted-block accounting below isolates STREAM-owned state
+    val base = GraphSearch.servingGraph(sp, sf, baseMax = cutoff)
+    val medoids = GraphSearch.cellMedoids(sp, sf, baseMax = cutoff)
+    val n0 = sp.sparkContext.getPersistentRDDs.size
+
+    val (q, h) = graft.streaming.VectorStream.graphInsertStream(
+      sp, sf, s"$tmp/vecs", s"$tmp/ckpt")
+    q.awaitTermination()
+
+    // trigger accounting: one file per trigger, every tail id exactly once
+    assert(h.triggerBatches.size == 2, s"expected 2 triggers, got ${h.triggerBatches.size}")
+    assert(h.triggerBatches.flatMap(identity).toSet == tailIds)
+    assert(h.triggerBatches.map(_.size).sum == GraphSearch.InsertTail)
+    // per-trigger state release: after draining, the stream owns
+    // exactly ONE persisted graph (the current one) beyond the base
+    assert(sp.sparkContext.getPersistentRDDs.size == n0 + 1,
+      "each trigger must release the superseded graph on swap")
+
+    // batch replay of the SAME trigger sequence: sequential insertStep
+    // from the base graph must land on the identical edge relation
+    var g: DataFrame = base
+    for (ids <- h.triggerBatches) {
+      val batch = Tables.embeddings(sp, sf)
+        .filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val next = GraphSearch.insertStep(sp, sf, g, medoids, batch)
+      if (g ne base) g.unpersist(blocking = true)
+      g = next
+    }
+    val want = edgesOf(g)
+    val got = edgesOf(h.currentGraph)
+    assert(got == want, "drained stream graph must equal the batch composition exactly")
+    // the maintained graph is a valid index: every inserted node holds
+    // at least its own gk out-links (an earlier trigger's node gains
+    // reciprocal edges when a later trigger links to it — bounded by
+    // the 2·gk cap) and is reachable via a reciprocal edge
+    val bySrc = got.groupBy(_._1)
+    assert(tailIds.forall(id => bySrc.get(id).exists(s =>
+      s.size >= GraphSearch.GraphK && s.size <= 2 * GraphSearch.GraphK)))
+    val reachable = got.collect { case (s, n) if tailIds(n) => n }.toSet
+    assert(reachable.nonEmpty, "no inserted node is reachable from the base graph")
+    // release hygiene: dropping the replay graph and the stream's
+    // handle returns the session to the pre-stream persisted state
+    g.unpersist(blocking = true)
+    h.release()
+    assert(sp.sparkContext.getPersistentRDDs.size == n0)
+  }
+}
