@@ -42,14 +42,37 @@ object Bench {
     * and absolute times silently stopped being comparable).
     */
   private[graft] def dataFingerprint(dir: String): String = {
-    val d = new java.io.File(dir)
-    val stamp = Option(d.listFiles()).getOrElse(Array.empty)
-      .sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|")
+    val root = new java.io.File(dir)
+    // RECURSIVE walk (r10): a table stored as a parquet DIRECTORY can
+    // be rewritten in place without moving the parent entry's
+    // name/size/mtime — only the leaf files record the regeneration
+    def walk(f: java.io.File, rel: String): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .flatMap(c => walk(c, s"$rel/${c.getName}")).toSeq
+      else if (f.isFile) Seq(s"$rel:${f.length}:${f.lastModified}")
+      else Seq.empty // missing path: falls through to the sentinel
+    val entries = walk(root, "")
+    // a missing or empty dataset dir must NEVER hash to a
+    // plausible-looking digest (the empty string's digest would let
+    // cross-round tooling "match" two broken runs) — emit a sentinel
+    // that can't collide with a [0-9a-f]{16} digest
+    if (entries.isEmpty) return "EMPTY_DATASET"
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(stamp.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    md.digest(entries.mkString("|").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
   }
+
+  /** Cached partitions currently MISSING from persisted RDDs (evicted
+    * or not-yet-computed blocks). Sampled before each serial re-time:
+    * a serial row whose session cache was evicted re-times the
+    * RECOMPUTE, not the steady-state query — the r9 NND row (11.3 s
+    * vs the 0.46 s sibling) was only explainable by narrative; this
+    * makes it a recorded number in the artifact.
+    */
+  private def missingCachedPartitions(spark: SparkSession): Int =
+    spark.sparkContext.getRDDStorageInfo
+      .map(i => i.numPartitions - i.numCachedPartitions).sum
 
   def main(args: Array[String]): Unit = {
     // bench usually runs at a different SF than the oracle's Verify —
@@ -121,12 +144,35 @@ object Bench {
       // add time; the post-maintenance serving walk stays timed)
       graft.ann.GraphSearch.repairedGraph(spark, sfDir)
     } catch { case _: Throwable => () }
+    // load ceiling for a clean measurement window (round-8 lesson:
+    // rows taken at load 7-18 shipped numbers up to 43× off);
+    // overridable for the synthetic-load test harness
+    val loadMax = sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble)
+      .getOrElse(loadThreshold(cpus.toInt))
+    def loadNow(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // bounded wait for a quiet host before a measurement phase — give
+    // up after 120 s and let the phase's load stamp mark the run
+    def awaitQuietHost(): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (loadNow() > loadMax && System.nanoTime() < deadline) {
+        Thread.sleep(5000)
+      }
+    }
     // Overlap queries on a small pool: a single local session leaves
     // cores idle during per-query driver phases (planning, codegen,
     // stage boundaries); concurrent submission is how a real workload
     // runs. value = wall-clock for the whole workload; per-query
     // seconds are reported individually (measured under that
     // concurrency).
+    //
+    // The concurrent wall gets the same fence the serial phase got in
+    // r9: wait for a quiet host first (r9's headline wall was taken at
+    // load 17 — noise, not signal), stamp the PRE-phase load, and flag
+    // the whole phase suspect when the wait gave up on a loaded box.
+    awaitQuietHost()
+    val loadPre = loadNow()
+    val concurrentSuspect = loadPre > loadMax
     val poolSize = sys.env.getOrElse("SPARK_GRAFT_POOL", "8").toInt
     val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -151,8 +197,7 @@ object Bench {
     // similar machine load — record it so a reader can tell a
     // regression from a loaded box (round-2 lesson), and optionally
     // re-time the heaviest queries serially (no pool overlap)
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadAvg = loadNow()
     // serial re-times are ON by default (SPARK_GRAFT_SERIAL=off to
     // skip): the shared host intermittently collapses under
     // multi-job concurrency (SKEW.md round-5 — identical binaries vary
@@ -175,12 +220,12 @@ object Bench {
         "full"
     }
     val serialKey = if (serialMode == "full") "serial_full" else "serial_heavy"
-    // load ceiling for a clean serial row (round-8 lesson: rows taken
-    // at load 7-18 shipped numbers up to 43× off); overridable for the
-    // synthetic-load test harness
-    val loadMax = sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble)
-      .getOrElse(loadThreshold(cpus.toInt))
+    // per-key recompute visibility: cached partitions missing from the
+    // session's persisted RDDs going INTO each re-time — a nonzero
+    // value means the row timed a cache recompute, not steady state
+    val serialMissing = scala.collection.concurrent.TrieMap.empty[String, Int]
     def retimeOnce(name: String): (String, Double, Double, Option[String]) = {
+      serialMissing.put(name, missingCachedPartitions(spark))
       val t0 = System.nanoTime()
       // same rule as the concurrent pass: a failure must surface as
       // a failure, never as a fast-looking number
@@ -189,9 +234,7 @@ object Bench {
       // load sampled at the END of each re-time: lets a cross-round
       // per-query diff drop numbers taken in a bad host window
       // (SKEW.md round-5) mechanically instead of by narrative
-      val load = java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-      (name, (System.nanoTime() - t0) / 1e9, load, err)
+      (name, (System.nanoTime() - t0) / 1e9, loadNow(), err)
     }
     def retime(names: Seq[String]): Seq[(String, Double, Double, Option[String])] =
       names.map { name =>
@@ -207,18 +250,9 @@ object Bench {
       }
     // The serial phase starts the moment the pool drains, while the
     // 1-min load average still carries the concurrent burst (~60 s
-    // decay) — without this wait the alphabetically-first rows are
-    // quarantined SYSTEMATICALLY (observed: 23 early ann_* rows
-    // suspect on an otherwise quiet host). Bounded: give up after
-    // 120 s and let the per-row fence handle a genuinely loaded box.
-    def awaitQuietHost(): Unit = {
-      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-      while (java.lang.management.ManagementFactory
-               .getOperatingSystemMXBean.getSystemLoadAverage > loadMax &&
-             System.nanoTime() < deadline) {
-        Thread.sleep(5000)
-      }
-    }
+    // decay) — without the quiet-host wait the alphabetically-first
+    // rows are quarantined SYSTEMATICALLY (observed: 23 early ann_*
+    // rows suspect on an otherwise quiet host).
     val serialTimes: Option[Seq[(String, Double, Double, Option[String])]] = serialMode match {
       case "off"  => None
       case "full" => awaitQuietHost(); Some(retime(results.map(_._1).sorted))
@@ -241,7 +275,13 @@ object Bench {
       val serr = timed.collect { case (n, _, _, Some(e)) =>
         "\"" + n + "\":\"" + jsonEscape(e) + "\"" }
         .mkString("{", ",", "}")
-      s""","$serialKey":$ok,"serial_suspect":$sus,"serial_load_max":$loadMax,"serial_load_1m":$loads,"serial_errors":$serr"""
+      // recompute visibility: cached partitions missing going INTO each
+      // re-time (nonzero = the row timed a session-cache recompute, not
+      // steady state — r9's 11.3 s NND row vs its 0.46 s sibling)
+      val miss = timed.map { case (n, _, _, _) =>
+        "\"" + n + "\":" + serialMissing.getOrElse(n, 0) }
+        .mkString("{", ",", "}")
+      s""","$serialKey":$ok,"serial_suspect":$sus,"serial_load_max":$loadMax,"serial_load_1m":$loads,"serial_cached_missing":$miss,"serial_errors":$serr"""
     }.getOrElse("")
     val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -253,7 +293,7 @@ object Bench {
     val fp = dataFingerprint(sfDir)
     // "total_full", not "total": exactly ONE stdout line may carry
     // metric=total or a consumer keying on it would double-count runs
-    val fullLine = s"""{"metric":"total_full","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}"}"""
+    val fullLine = s"""{"metric":"total_full","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"concurrent_load_pre":$loadPre,"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}"}"""
     // The harness that collects this output keeps only the LAST ~2000
     // characters of stdout; the full per-query line above is longer than
     // that, so a consumer parsing the tail never sees its start. Emit
@@ -292,7 +332,7 @@ object Bench {
       s""","$serialKey":$ok,"n_serial_suspect":${suspect.size}""" +
         (if (bad == "{}") "" else s""","serial_errors":$bad""")
     }.getOrElse("")
-    println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":$top,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"load_avg_1m":${r3(loadAvg)},"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialCompact,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}","full":"${jsonEscape(sideName)}"}""")
+    println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":$top,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"load_avg_1m":${r3(loadAvg)},"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialCompact,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}","full":"${jsonEscape(sideName)}"}""")
     if (results.exists(_._3.isDefined)) System.err.println(
       s"BENCH ERRORS: ${results.count(_._3.isDefined)} queries failed")
     spark.stop()

@@ -3,7 +3,7 @@ package graft.ann
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.Tables
+import graft.{PlanCut, Tables}
 import graft.functions.vector._
 import graft.operators.TopKAgg.{topk_ids, topk_kth}
 
@@ -264,13 +264,16 @@ object Ann {
       .groupBy("src")
       .agg(topk_ids(l2_dist(col("ea"), col("eb")), col("dst"), kk).as("ids"))
       .select(col("src"), explode(col("ids")).as("dst"))
-    // persist each round's edge list: it feeds the next round several
-    // times (forward + reverse + new-edge anti-join) and would otherwise
-    // re-execute the whole prefix per use; on a cluster this is a
-    // checkpoint of the edges. Rounds older than the one still feeding
-    // the anti-join are unpersisted as soon as the next materializes.
-    var graph = rerank(sameCell.union(longRange).distinct(), bigK).persist()
-    graph.count()
+    // checkpoint each round's edge list (persist + lineage rebase,
+    // PlanCut): it feeds the next round several times (forward +
+    // reverse + new-edge anti-join), and WITHOUT the rebase the
+    // logical plan multiplies ~7× per round — plan ANALYSIS, not
+    // execution, dominated every downstream action (r10: the NND
+    // serving stack paid ~7 s/action of pure driver analysis at
+    // sf0.001). Rounds older than the one still feeding the anti-join
+    // are unpersisted as soon as the next materializes.
+    var graph = PlanCut.checkpointed(spark,
+      rerank(sameCell.union(longRange).distinct(), bigK))
     var prev: Option[DataFrame] = None // previous round's graph
     val rho10 = math.max(1, math.round(rho * 10).toInt)
     for (rr <- 1 to iters) {
@@ -306,16 +309,16 @@ object Ann {
         .distinct()
       if (collectStats && rr == iters)
         descentCandStats((dir, k, iters, cells, (rho * 100).toInt)) = cand.count()
-      val next = rerank(cand, bigK).persist()
-      next.count() // materialize before releasing the round it was built from
+      // materialized (and lineage-cut) before releasing the round it
+      // was built from
+      val next = PlanCut.checkpointed(spark, rerank(cand, bigK))
       prev.foreach(_.unpersist()) // no longer feeds any computation
       prev = Some(graph)
       graph = next
     }
-    val out = rerank(graph, k) // project the working graph down to top-k
-      .select(col("src"), col("dst").as("nbr")).orderBy("src", "nbr")
-      .persist()
-    out.count()
+    val out = PlanCut.checkpointed(spark,
+      rerank(graph, k) // project the working graph down to top-k
+        .select(col("src"), col("dst").as("nbr")).orderBy("src", "nbr"))
     prev.foreach(_.unpersist())
     graph.unpersist()
     out

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.Tables
+import graft.{PlanCut, Tables}
 import graft.functions.vector._
 
 /** B31/B32: batch graph-walk ANN serving — the Spark re-expression of
@@ -115,9 +115,11 @@ object GraphSearch {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 2 * gk)
         .select("src", "nbr")
-        .persist()
-      und.count()
-      und
+      // lineage-cut (r10): the edge set is referenced once per walk
+      // round and composed by the repair family — without the rebase
+      // every consumer re-pays plan analysis of the whole build tree
+      // (ruinous for the NND build, whose plan grows per descent round)
+      PlanCut.checkpointed(spark, und)
   }
 
   /** Entry points: for every non-empty IVF cell, the member closest to
@@ -243,8 +245,10 @@ object GraphSearch {
         stale.foreach(_.unpersist(blocking = true))
         return last
       }
-      val out = last.persist()
-      out.count()
+      // final round lineage-cut too: every serving key re-ranks this
+      // frame per action (topOf windows), and without the rebase each
+      // action re-analyzes the last round's plan (queries + edges tree)
+      val out = PlanCut.checkpointed(spark, last)
       stale.foreach(_.unpersist(blocking = true))
       out
   }
@@ -533,11 +537,8 @@ object GraphSearch {
     graphCache.getOrElseUpdate(spark, (dir, gk, cells, s"repaired_e${ef}_r$rounds")) {
       val cutoff = insertCutoff(spark, dir)
       val links = insertNeighbors(spark, dir, ef, rounds, gk, cells)
-      val g = repairEdges(spark, dir,
-        servingGraph(spark, dir, gk, cells, baseMax = cutoff), links, gk)
-        .persist()
-      g.count()
-      g
+      PlanCut.checkpointed(spark, repairEdges(spark, dir,
+        servingGraph(spark, dir, gk, cells, baseMax = cutoff), links, gk))
     }
 
   /** One incremental insert step for an ARBITRARY arriving batch
@@ -557,8 +558,10 @@ object GraphSearch {
     val vis = buildVisited(spark, dir, broadcast(batch), ef, rounds, g, medoids)
     val links = topOf(vis, gk)
       .select(col("query_id").as("src"), col("cand_id").as("nbr"))
-    val next = repairEdges(spark, dir, g, links, gk).persist()
-    next.count()
+    // lineage-cut, not just persist: each G18 trigger's graph embeds
+    // the previous trigger's plan several times — over a long-running
+    // maintenance stream the un-rebased plan would grow without bound
+    val next = PlanCut.checkpointed(spark, repairEdges(spark, dir, g, links, gk))
     vis.unpersist(blocking = true)
     next
   }

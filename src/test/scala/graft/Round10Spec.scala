@@ -55,6 +55,25 @@ class Round10Spec extends AnyFunSuite {
     assert(e2 == e1, "repairEdges(repairEdges(g, links), links) must equal repairEdges(g, links)")
   }
 
+  test("data fingerprint walks nested table dirs and refuses an empty dataset") {
+    val dir = java.nio.file.Files.createTempDirectory("fp10_").toFile
+    // an empty (or missing) dataset dir must never hash to a
+    // plausible digest a cross-round diff could "match"
+    assert(Bench.dataFingerprint(dir.toString) == "EMPTY_DATASET")
+    assert(Bench.dataFingerprint(new java.io.File(dir, "nope").toString) == "EMPTY_DATASET")
+    // a table stored as a parquet DIRECTORY: rewriting a leaf file in
+    // place (same parent entry name) must move the fingerprint
+    val tdir = new java.io.File(dir, "lineitem.parquet")
+    tdir.mkdirs()
+    val leaf = new java.io.File(tdir, "part-00000.parquet")
+    java.nio.file.Files.write(leaf.toPath, "v1".getBytes)
+    val fp0 = Bench.dataFingerprint(dir.toString)
+    assert(fp0.matches("[0-9a-f]{16}"))
+    java.nio.file.Files.write(leaf.toPath, "v2v2".getBytes)
+    assert(Bench.dataFingerprint(dir.toString) != fp0,
+      "a nested leaf rewrite must move the fingerprint")
+  }
+
   /** Stage `df` as ONE parquet file at `target` (an arriving batch file
     * for the FileStreamSource watch dir).
     */
