@@ -83,6 +83,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bounded-heap aggregates (topk_ids/topk_kth) must stay on the
+      // ObjectHashAggregate hash path: the default sort-based fallback
+      // (128 keys) SORTS the full candidate-pair stream - at 10x scale
+      // that spilled >79 GB on a count whose hash state is kilobytes
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

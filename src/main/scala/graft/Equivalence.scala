@@ -24,6 +24,11 @@ object Equivalence {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bounded-heap aggregates (topk_ids/topk_kth) must stay on the
+      // ObjectHashAggregate hash path: the default sort-based fallback
+      // (128 keys) SORTS the full candidate-pair stream - at 10x scale
+      // that spilled >79 GB on a count whose hash state is kilobytes
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

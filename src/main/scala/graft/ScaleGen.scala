@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bench-only scaled-dataset generator (round 10): every 100× design
+  * claim in CALIBRATION/PLANS was argued from plan shapes at N=2000
+  * vectors; this main materializes a `factor`× dataset so the scaling
+  * EXPONENTS can be measured instead of argued.
+  *
+  * Scaling scheme (deterministic — seeded arithmetic on ids, no
+  * entropy source, so re-runs are byte-stable):
+  *   - `embeddings`: the source corpus is measured isotropic on the
+  *     unit sphere (coord std = 1/√64, label-geometry correlation
+  *     ~zero, 1-NN ≈ 1.09 vs mean pair 1.41), so the faithful 10× is
+  *     MORE samples of the same law: copy 0 = the source rows
+  *     verbatim, every other row a fresh hash-lane Box-Muller
+  *     Gaussian, normalized. (A first attempt perturbed source rows
+  *     by eps=0.05 — that manufactures 10-vector cliques whose exact
+  *     kNN graph disconnects into families and the serving walk
+  *     collapses; measured, rejected, documented in CALIBRATION.md.)
+  *     Labels ride along from source row j % N.
+  *   - `documents`: row j = source row (j % N) with a deterministic
+  *     per-copy suffix of `tag<j>` tokens — distinct doc_ids with high
+  *     shingle overlap inside each copy family, so near-dup candidate
+  *     volume grows with corpus size the way a crawl's does.
+  *   - every other table is copied as-is (the relational family's
+  *     scaling is standard Spark SQL, not what this dataset tests —
+  *     its keys still RUN at the scaled dir, but their times carry no
+  *     scale-exponent claim; CALIBRATION.md says so).
+  *
+  * NO DuckDB oracle runs at this scale (the oracle-cost bound is
+  * documented in SURVEY §7) — correctness is pinned at sf0.001/0.01/0.1;
+  * this dataset exists only for Bench and ScaleStats.
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <outDir> [factor=10]
+  */
+object ScaleGen {
+
+  /** SplitMix64 finalizer — the deterministic per-(row,lane) noise
+    * source (public-domain mixing constants, as used by
+    * java.util.SplittableRandom).
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform in (0, 1) from a hash lane (never exactly 0 — safe log). */
+  private def unit01(h: Long): Double =
+    ((h >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+
+  def scaleEmbeddings(spark: SparkSession, srcDir: String, factor: Int): DataFrame = {
+    val src = Tables.embeddings(spark, srcDir)
+      .select("vec_id", "embedding", "label")
+    val n = src.count()
+    val copies = spark.range(factor.toLong).toDF("copy")
+    val gen = udf { (vecId: Long, copy: Long, emb: Seq[Float]) =>
+      if (copy == 0) emb.toArray // source corpus = strict subset
+      else {
+        val j = copy * n + vecId
+        val out = new Array[Float](emb.length)
+        var i = 0
+        var norm = 0.0
+        while (i < out.length) {
+          // Box-Muller from two hash lanes: exact i.i.d. N(0,1) per
+          // coordinate → exactly isotropic direction after normalize
+          val u1 = unit01(mix64(j * 131 + 2 * i))
+          val u2 = unit01(mix64(j * 131 + 2 * i + 1))
+          val z = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+          out(i) = z.toFloat
+          norm += z * z
+          i += 1
+        }
+        val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+        var k = 0
+        while (k < out.length) { out(k) = (out(k) * inv).toFloat; k += 1 }
+        out
+      }
+    }
+    src.crossJoin(broadcast(copies))
+      .select(
+        (col("copy") * n + col("vec_id")).as("vec_id"),
+        gen(col("vec_id"), col("copy"), col("embedding")).as("embedding"),
+        col("label"))
+  }
+
+  def scaleDocuments(spark: SparkSession, srcDir: String, factor: Int): DataFrame = {
+    val src = Tables.documents(spark, srcDir)
+    val n = src.count()
+    val copies = spark.range(factor.toLong).toDF("copy")
+    src.crossJoin(broadcast(copies))
+      .select(
+        (col("copy") * n + col("doc_id")).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" tag"),
+            (col("copy") * n + col("doc_id")).cast("string"),
+            lit(" tag"), col("copy").cast("string"))).as("text"),
+        col("lang"), col("source"),
+        when(col("copy") === 0, col("n_chars"))
+          .otherwise(col("n_chars") + lit(12)).as("n_chars"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outDir = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      // bounded-heap aggregates (topk_ids/topk_kth) must stay on the
+      // ObjectHashAggregate hash path: the default sort-based fallback
+      // (128 keys) SORTS the full candidate-pair stream - at 10x scale
+      // that spilled >79 GB on a count whose hash state is kilobytes
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    scaleEmbeddings(spark, srcDir, factor).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    scaleDocuments(spark, srcDir, factor).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val passthrough = Seq("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "events")
+    passthrough.foreach { t =>
+      val dst = java.nio.file.Paths.get(outDir, s"$t.parquet")
+      if (!java.nio.file.Files.exists(dst))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(srcDir, s"$t.parquet"), dst)
+    }
+    println(s"""{"scaled":"$outDir","factor":$factor,"embeddings":${
+      spark.read.parquet(s"$outDir/embeddings.parquet").count()},"documents":${
+      spark.read.parquet(s"$outDir/documents.parquet").count()}}""")
+    spark.stop()
+  }
+}

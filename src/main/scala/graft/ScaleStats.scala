@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-exponent measurement main (round 10): prints ONE JSON line of
+  * the engine's internal work volumes at a dataset dir, so running it
+  * at sf0.1 and the ScaleGen 10× dir turns every "this stays
+  * subquadratic / this fraction vanishes" claim into a measured
+  * exponent (CALIBRATION.md tables the ratios).
+  *
+  * Quantities (all counts of actual distributed work, not estimates):
+  *   - walk_visited: rows visited by the standing nq=8 serving walk —
+  *     the claim is the ABSOLUTE bound seeds + rounds·ef·2gk per query,
+  *     so visited/corpus must fall ~1/N as the corpus grows;
+  *   - knn_bound_pairs / knn_pruned_pairs: distance pairs of the exact
+  *     kNN build's two phases (same-cell bound, then lossless
+  *     cell-pruned re-rank) — the subquadratic-build claim;
+  *   - nnd_cand_rows: NN-Descent's last-round candidate rows — the
+  *     O(iters·k·N) local-join claim;
+  *   - lsh_cand_pairs / lsh_verified_pairs: MinHash-LSH band-collision
+  *     candidates and exact-verified near-dup pairs — the
+  *     banding-not-all-pairs claim.
+  *
+  * Usage: runMain graft.ScaleStats <dir>
+  */
+object ScaleStats {
+  def main(args: Array[String]): Unit = {
+    Sidecars.isolate("graft_scalestats_sidecars")
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      // bounded-heap aggregates (topk_ids/topk_kth) must stay on the
+      // ObjectHashAggregate hash path: the default sort-based fallback
+      // (128 keys) SORTS the full candidate-pair stream - at 10x scale
+      // that spilled >79 GB on a count whose hash state is kilobytes
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def stage[T](name: String)(f: => T): T = {
+      System.err.println(s"[scalestats] $name ...")
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(s"[scalestats] $name done ${(System.nanoTime() - t0) / 1e9}s")
+      r
+    }
+    val n = Tables.embeddings(spark, dir).count()
+    val d = Tables.documents(spark, dir).count()
+    val visited = stage("walk")(ann.GraphSearch.visited(spark, dir).count())
+    val (boundPairs, prunedPairs) = stage("knn_pairs")(
+      ann.Ann.knnCandidateCounts(spark, dir, ann.GraphSearch.GraphK, ann.GraphSearch.Cells))
+    stage("nnd")(ann.Ann.knnGraphDescent(spark, dir, ann.GraphSearch.GraphK,
+      iters = 2, cells = ann.GraphSearch.Cells, collectStats = true).count())
+    val nndCand = ann.Ann.descentCandStats(
+      (dir, ann.GraphSearch.GraphK, 2, ann.GraphSearch.Cells, 50))
+    val lshCand = stage("lsh_cand")(dedup.Dedup.lshCandidateCount(spark, dir))
+    val lshVerified = stage("lsh_verify")(dedup.Dedup.minhashLsh(spark, dir).count())
+    println(s"""{"dir":"$dir","n_embeddings":$n,"n_documents":$d,""" +
+      s""""walk_visited":$visited,"walk_nq":${ann.GraphSearch.Nq},""" +
+      s""""knn_bound_pairs":$boundPairs,"knn_pruned_pairs":$prunedPairs,""" +
+      s""""nnd_cand_rows":$nndCand,""" +
+      s""""lsh_cand_pairs":$lshCand,"lsh_verified_pairs":$lshVerified}""")
+    spark.stop()
+  }
+}

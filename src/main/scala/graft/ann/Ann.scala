@@ -169,6 +169,41 @@ object Ann {
       .select(col("src"), explode(col("ids")).as("nbr"))
   }
 
+  /** Distance-pair volume of the exact build's two phases —
+    * ScaleStats instrumentation for the r10 scale run (the counting
+    * jobs are measurement-only; production builds never run them):
+    * (same-cell bound pairs, post-pruning re-rank pairs). The re-rank
+    * count is what the "subquadratic via lossless cell pruning" claim
+    * is about — its growth exponent under a corpus scale-up is the
+    * measured fact CALIBRATION.md tables.
+    */
+  private[graft] def knnCandidateCounts(spark: SparkSession, dir: String,
+                                        k: Int, cells: Int): (Long, Long) = {
+    val idx = IvfIndex.getOrBuild(spark, dir, cells)
+    val e = IvfIndex.withCells(spark, dir, cells)
+    val radiiDf = broadcast(spark.createDataFrame(
+      IvfIndex.cellRadii(spark, dir, cells).toSeq).toDF("cell", "radius"))
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("cell"))
+    val b = e.select(col("vec_id").as("dst"), col("cell"))
+    val boundPairs = a.join(b, "cell").filter(col("src") =!= col("dst")).count()
+    val bound = e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("cell"))
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("cell")), "cell")
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src")
+      .agg(topk_kth(l2_dist(col("ea"), col("eb")), col("dst"), k).as("ub"))
+    val srcCells = a.join(bound, Seq("src"), "left")
+      .withColumn("ub", coalesce(col("ub"), lit(Double.PositiveInfinity)))
+      .select(col("src"), col("ub"),
+        posexplode(centroid_dists(col("ea"), idx.centroids)))
+      .withColumnRenamed("pos", "cell").withColumnRenamed("col", "dqc")
+      .join(radiiDf, "cell")
+      .filter(col("dqc") - col("radius") <= col("ub") + lit(1e-9))
+      .select(col("src"), col("cell"))
+    val prunedPairs = srcCells.join(b, "cell")
+      .filter(col("src") =!= col("dst")).count()
+    (boundPairs, prunedPairs)
+  }
+
   /** B27 `ann_knn_centrality`: PageRank over the exact kNN graph —
     * graph-based data selection (a vector central in the similarity
     * graph represents a dense semantic region; isolated low-rank

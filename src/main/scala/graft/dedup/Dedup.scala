@@ -74,6 +74,15 @@ object Dedup {
         sets, "s", threshold)
     }
 
+  /** LSH band-collision candidate volume (pre-verify) — ScaleStats
+    * instrumentation for the r10 scale run: the "banding keeps
+    * candidates subquadratic" claim's measured quantity.
+    */
+  private[graft] def lshCandidateCount(spark: SparkSession, dir: String): Long =
+    candidatePairs(shingleSets(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism), "s",
+      bands = 16, rowsPerBand = 4).count()
+
   /** Exact-verify candidate (doc1, doc2) pairs: attach both token sets,
     * apply the size-ratio bound implied by `jaccard >= threshold` (free
     * pruning), then exact Jaccard.

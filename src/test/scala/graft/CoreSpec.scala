@@ -18,6 +18,11 @@ object SparkTest {
   private def build(): SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    // bounded-heap aggregates (topk_ids/topk_kth) must stay on the
+    // ObjectHashAggregate hash path: the default sort-based fallback
+    // (128 keys) SORTS the full candidate-pair stream - at 10x scale
+    // that spilled >79 GB on a count whose hash state is kilobytes
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
