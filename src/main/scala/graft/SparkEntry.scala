@@ -695,7 +695,88 @@ object SparkEntry {
       |  FROM ranked
       |)""".stripMargin
 
+  /** D19/D20 oracle (r10): the BPE trainer's merge loop unrolled into
+    * one CTE group per round. Each round: adjacent-pair explode →
+    * count → deterministic argmax (count DESC, left, right — ASCII
+    * binary order on both engines), then the greedy NON-OVERLAPPING
+    * left-to-right merge applied with window functions instead of
+    * recursion: positions matching (a, b) group into maximal
+    * consecutive runs (p − row_number over matching positions), the
+    * run's even offsets are selected (exactly the classic rule —
+    * "aaaa" + (a,a) → ["aa","aa"]), a position is absorbed iff its
+    * predecessor was selected, and the word's symbol list reassembles
+    * ordered by position. MATERIALIZED per round — DuckDB would
+    * otherwise inline each round's CTEs into every later reference and
+    * the expansion grows without bound (observed: fd exhaustion from
+    * exponentially many parquet re-opens). Validated round-for-round
+    * against an independent driver reference before promotion.
+    */
+  private def bpeRoundCtes(r: Int): String = {
+    val prev = s"bw${r - 1}"
+    s"""btop_$r AS MATERIALIZED (
+       |  SELECT a, b, n FROM (
+       |    SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt)::BIGINT AS n
+       |    FROM $prev, unnest(range(1, len(syms))) AS bt${r}a(i)
+       |    GROUP BY 1, 2)
+       |  ORDER BY n DESC, a, b LIMIT 1),
+       |bpos_$r AS (
+       |  SELECT word, cnt, i AS p, syms[i] AS sym,
+       |         (i < len(syms) AND syms[i] = (SELECT a FROM btop_$r)
+       |          AND syms[i+1] = (SELECT b FROM btop_$r)) AS m
+       |  FROM $prev, unnest(range(1, len(syms)+1)) AS bt${r}b(i)),
+       |bsel_$r AS (
+       |  SELECT word, cnt, p, sym,
+       |         CASE WHEN m THEN (p - min(p) OVER (PARTITION BY word, grp)) % 2 = 0
+       |              ELSE false END AS selected
+       |  FROM (
+       |    SELECT *, CASE WHEN m THEN p - (row_number() OVER
+       |      (PARTITION BY word, m ORDER BY p)) END AS grp
+       |    FROM bpos_$r)),
+       |bw$r AS MATERIALIZED (
+       |  SELECT word, any_value(cnt) AS cnt,
+       |         list(CASE WHEN selected THEN sym || (SELECT b FROM btop_$r)
+       |                   ELSE sym END ORDER BY p) AS syms
+       |  FROM (
+       |    SELECT word, cnt, p, sym, selected,
+       |           coalesce(lag(selected) OVER (PARTITION BY word ORDER BY p), false) AS absorbed
+       |    FROM bsel_$r)
+       |  WHERE NOT absorbed
+       |  GROUP BY word)""".stripMargin
+  }
+
+  private def bpeCtes(numMerges: Int): String = {
+    val base =
+      """bw0 AS MATERIALIZED (
+        |  SELECT word, count(*)::BIGINT AS cnt,
+        |         list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS word FROM documents)
+        |  GROUP BY word)""".stripMargin
+    (base +: (1 to numMerges).map(bpeRoundCtes)).mkString(",\n")
+  }
+
+  private val BpeMerges = 24
+
+  private def bpeTrainSql: String = {
+    val merges = (1 to BpeMerges).map(r =>
+      s"""SELECT ${r - 1} AS rank, a AS "left", b AS "right", n AS pair_count FROM btop_$r""")
+      .mkString("\n  UNION ALL ")
+    s"WITH ${bpeCtes(BpeMerges)}\nSELECT * FROM (\n  $merges) ORDER BY rank"
+  }
+
+  private def bpeEncodeSql: String =
+    s"""WITH ${bpeCtes(BpeMerges)},
+       |bdocw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS word FROM documents),
+       |bdict AS (SELECT word, len(syms)::BIGINT AS word_tokens FROM bw$BpeMerges),
+       |bperdoc AS (SELECT doc_id, count(*)::BIGINT AS n_words, sum(word_tokens)::BIGINT AS n_tokens
+       |            FROM bdocw JOIN bdict USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_words, 0) AS n_words, coalesce(n_tokens, 0) AS n_tokens,
+       |       CASE WHEN coalesce(n_words, 0) > 0
+       |            THEN round(n_tokens::DOUBLE / n_words, 4) END AS tokens_per_word
+       |FROM documents d LEFT JOIN bperdoc USING (doc_id) ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_encode" -> bpeEncodeSql,
     "rbac_accessible_docs" ->
       s"""WITH $ur1, $perm
          |SELECT DISTINCT document_id FROM perm JOIN ur USING (role_id)
