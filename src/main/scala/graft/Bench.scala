@@ -35,6 +35,54 @@ object Bench {
     (ok, bad)
   }
 
+  /** Round-10 scale comparison: per-key serial ratios between this
+    * run's clean serial map and a second-SF run's (ScaleGen's 10× dir),
+    * so ONE bench artifact carries both points of the empirical scale
+    * validation instead of a reader diffing two sidecar files. Pure
+    * over the two maps — unit-tested without Spark. Returns (n_common,
+    * median, p90, superlinear keys), where superlinear = time ratio
+    * above the dataset factor, i.e. work grew faster than the data.
+    */
+  private[graft] def scaleRatios(
+      cur: Map[String, Double], other: Map[String, Double], factor: Double)
+      : (Int, Double, Double, Seq[(String, Double)]) = {
+    val ratios = cur.keySet.intersect(other.keySet).toSeq
+      .flatMap { k => val c = cur(k); if (c > 0) Some(k -> other(k) / c) else None }
+      .sortBy(r => (r._2, r._1))
+    if (ratios.isEmpty) return (0, 0.0, 0.0, Seq.empty)
+    def pct(p: Double): Double =
+      ratios(math.min(ratios.size - 1, (ratios.size * p).toInt))._2
+    (ratios.size, pct(0.5), pct(0.9), ratios.filter(_._2 > factor))
+  }
+
+  /** Read a second-SF bench sidecar (written by a prior Bench run at
+    * ScaleGen's 10× dir) and render the `"scale"` JSON fragment for
+    * this run's artifact. Empty string when the sidecar is absent,
+    * when THIS run is the sf1x run itself, or on any parse problem —
+    * the scale block is additive, never a reason to fail the bench.
+    */
+  private def scaleSidecarJson(spark: SparkSession, sfDir: String,
+                               curClean: Map[String, Double]): String = {
+    val side = new java.io.File("bench_full_sf1x.json")
+    if (!side.exists() || new java.io.File(sfDir).getName == "sf1x" ||
+        curClean.isEmpty) return ""
+    try {
+      val df = spark.read.json(side.getAbsolutePath)
+      if (!df.columns.contains("serial_full")) return ""
+      val meta = df.select("value", "data_fingerprint", "sf").collect().head
+      val srow = df.select("serial_full.*").collect().head
+      val other = srow.schema.fieldNames.zipWithIndex.flatMap { case (c, i) =>
+        srow.get(i) match { case n: Number => Some(c -> n.doubleValue); case _ => None }
+      }.toMap
+      val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toDouble
+      val (n, med, p90, sup) = scaleRatios(curClean, other, factor)
+      if (n == 0) return ""
+      val supJson = sup.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+        .mkString("{", ",", "}")
+      s""","scale":{"sf2":"${jsonEscape(meta.getString(2))}","sf2_fingerprint":"${jsonEscape(meta.getString(1))}","sf2_wall":${meta.getDouble(0)},"factor":$factor,"n_common":$n,"serial_ratio_median":${f"$med%.3f"},"serial_ratio_p90":${f"$p90%.3f"},"superlinear":$supJson}"""
+    } catch { case _: Throwable => "" }
+  }
+
   /** Digest of (name, size, mtime) over every file of the benched
     * dataset — the layout tmp-root stamp (Layouts.layoutRoot) promoted
     * into the bench artifact, so cross-round tooling can detect a
@@ -296,9 +344,16 @@ object Bench {
     // the dataset digest rides in the artifact so cross-round tooling
     // can refuse to compare times across a testdata regeneration
     val fp = dataFingerprint(sfDir)
+    // round 10: when the 10×-dir sidecar exists, the artifact carries
+    // the second scale point + per-key ratios (empirical scale check)
+    val scaleJson = serialTimes.map { timed =>
+      val curClean = partitionByLoad(timed, loadMax)._1
+        .map { case (n, t, _) => n -> t }.toMap
+      scaleSidecarJson(spark, sfDir, curClean)
+    }.getOrElse("")
     // "total_full", not "total": exactly ONE stdout line may carry
     // metric=total or a consumer keying on it would double-count runs
-    val fullLine = s"""{"metric":"total_full","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"concurrent_load_pre":$loadPre,"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}"}"""
+    val fullLine = s"""{"metric":"total_full","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"concurrent_load_pre":$loadPre,"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialJson$scaleJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}"}"""
     // The harness that collects this output keeps only the LAST ~2000
     // characters of stdout; the full per-query line above is longer than
     // that, so a consumer parsing the tail never sees its start. Emit
@@ -337,7 +392,7 @@ object Bench {
       s""","$serialKey":$ok,"n_serial_suspect":${suspect.size}""" +
         (if (bad == "{}") "" else s""","serial_errors":$bad""")
     }.getOrElse("")
-    println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":$top,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"load_avg_1m":${r3(loadAvg)},"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialCompact,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}","full":"${jsonEscape(sideName)}"}""")
+    println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":$top,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"load_avg_1m":${r3(loadAvg)},"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialCompact$scaleJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}","full":"${jsonEscape(sideName)}"}""")
     if (results.exists(_._3.isDefined)) System.err.println(
       s"BENCH ERRORS: ${results.count(_._3.isDefined)} queries failed")
     spark.stop()

@@ -57,6 +57,10 @@ object ScaleGen {
       .select("vec_id", "embedding", "label")
     val n = src.count()
     val copies = spark.range(factor.toLong).toDF("copy")
+    // a udf is acceptable HERE (and only here): this is the bench-only
+    // dataset generator, run once per scale dir — not an operator on
+    // any query path. Generating 64 Box-Muller coordinates per row is
+    // imperative array work with no Catalyst equivalent worth building.
     val gen = udf { (vecId: Long, copy: Long, emb: Seq[Float]) =>
       if (copy == 0) emb.toArray // source corpus = strict subset
       else {

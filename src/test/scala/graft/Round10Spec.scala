@@ -55,6 +55,18 @@ class Round10Spec extends AnyFunSuite {
     assert(e2 == e1, "repairEdges(repairEdges(g, links), links) must equal repairEdges(g, links)")
   }
 
+  test("scaleRatios: per-key ratios over the clean-map intersection, superlinear = beyond the data factor") {
+    val cur = Map("a" -> 1.0, "b" -> 2.0, "zero" -> 0.0, "only_cur" -> 5.0)
+    val other = Map("a" -> 2.0, "b" -> 44.0, "zero" -> 9.0, "only_other" -> 1.0)
+    val (n, med, p90, sup) = Bench.scaleRatios(cur, other, factor = 10.0)
+    // zero-denominator and non-intersecting keys never produce a ratio
+    assert(n == 2)
+    assert(med == 22.0 && p90 == 22.0) // upper-median of (2.0, 22.0)
+    // only the key whose time grew faster than the 10x data is flagged
+    assert(sup == Seq("b" -> 22.0))
+    assert(Bench.scaleRatios(Map("x" -> 1.0), Map("y" -> 1.0), 10.0)._1 == 0)
+  }
+
   test("data fingerprint walks nested table dirs and refuses an empty dataset") {
     val dir = java.nio.file.Files.createTempDirectory("fp10_").toFile
     // an empty (or missing) dataset dir must never hash to a
