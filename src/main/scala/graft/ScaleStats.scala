@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSession
   *   - walk_visited: rows visited by the standing nq=8 serving walk —
   *     the claim is the ABSOLUTE bound seeds + rounds·ef·2gk per query,
   *     so visited/corpus must fall ~1/N as the corpus grows;
-  *   - knn_bound_pairs / knn_pruned_pairs: distance pairs of the exact
-  *     kNN build's two phases (same-cell bound, then lossless
-  *     cell-pruned re-rank) — the subquadratic-build claim;
+  *   - knn_ring_pairs / knn_joined_pairs / knn_kernel_pairs: the exact
+  *     kNN build's work volumes (O(k·N) ring-bound pairs; cell-joined
+  *     row stream pre pivot filter; 64-dim kernel evaluations after
+  *     the lossless pivot filter) — the subquadratic-build claim;
   *   - nnd_cand_rows: NN-Descent's last-round candidate rows — the
   *     O(iters·k·N) local-join claim;
   *   - lsh_cand_pairs / lsh_verified_pairs: MinHash-LSH band-collision
@@ -50,7 +51,7 @@ object ScaleStats {
     val n = Tables.embeddings(spark, dir).count()
     val d = Tables.documents(spark, dir).count()
     val visited = stage("walk")(ann.GraphSearch.visited(spark, dir).count())
-    val (boundPairs, prunedPairs) = stage("knn_pairs")(
+    val (ringPairs, joinedPairs, kernelPairs) = stage("knn_pairs")(
       ann.Ann.knnCandidateCounts(spark, dir, ann.GraphSearch.GraphK, ann.GraphSearch.Cells))
     stage("nnd")(ann.Ann.knnGraphDescent(spark, dir, ann.GraphSearch.GraphK,
       iters = 2, cells = ann.GraphSearch.Cells, collectStats = true).count())
@@ -60,7 +61,7 @@ object ScaleStats {
     val lshVerified = stage("lsh_verify")(dedup.Dedup.minhashLsh(spark, dir).count())
     println(s"""{"dir":"$dir","n_embeddings":$n,"n_documents":$d,""" +
       s""""walk_visited":$visited,"walk_nq":${ann.GraphSearch.Nq},""" +
-      s""""knn_bound_pairs":$boundPairs,"knn_pruned_pairs":$prunedPairs,""" +
+      s""""knn_ring_pairs":$ringPairs,"knn_joined_pairs":$joinedPairs,"knn_kernel_pairs":$kernelPairs,""" +
       s""""nnd_cand_rows":$nndCand,""" +
       s""""lsh_cand_pairs":$lshCand,"lsh_verified_pairs":$lshVerified}""")
     spark.stop()

@@ -97,17 +97,31 @@ object Ann {
     * index family) bootstrap from; on Spark the graph build IS the
     * index build.
     *
-    * Two-phase, never broadcasting (or crossJoining) the corpus:
-    *   1. same-IVF-cell self-join → per-src kth-NN distance UPPER BOUND
-    *      (`topk_kth` bounded heap; +∞ for cells with < k+1 members);
-    *   2. lossless cell pruning: cell c can hold a true neighbor of
-    *      src only if d(src, centroid_c) − radius_c ≤ bound, so src is
-    *      replicated only into surviving cells, joined by cell id, and
-    *      re-ranked exactly.
-    * Every join is a shuffle equi-join on cell id (at 100 TB the member
-    * side is cell-partitioned parquet written by the index build, so
-    * only the pruned src fan-out moves); the result is exactly the
-    * brute-force graph — the oracle stays the quadratic SQL.
+    * Two-phase, never broadcasting (or crossJoining) the corpus, and
+    * with a LINEAR kernel budget in phase 1 (r10 — the r9 scale run
+    * measured the previous same-cell-all-pairs bound phase at N²/cells
+    * kernels, the one superlinear term of the build):
+    *   1. ring bound: within each cell, members sorted by distance to
+    *      their own centroid; each src takes its ±k ring neighbors as
+    *      candidates via an equi-join on (cell, ring slot) — exactly
+    *      ≤2k kernel evaluations per src, O(k·N) total — and the kth
+    *      candidate distance is a valid kth-NN UPPER BOUND (any k
+    *      candidates upper-bound the true kth; `topk_kth` returns +∞
+    *      when the ring holds < k rows, degrading losslessly);
+    *   2. lossless cell pruning + per-pair pivot filter: cell c can
+    *      hold a true neighbor of src only if d(src, centroid_c) −
+    *      radius_c ≤ bound, so src is replicated only into surviving
+    *      cells and joined by cell id; each joined pair then passes
+    *      the multi-pivot triangle filter max_i |d(src,cᵢ) − d(dst,cᵢ)|
+    *      ≤ bound (`linf_dist_d` over the `centroid_dists` arrays both
+    *      sides already carry — LAESA-style) BEFORE the 64-dim kernel:
+    *      a true neighbor has d(src,dst) ≤ kth ≤ bound and every pivot
+    *      gap lower-bounds d(src,dst), so no true neighbor is filtered
+    *      and the surviving candidates are re-ranked exactly.
+    * Every join is a shuffle equi-join on cell id or (cell, slot) (at
+    * 100 TB the member side is cell-partitioned parquet written by the
+    * index build, so only the pruned src fan-out moves); the result is
+    * exactly the brute-force graph — the oracle stays the quadratic SQL.
     */
   def knnGraph(spark: SparkSession, dir: String, k: Int, cells: Int = 16): DataFrame =
     knnEdges(spark, dir, k, cells).orderBy("src", "nbr")
@@ -144,64 +158,99 @@ object Ann {
     val idx = IvfIndex.getOrBuild(spark, dir, cells)
     val radiiDf = broadcast(spark.createDataFrame(
       IvfIndex.cellRadii(spark, dir, cells).toSeq).toDF("cell", "radius"))
-    val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("cell"))
-    val b = e.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("cell"))
-    val bound = a.join(b, "cell")
+    // pivot distance arrays (d to every centroid) attached ONCE per
+    // member row, below the shuffles — both the ring ordering and the
+    // phase-2 pivot filter read them
+    val m = e.select(col("vec_id"), col("embedding"), col("cell"))
+      .withColumn("z", centroid_dists(col("embedding"), idx.centroids))
+      .withColumn("dqc", element_at(col("z"), col("cell") + 1))
+    val rn = m.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("cell").orderBy(col("dqc"), col("vec_id"))))
+    // phase 1: each src meets its ±k ring neighbors via an equi-join on
+    // (cell, slot) — O(k·N) candidate rows by construction, no
+    // within-cell all-pairs stream
+    val ringSrc = rn.select(col("vec_id").as("src"), col("embedding").as("ea"),
+        col("cell"), explode(sequence(col("rn") - k, col("rn") + k)).as("rn"))
+    val bound = ringSrc.join(
+        rn.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("cell"), col("rn")),
+        Seq("cell", "rn"))
       .filter(col("src") =!= col("dst"))
       .groupBy("src")
       .agg(topk_kth(l2_dist(col("ea"), col("eb")), col("dst"), k).as("ub"))
     // LEFT join + ∞ default: a src alone in its cell produces no bound
-    // group (the self-join has no src≠dst pair), and an inner join here
+    // group (the ring join has no src≠dst pair), and an inner join here
     // would silently drop it from the graph — with no bound it must keep
     // every cell as a candidate
-    val srcCells = a.join(bound, Seq("src"), "left")
+    val srcCells = m.select(col("vec_id").as("src"), col("embedding").as("ea"), col("z").as("za"))
+      .join(bound, Seq("src"), "left")
       .withColumn("ub", coalesce(col("ub"), lit(Double.PositiveInfinity)))
-      .select(col("src"), col("ea"), col("ub"),
-        posexplode(centroid_dists(col("ea"), idx.centroids)))
+      .select(col("src"), col("ea"), col("za"), col("ub"), posexplode(col("za")))
       .withColumnRenamed("pos", "cell").withColumnRenamed("col", "dqc")
       .join(radiiDf, "cell")
       .filter(col("dqc") - col("radius") <= col("ub") + lit(1e-9)) // lossless
-      .select(col("src"), col("ea"), col("cell"))
-    srcCells.join(b, "cell")
+      .select(col("src"), col("ea"), col("za"), col("ub"), col("cell"))
+    // phase 2: pivot triangle filter first (16 double ops), kernel +
+    // heap only on survivors — lossless, see Scaladoc
+    srcCells.join(
+        m.select(col("vec_id").as("dst"), col("embedding").as("eb"),
+          col("z").as("zb"), col("cell")), "cell")
       .filter(col("src") =!= col("dst"))
+      .filter(linf_dist_d(col("za"), col("zb")) <= col("ub") + lit(1e-9))
       .groupBy("src")
       .agg(topk_ids(l2_dist(col("ea"), col("eb")), col("dst"), k).as("ids"))
       .select(col("src"), explode(col("ids")).as("nbr"))
   }
 
-  /** Distance-pair volume of the exact build's two phases —
-    * ScaleStats instrumentation for the r10 scale run (the counting
-    * jobs are measurement-only; production builds never run them):
-    * (same-cell bound pairs, post-pruning re-rank pairs). The re-rank
-    * count is what the "subquadratic via lossless cell pruning" claim
-    * is about — its growth exponent under a corpus scale-up is the
-    * measured fact CALIBRATION.md tables.
+  /** Distance-pair volume of the exact build's phases — ScaleStats
+    * instrumentation for the r10 scale run (the counting jobs are
+    * measurement-only; production builds never run them):
+    * (ring bound pairs, cell-joined pre-filter pairs, post-pivot-filter
+    * kernel pairs). Ring pairs are ≤2k·N by construction (the measured
+    * linearity of phase 1); the kernel count is what the "subquadratic
+    * exact build" claim is about — its growth exponent under a corpus
+    * scale-up is the measured fact CALIBRATION.md tables, with the
+    * joined count showing how much of the residual quadratic row
+    * stream the pivot filter absorbs before the kernel.
     */
   private[graft] def knnCandidateCounts(spark: SparkSession, dir: String,
-                                        k: Int, cells: Int): (Long, Long) = {
+                                        k: Int, cells: Int): (Long, Long, Long) = {
     val idx = IvfIndex.getOrBuild(spark, dir, cells)
     val e = IvfIndex.withCells(spark, dir, cells)
     val radiiDf = broadcast(spark.createDataFrame(
       IvfIndex.cellRadii(spark, dir, cells).toSeq).toDF("cell", "radius"))
-    val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("cell"))
-    val b = e.select(col("vec_id").as("dst"), col("cell"))
-    val boundPairs = a.join(b, "cell").filter(col("src") =!= col("dst")).count()
-    val bound = e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("cell"))
-      .join(e.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("cell")), "cell")
+    val m = e.select(col("vec_id"), col("embedding"), col("cell"))
+      .withColumn("z", centroid_dists(col("embedding"), idx.centroids))
+      .withColumn("dqc", element_at(col("z"), col("cell") + 1))
+    val rn = m.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("cell").orderBy(col("dqc"), col("vec_id"))))
+    val ringSrc = rn.select(col("vec_id").as("src"), col("embedding").as("ea"),
+        col("cell"), explode(sequence(col("rn") - k, col("rn") + k)).as("rn"))
+    val ringPairs = ringSrc.join(
+        rn.select(col("vec_id").as("dst"), col("cell"), col("rn")), Seq("cell", "rn"))
+      .filter(col("src") =!= col("dst")).count()
+    val bound = ringSrc.join(
+        rn.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("cell"), col("rn")),
+        Seq("cell", "rn"))
       .filter(col("src") =!= col("dst"))
       .groupBy("src")
       .agg(topk_kth(l2_dist(col("ea"), col("eb")), col("dst"), k).as("ub"))
-    val srcCells = a.join(bound, Seq("src"), "left")
+    val srcCells = m.select(col("vec_id").as("src"), col("z").as("za"))
+      .join(bound, Seq("src"), "left")
       .withColumn("ub", coalesce(col("ub"), lit(Double.PositiveInfinity)))
-      .select(col("src"), col("ub"),
-        posexplode(centroid_dists(col("ea"), idx.centroids)))
+      .select(col("src"), col("za"), col("ub"), posexplode(col("za")))
       .withColumnRenamed("pos", "cell").withColumnRenamed("col", "dqc")
       .join(radiiDf, "cell")
       .filter(col("dqc") - col("radius") <= col("ub") + lit(1e-9))
-      .select(col("src"), col("cell"))
-    val prunedPairs = srcCells.join(b, "cell")
-      .filter(col("src") =!= col("dst")).count()
-    (boundPairs, prunedPairs)
+      .select(col("src"), col("za"), col("ub"), col("cell"))
+    val joined = srcCells.join(
+        m.select(col("vec_id").as("dst"), col("z").as("zb"), col("cell")), "cell")
+      .filter(col("src") =!= col("dst"))
+    val joinedPairs = joined.count()
+    val kernelPairs = joined
+      .filter(linf_dist_d(col("za"), col("zb")) <= col("ub") + lit(1e-9)).count()
+    (ringPairs, joinedPairs, kernelPairs)
   }
 
   /** B27 `ann_knn_centrality`: PageRank over the exact kNN graph —

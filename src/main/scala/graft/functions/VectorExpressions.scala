@@ -312,6 +312,51 @@ case class CentroidDistances(child: Expression, centroids: Array[Array[Float]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Chebyshev (L∞) distance over two `array<double>` columns — the
+  * multi-pivot triangle lower bound of the exact kNN build: for pivot
+  * distance arrays zₐ[i] = d(a, pᵢ), z_b[i] = d(b, pᵢ), the triangle
+  * inequality gives max_i |zₐ[i] − z_b[i]| ≤ d(a, b), so any pair whose
+  * pivot gap exceeds the per-src kth-NN upper bound can skip the
+  * full-dimension kernel losslessly (LAESA-style pruning; the pivots
+  * are the IVF centroids whose distance arrays `centroid_dists`
+  * already computes). 16 double ops per pair vs a 64-dim kernel +
+  * heap update — this runs on every joined candidate pair, so it is
+  * codegen'd like the kernels it guards.
+  */
+case class ChebyshevDoubles(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "linf_dist_d"
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var m = 0.0
+    while (i < n) {
+      val d = math.abs(x.getDouble(i) - y.getDouble(i))
+      if (d > m) m = d
+      i += 1
+    }
+    m
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (n, m, i, d) = (ctx.freshName("n"), ctx.freshName("m"), ctx.freshName("i"), ctx.freshName("d"))
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = Math.abs($x.getDouble($i) - $y.getDouble($i));
+         |  if ($d > $m) $m = $d;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Unit-normalize a float vector (zero vector stays zero). Cosine
   * geometry becomes L2 geometry on the output: cos(x,y) ≥ τ iff
   * ‖x̂−ŷ‖ ≤ √(2−2τ) — which is what lets the IVF cell machinery block
@@ -368,4 +413,5 @@ object vector {
   def centroid_dists(v: Column, cents: Array[Array[Float]]): Column =
     col(CentroidDistances(ex(v), cents))
   def vec_normalize(v: Column): Column = col(VectorNormalize(ex(v)))
+  def linf_dist_d(a: Column, b: Column): Column = col(ChebyshevDoubles(ex(a), ex(b)))
 }
