@@ -1,7 +1,7 @@
 package graft.ann
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.{PlanCut, Tables}
 import graft.functions.vector._
@@ -101,13 +101,16 @@ object Ann {
     * with a LINEAR kernel budget in phase 1 (r10 — the r9 scale run
     * measured the previous same-cell-all-pairs bound phase at N²/cells
     * kernels, the one superlinear term of the build):
-    *   1. ring bound: within each cell, members sorted by distance to
-    *      their own centroid; each src takes its ±k ring neighbors as
-    *      candidates via an equi-join on (cell, ring slot) — exactly
-    *      ≤2k kernel evaluations per src, O(k·N) total — and the kth
-    *      candidate distance is a valid kth-NN UPPER BOUND (any k
-    *      candidates upper-bound the true kth; `topk_kth` returns +∞
-    *      when the ring holds < k rows, degrading losslessly);
+    *   1. ring bound: within each cell, each src takes its ±k ring
+    *      neighbors as candidates via an equi-join on (cell, ring
+    *      slot), under TWO 1-D projections (distance to own centroid,
+    *      distance to the cell's nearest other centroid — one
+    *      projection interleaves clusters at similar radii and goes
+    *      inter-cluster loose) — ≤4k kernel evaluations per src,
+    *      O(k·N) total — and the least of the two rings' kth candidate
+    *      distances is a valid kth-NN UPPER BOUND (any k candidates
+    *      upper-bound the true kth; `topk_kth` returns +∞ when a ring
+    *      holds < k rows, degrading losslessly);
     *   2. lossless cell pruning + per-pair pivot filter: cell c can
     *      hold a true neighbor of src only if d(src, centroid_c) −
     *      radius_c ≤ bound, so src is replicated only into surviving
@@ -158,26 +161,8 @@ object Ann {
     val idx = IvfIndex.getOrBuild(spark, dir, cells)
     val radiiDf = broadcast(spark.createDataFrame(
       IvfIndex.cellRadii(spark, dir, cells).toSeq).toDF("cell", "radius"))
-    // pivot distance arrays (d to every centroid) attached ONCE per
-    // member row, below the shuffles — both the ring ordering and the
-    // phase-2 pivot filter read them
-    val m = e.select(col("vec_id"), col("embedding"), col("cell"))
-      .withColumn("z", centroid_dists(col("embedding"), idx.centroids))
-      .withColumn("dqc", element_at(col("z"), col("cell") + 1))
-    val rn = m.withColumn("rn", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy("cell").orderBy(col("dqc"), col("vec_id"))))
-    // phase 1: each src meets its ±k ring neighbors via an equi-join on
-    // (cell, slot) — O(k·N) candidate rows by construction, no
-    // within-cell all-pairs stream
-    val ringSrc = rn.select(col("vec_id").as("src"), col("embedding").as("ea"),
-        col("cell"), explode(sequence(col("rn") - k, col("rn") + k)).as("rn"))
-    val bound = ringSrc.join(
-        rn.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("cell"), col("rn")),
-        Seq("cell", "rn"))
-      .filter(col("src") =!= col("dst"))
-      .groupBy("src")
-      .agg(topk_kth(l2_dist(col("ea"), col("eb")), col("dst"), k).as("ub"))
+    val m = memberFrame(e, idx.centroids)
+    val bound = ringUpperBound(spark, m, idx.centroids, k)
     // LEFT join + ∞ default: a src alone in its cell produces no bound
     // group (the ring join has no src≠dst pair), and an inner join here
     // would silently drop it from the graph — with no bound it must keep
@@ -202,6 +187,66 @@ object Ann {
       .select(col("src"), explode(col("ids")).as("nbr"))
   }
 
+  /** Member frame of the exact build: pivot distance arrays (d to
+    * every centroid) attached ONCE per member row, below the shuffles —
+    * the ring orderings and the phase-2 pivot filter all read them.
+    */
+  private def memberFrame(e: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    e.select(col("vec_id"), col("embedding"), col("cell"))
+      .withColumn("z", centroid_dists(col("embedding"), centroids))
+
+  /** Phase 1 of the exact build: per-src kth-NN distance UPPER BOUND
+    * from ring candidates — each src meets its ±k ring neighbors in a
+    * per-cell 1-D projection order via an equi-join on (cell, slot),
+    * O(k·N) candidate rows by construction, no within-cell all-pairs
+    * stream. ONE projection interleaves clusters that sit at similar
+    * radii from the cell centroid (measured on the clustered
+    * Round10Spec corpus: single-ring ubs there are inter-cluster
+    * loose), so the bound is the LEAST of two rings over DIFFERENT
+    * projections — distance to the own centroid and distance to the
+    * cell's nearest other centroid; each ring's kth distance is
+    * independently a valid upper bound (any k candidates upper-bound
+    * the true kth; `topk_kth` returns +∞ under k rows), so their min
+    * is too. Returns (src, ub).
+    */
+  private def ringUpperBound(spark: SparkSession, m: DataFrame,
+                             centroids: Array[Array[Float]], k: Int): DataFrame = {
+    def ringBound(proj: Column, tag: String): DataFrame = {
+      val rn = m.withColumn("p", proj).withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy(col("p"), col("vec_id"))))
+      rn.select(col("vec_id").as("src"), col("embedding").as("ea"),
+          col("cell"), explode(sequence(col("rn") - k, col("rn") + k)).as("rn"))
+        .join(rn.select(col("vec_id").as("dst"), col("embedding").as("eb"),
+          col("cell"), col("rn")), Seq("cell", "rn"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src")
+        .agg(topk_kth(l2_dist(col("ea"), col("eb")), col("dst"), k).as(tag))
+    }
+    val b1 = ringBound(element_at(col("z"), col("cell") + 1), "ub1")
+    if (centroids.length < 2) b1.withColumnRenamed("ub1", "ub")
+    else {
+      // per-cell second pivot: the nearest OTHER centroid (driver-side
+      // over the tiny centroid matrix)
+      def cdist(a: Array[Float], bb: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - bb(i).toDouble; s += d * d; i += 1 }
+        s
+      }
+      val p2 = centroids.indices.map { c =>
+        (c, centroids.indices.filter(_ != c)
+          .minBy(o => cdist(centroids(c), centroids(o))))
+      }
+      val b2 = ringBound(element_at(col("z"),
+        element_at(map_from_arrays(
+          lit(p2.map(_._1).toArray), lit(p2.map(_._2).toArray)), col("cell")) + 1), "ub2")
+      b1.join(b2, Seq("src"), "full")
+        .select(col("src"), least(
+          coalesce(col("ub1"), lit(Double.PositiveInfinity)),
+          coalesce(col("ub2"), lit(Double.PositiveInfinity))).as("ub"))
+    }
+  }
+
   /** Distance-pair volume of the exact build's phases — ScaleStats
     * instrumentation for the r10 scale run (the counting jobs are
     * measurement-only; production builds never run them):
@@ -219,23 +264,21 @@ object Ann {
     val e = IvfIndex.withCells(spark, dir, cells)
     val radiiDf = broadcast(spark.createDataFrame(
       IvfIndex.cellRadii(spark, dir, cells).toSeq).toDF("cell", "radius"))
-    val m = e.select(col("vec_id"), col("embedding"), col("cell"))
-      .withColumn("z", centroid_dists(col("embedding"), idx.centroids))
-      .withColumn("dqc", element_at(col("z"), col("cell") + 1))
+    val m = memberFrame(e, idx.centroids)
+    // ring-join cardinality depends only on cell sizes and k (any
+    // projection is a within-cell permutation), so one ring's count ×
+    // the ring count is exact
+    val rings = if (idx.centroids.length < 2) 1 else 2
     val rn = m.withColumn("rn", row_number().over(
       org.apache.spark.sql.expressions.Window
-        .partitionBy("cell").orderBy(col("dqc"), col("vec_id"))))
-    val ringSrc = rn.select(col("vec_id").as("src"), col("embedding").as("ea"),
-        col("cell"), explode(sequence(col("rn") - k, col("rn") + k)).as("rn"))
-    val ringPairs = ringSrc.join(
-        rn.select(col("vec_id").as("dst"), col("cell"), col("rn")), Seq("cell", "rn"))
+        .partitionBy("cell").orderBy(element_at(col("z"), col("cell") + 1), col("vec_id"))))
+    val ringPairs = rings * rn
+      .select(col("vec_id").as("src"), col("cell"),
+        explode(sequence(col("rn") - k, col("rn") + k)).as("rn"))
+      .join(rn.select(col("vec_id").as("dst"), col("cell"), col("rn")), Seq("cell", "rn"))
       .filter(col("src") =!= col("dst")).count()
-    val bound = ringSrc.join(
-        rn.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("cell"), col("rn")),
-        Seq("cell", "rn"))
-      .filter(col("src") =!= col("dst"))
-      .groupBy("src")
-      .agg(topk_kth(l2_dist(col("ea"), col("eb")), col("dst"), k).as("ub"))
+    // phases 2a/2b replay the production build's own bound
+    val bound = ringUpperBound(spark, m, idx.centroids, k)
     val srcCells = m.select(col("vec_id").as("src"), col("z").as("za"))
       .join(bound, Seq("src"), "left")
       .withColumn("ub", coalesce(col("ub"), lit(Double.PositiveInfinity)))

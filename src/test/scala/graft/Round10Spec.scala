@@ -157,4 +157,45 @@ class Round10Spec extends AnyFunSuite {
     h.release()
     assert(sp.sparkContext.getPersistentRDDs.size == n0)
   }
+
+  test("knn build: ring bound is O(k·N); pivot filter prunes clustered data losslessly") {
+    // The benchmark corpus is deliberately isotropic — the worst case
+    // for ANY metric pruning (ScaleStats measures the pivot filter
+    // absorbing ~0 there; the quadratic joined stream is inherent to
+    // EXACT high-dim kNN, which is why NN-Descent is the at-scale build
+    // path). This pins the filter's value on the data it exists for:
+    // clustered corpora, where the ring bound is tight and the 16-pivot
+    // triangle gap rejects cross-cluster pairs before the kernel.
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(12345)
+    val dim = 8; val nClusters = 40; val per = 10; val k = 8
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian().toFloat * 5f)
+    val rows = for {
+      c <- 0 until nClusters; j <- 0 until per
+    } yield ((c * per + j).toLong,
+      centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.01f), c.toString)
+    val dir = java.nio.file.Files.createTempDirectory("knn_clustered_").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (ring, joined, kernel) = ann.Ann.knnCandidateCounts(sp, dir, k, cells = 16)
+    val n = nClusters * per
+    assert(ring <= 4L * k * n, s"ring bound pairs $ring exceed 4kN = ${4 * k * n}")
+    // on clustered data the filter must absorb the bulk of the joined
+    // stream before the kernel (assert a lax 2x so KMeans seed drift
+    // can't flake the suite; the measured ratio is recorded in
+    // CALIBRATION.md's round-10 section)
+    assert(kernel * 2 < joined,
+      s"pivot filter pruned too little on clustered data: $kernel of $joined")
+    // and it is LOSSLESS: the built graph equals brute force exactly
+    val got = ann.Ann.knnGraph(sp, dir, k, cells = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = rows.map { case (id, e, _) => id -> e }.toMap
+    val want = (for {
+      (id, e) <- vecs.toSeq; nbr <- vecs.toSeq.filter(_._1 != id)
+        .map { case (j, f) => (SparkTest.refL2(e, f), j) }
+        .sorted.take(k)
+    } yield (id, nbr._2)).toSet
+    assert(got == want, "pivot-filtered build diverged from brute force on clustered data")
+  }
 }
