@@ -72,6 +72,10 @@ object SparkEntry {
     // 0.29→0.61→0.88→0.95 over rounds is asserted in ScalaTest)
     "ann_knn_graph_nnd" -> ((s, d) => Ann.knnGraphDescent(s, d, 5, iters = 1)),
     "ann_knn_centrality" -> ((s, d) => Ann.knnCentrality(s, d)),
+    // B41: the at-scale centrality — PageRank over the NND graph
+    // (rows-only by B17's declaration; Round10Spec driver-replays the
+    // full recurrence over the collected edges)
+    "ann_knn_centrality_nnd" -> ((s, d) => Ann.knnCentralityNnd(s, d)),
     "ann_graph_topk_model" -> ((s, d) => {
       IvfIndex.writeCentroidSidecar(s, d, 16)
       graft.ann.GraphSearch.writeEfSidecar(s, d) // model-picked beam width

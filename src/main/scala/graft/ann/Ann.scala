@@ -313,6 +313,30 @@ object Ann {
     * double-round values near a .00005 boundary (observed: 1.2165495 →
     * 1.216550 → 1.2166 vs the direct 1.2165).
     */
+  /** B41 `ann_knn_centrality_nnd`: PageRank over the NN-DESCENT graph —
+    * the at-scale form of B27. The r10 scale run measured the exact
+    * build's joined candidate stream quadratic on the isotropic corpus
+    * (CALIBRATION round-10), so at 100 TB the centrality signal runs
+    * over the NND graph instead: O(iters·k·N) build (measured 1.76×
+    * candidate growth at 10× data), identical PageRank recurrence and
+    * rounding. Rows-only by B17's declaration (xxhash64 descent init
+    * has no DuckDB analogue); the Round10Spec replay recomputes the
+    * full 10-round recurrence in the driver over the collected NND
+    * edge set and asserts 4dp equality — B39's replay discipline
+    * applied to the centrality consumer.
+    */
+  def knnCentralityNnd(spark: SparkSession, dir: String, k: Int = 5,
+                       iters: Int = 10, cells: Int = 16): DataFrame = {
+    import spark.implicits._
+    val edges = knnGraphDescent(spark, dir, k, cells = cells)
+      .select(col("src"), col("nbr")).as[(Long, Long)].rdd
+    val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 0)
+    graph.staticPageRank(iters, resetProb = 0.15).vertices
+      .toDF("vec_id", "pr")
+      .select(col("vec_id"), round(col("pr"), 4).as("pagerank"))
+      .orderBy("vec_id")
+  }
+
   def knnCentrality(spark: SparkSession, dir: String, k: Int = 5,
                     iters: Int = 10, cells: Int = 16): DataFrame = {
     import spark.implicits._

@@ -158,6 +158,37 @@ class Round10Spec extends AnyFunSuite {
     assert(sp.sparkContext.getPersistentRDDs.size == n0)
   }
 
+  test("B41: NND centrality equals the driver-replayed PageRank recurrence at 4dp") {
+    // B39's replay discipline applied to the centrality consumer: the
+    // collected NND edge set is tiny (k·N), so the full 10-round
+    // recurrence r0=1, r' = 0.15 + 0.85·Σ r(u)/outdeg(u) replays in
+    // driver code; GraphX message-sum order can differ from the
+    // driver's sorted fold only below the operator's own 4dp rounding.
+    val sp = spark
+    // default descent params — the SAME cached graph knnCentralityNnd reads
+    val edges = ann.Ann.knnGraphDescent(sp, sf, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val inBy = edges.groupBy(_._2)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var rank = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 10) {
+      rank = nodes.map { v =>
+        val in = inBy.getOrElse(v, Array.empty)
+          .sortBy(_._1).map { case (u, _) => rank(u) / outDeg(u) }.sum
+        v -> (0.15 + 0.85 * in)
+      }.toMap
+    }
+    val got = ann.Ann.knnCentralityNnd(sp, sf, 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == rank.keySet, "vertex sets differ")
+    val bad = nodes.filter(v =>
+      math.abs(got(v) - BigDecimal(rank(v)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) > 1e-9)
+    assert(bad.isEmpty,
+      s"${bad.size} ranks diverge from the driver replay, e.g. ${bad.take(3).map(v => (v, got(v), rank(v)))}")
+  }
+
   test("knn build: ring bound is O(k·N); pivot filter prunes clustered data losslessly") {
     // The benchmark corpus is deliberately isotropic — the worst case
     // for ANY metric pruning (ScaleStats measures the pivot filter
