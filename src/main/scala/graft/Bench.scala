@@ -279,23 +279,45 @@ object Bench {
     val serialMissing = scala.collection.concurrent.TrieMap.empty[String, Int]
     def retimeOnce(name: String): (String, Double, Double, Option[String]) = {
       serialMissing.put(name, missingCachedPartitions(spark))
+      // load sampled BEFORE the re-time (r10): the fence must measure
+      // the AMBIENT window the row starts in. The r9 end-sample charged
+      // each row for its predecessor's burst — at the 10× dir the two
+      // 60 s knn keys run first (alphabetical) and the next ~3 minutes
+      // of sub-second keys quarantined SYSTEMATICALLY on the decaying
+      // 1-min average (21 of 167 rows fenced on an otherwise idle
+      // host) — and a long key's OWN 32-thread work could fence the
+      // key itself, which is self-load, not contention.
+      val pre = loadNow()
       val t0 = System.nanoTime()
       // same rule as the concurrent pass: a failure must surface as
       // a failure, never as a fast-looking number
       val err = try { SparkEntry.queries(name)(spark, sfDir).count(); None }
       catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-      // load sampled at the END of each re-time: lets a cross-round
-      // per-query diff drop numbers taken in a bad host window
-      // (SKEW.md round-5) mechanically instead of by narrative
-      (name, (System.nanoTime() - t0) / 1e9, loadNow(), err)
+      (name, (System.nanoTime() - t0) / 1e9, pre, err)
+    }
+    // per-key quiet wait under a GLOBAL budget: a heavy key's burst
+    // decays over ~60 s of 1-min-average; waiting it out before the
+    // next row keeps the fence meaningful without letting 168 keys
+    // each wait the full cap on a genuinely busy host
+    val serialWaitBudgetNs = new java.util.concurrent.atomic.AtomicLong(
+      600L * 1000 * 1000 * 1000)
+    def awaitQuietSerial(): Unit = {
+      var last = System.nanoTime()
+      while (loadNow() > loadMax && serialWaitBudgetNs.get() > 0) {
+        Thread.sleep(5000)
+        val now = System.nanoTime()
+        serialWaitBudgetNs.addAndGet(last - now)
+        last = now
+      }
     }
     def retime(names: Seq[String]): Seq[(String, Double, Double, Option[String])] =
       names.map { name =>
+        awaitQuietSerial()
         val first = retimeOnce(name)
-        // a row timed in a loaded host window is not a measurement —
-        // back off once and retry; rows STILL above the ceiling are
-        // quarantined under serial_suspect below instead of shipping
-        // as cross-round-comparable numbers
+        // a row that STARTED in a loaded host window is not a
+        // measurement — back off once and retry; rows STILL above the
+        // ceiling are quarantined under serial_suspect below instead
+        // of shipping as cross-round-comparable numbers
         if (first._4.isEmpty && first._3 > loadMax) {
           Thread.sleep(3000)
           retimeOnce(name)
