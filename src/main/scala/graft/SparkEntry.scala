@@ -216,8 +216,12 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringSpans(s, d)),
     "dedup_semantic" -> ((s, d) => {
-      graft.ann.IvfIndex.writeUnitCentroidSidecar(s, d, 8) // oracle replays clustering
-      Dedup.semanticDedup(s, d)
+      // the paper's knob: cells ∝ corpus (= 8 at every oracle SF, so
+      // the oracle's k8 sidecar replay is untouched; only the scaled
+      // bench dirs cluster wider)
+      val cells = Dedup.semanticCells(s, d)
+      graft.ann.IvfIndex.writeUnitCentroidSidecar(s, d, cells) // oracle replays clustering
+      Dedup.semanticDedup(s, d, cells = cells)
     }),
     // --- D. Text analysis ---
     "text_lang_id" -> ((s, d) => TextOps.langId(s, d)),

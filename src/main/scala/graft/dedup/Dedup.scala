@@ -448,6 +448,18 @@ object Dedup {
     * Output: the REMOVED rows — (vec_id, cell, centroid_sim, n_dups),
     * deterministic under the seeded k-means + (sim, vec_id) tie-break.
     */
+  /** SemDeDup's cluster-count knob scaled the way the paper ships it
+    * (50k clusters at 12.8 B docs): cells ∝ corpus, holding per-cell
+    * membership ~constant (≈250, the sf0.1 operating point), so the
+    * within-cluster quadratic term stays bounded as N grows — the r10
+    * scale run measured fixed cells=8 going superlinear (10.6× serial
+    * at 10× data) for exactly this reason. The floor of 8 keeps every
+    * oracle-checked SF bit-identical: max(8, N/250) = 8 for N ≤ 2000,
+    * and the oracle's `k8` centroid sidecar only exists there.
+    */
+  def semanticCells(spark: SparkSession, dir: String): Int =
+    math.max(8, (Tables.embeddings(spark, dir).count() / 250).toInt)
+
   def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.45,
                     cells: Int = 8): DataFrame = {
     import graft.ann.IvfIndex
