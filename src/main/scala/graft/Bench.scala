@@ -55,32 +55,56 @@ object Bench {
     (ratios.size, pct(0.5), pct(0.9), ratios.filter(_._2 > factor))
   }
 
-  /** Read a second-SF bench sidecar (written by a prior Bench run at
-    * ScaleGen's 10× dir) and render the `"scale"` JSON fragment for
-    * this run's artifact. Empty string when the sidecar is absent,
-    * when THIS run is the sf1x run itself, or on any parse problem —
-    * the scale block is additive, never a reason to fail the bench.
+  /** The ScaleGen comparison ladder: scaled-dir name → (the base dir
+    * the factor is RELATIVE to, the factor, the JSON key the block is
+    * emitted under). Name and factor are bound in ONE row (ADVICE r10:
+    * deriving them independently let a run at any other SF compare
+    * against the wrong baseline/factor), and a block is emitted ONLY
+    * when the current run IS the base dir of that row.
+    */
+  private val ScaledDirs: Seq[(String, String, Double, String)] = Seq(
+    ("sf1x", "sf0.1", 10.0, "scale"),
+    ("sf10x", "sf0.1", 100.0, "scale100"))
+
+  /** Render the scale-comparison JSON fragments for this run's
+    * artifact: for every ScaledDirs row whose BASE dir is the current
+    * run, read the scaled dir's bench sidecar (written by a prior
+    * Bench run there) and emit per-key serial ratios. Empty string
+    * when no sidecar applies or on any parse problem — the scale
+    * blocks are additive, never a reason to fail the bench.
     */
   private def scaleSidecarJson(spark: SparkSession, sfDir: String,
                                curClean: Map[String, Double]): String = {
-    val side = new java.io.File("bench_full_sf1x.json")
-    if (!side.exists() || new java.io.File(sfDir).getName == "sf1x" ||
-        curClean.isEmpty) return ""
-    try {
-      val df = spark.read.json(side.getAbsolutePath)
-      if (!df.columns.contains("serial_full")) return ""
-      val meta = df.select("value", "data_fingerprint", "sf").collect().head
-      val srow = df.select("serial_full.*").collect().head
-      val other = srow.schema.fieldNames.zipWithIndex.flatMap { case (c, i) =>
-        srow.get(i) match { case n: Number => Some(c -> n.doubleValue); case _ => None }
-      }.toMap
-      val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toDouble
-      val (n, med, p90, sup) = scaleRatios(curClean, other, factor)
-      if (n == 0) return ""
-      val supJson = sup.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
-        .mkString("{", ",", "}")
-      s""","scale":{"sf2":"${jsonEscape(meta.getString(2))}","sf2_fingerprint":"${jsonEscape(meta.getString(1))}","sf2_wall":${meta.getDouble(0)},"factor":$factor,"n_common":$n,"serial_ratio_median":${f"$med%.3f"},"serial_ratio_p90":${f"$p90%.3f"},"superlinear":$supJson}"""
-    } catch { case _: Throwable => "" }
+    if (curClean.isEmpty) return ""
+    val curName = new java.io.File(sfDir).getName
+    ScaledDirs.flatMap { case (scaled, base, factor, key) =>
+      val side = new java.io.File(s"bench_full_$scaled.json")
+      if (curName != base || !side.exists()) None
+      else try {
+        val df = spark.read.json(side.getAbsolutePath)
+        if (!df.columns.contains("serial_full")) None
+        else {
+          val meta = df.select("value", "data_fingerprint", "sf").collect().head
+          val srow = df.select("serial_full.*").collect().head
+          val other = srow.schema.fieldNames.zipWithIndex.flatMap { case (c, i) =>
+            srow.get(i) match { case n: Number => Some(c -> n.doubleValue); case _ => None }
+          }.toMap
+          val (n, med, p90, sup) = scaleRatios(curClean, other, factor)
+          if (n == 0) None
+          else {
+            // Locale.ROOT (ADVICE r10): the f interpolator formats in the
+            // default locale — a comma decimal separator corrupts the JSON
+            def r2(d: Double) =
+              String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+            def r3(d: Double) =
+              String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+            val supJson = sup.map { case (k, r) => "\"" + k + "\":" + r2(r) }
+              .mkString("{", ",", "}")
+            Some(s""","$key":{"sf2":"${jsonEscape(meta.getString(2))}","sf2_fingerprint":"${jsonEscape(meta.getString(1))}","sf2_wall":${meta.getDouble(0)},"factor":$factor,"n_common":$n,"serial_ratio_median":${r3(med)},"serial_ratio_p90":${r3(p90)},"superlinear":$supJson}""")
+          }
+        }
+      } catch { case _: Throwable => None }
+    }.mkString
   }
 
   /** Digest of (name, size, mtime) over every file of the benched

@@ -95,16 +95,21 @@ object ScaleGen {
     val src = Tables.documents(spark, srcDir)
     val n = src.count()
     val copies = spark.range(factor.toLong).toDF("copy")
+    // the per-copy suffix is built ONCE as a column so n_chars can add
+    // its true length — a hardcoded "+12" undercounts whenever the ids
+    // have more digits (ADVICE r10: n_chars must stay == length(text)
+    // on every generated row, downstream quality signals read it)
     src.crossJoin(broadcast(copies))
+      .withColumn("suffix", concat(lit(" tag"),
+        (col("copy") * n + col("doc_id")).cast("string"),
+        lit(" tag"), col("copy").cast("string")))
       .select(
         (col("copy") * n + col("doc_id")).as("doc_id"),
         when(col("copy") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" tag"),
-            (col("copy") * n + col("doc_id")).cast("string"),
-            lit(" tag"), col("copy").cast("string"))).as("text"),
+          .otherwise(concat(col("text"), col("suffix"))).as("text"),
         col("lang"), col("source"),
         when(col("copy") === 0, col("n_chars"))
-          .otherwise(col("n_chars") + lit(12)).as("n_chars"))
+          .otherwise(col("n_chars") + length(col("suffix"))).as("n_chars"))
   }
 
   def main(args: Array[String]): Unit = {

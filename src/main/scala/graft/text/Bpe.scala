@@ -44,10 +44,14 @@ import graft.Tables
   *     aggregate. Each distinct word is encoded once, not once per
   *     occurrence — the standard tokenizer word-cache, distributed.
   *
-  * Both keys are rows-only (an iterative merge loop is not
-  * SQL-replayable in DuckDB); BpeSpec proves the trainer and encoder
-  * EXACTLY equal to an independent single-machine reference
-  * implementation, plus reconstruction/monotonicity invariants.
+  * Both keys are fully oracle-checked (since r10): the merge loop
+  * unrolls into `Merges` MATERIALIZED CTE round-groups in SparkEntry —
+  * pair-explode → count → deterministic argmax per round, the greedy
+  * non-overlapping merge as window functions — so DuckDB replays
+  * train AND encode end to end. BpeSpec additionally proves the
+  * trainer and encoder EXACTLY equal to an independent single-machine
+  * reference implementation, plus reconstruction/monotonicity
+  * invariants.
   */
 object Bpe {
 
