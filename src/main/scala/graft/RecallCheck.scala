@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Calibration appendix (`runMain graft.RecallCheck <dir>`): serving
+  * recall vs exact ground truth at an arbitrary dataset dir, for the
+  * NND-graph walk (B39) and the exact-graph walk (B31) — the number
+  * CALIBRATION.md tables per scale rung. Specs pin floors at sf0.001;
+  * this measures the same quantity where oracles don't run (the
+  * ScaleGen 10×/100× dirs), so init/build changes show their recall
+  * cost at the scale they matter.
+  */
+object RecallCheck {
+  def main(args: Array[String]): Unit = {
+    Sidecars.isolate("graft_recallcheck_sidecars")
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val exact = ann.Ann.batchTopK(spark, dir, 8, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nnd = ann.GraphSearch.graphTopKNnd(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactGraph = ann.GraphSearch.graphTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"RECALL nnd=${nnd.intersect(exact).size.toDouble / exact.size} " +
+      s"exactgraph=${exactGraph.intersect(exact).size.toDouble / exact.size}")
+    spark.stop()
+  }
+}

@@ -16,8 +16,11 @@ import org.apache.spark.sql.SparkSession
   *     kNN build's work volumes (O(k·N) ring-bound pairs; cell-joined
   *     row stream pre pivot filter; 64-dim kernel evaluations after
   *     the lossless pivot filter) — the subquadratic-build claim;
-  *   - nnd_cand_rows: NN-Descent's last-round candidate rows — the
-  *     O(iters·k·N) local-join claim;
+  *   - nnd_init_pairs / nnd_cand_rows: NN-Descent's init candidates
+  *     (ring ∪ long-range — the r11 ring-seeded init's O(bigK·N)
+  *     claim; the r10 table counted only descent rounds and the old
+  *     all-pairs init term was invisible) and the last descent round's
+  *     candidate rows — the O(iters·k·N) local-join claim;
   *   - lsh_cand_pairs / lsh_verified_pairs: MinHash-LSH band-collision
   *     candidates and exact-verified near-dup pairs — the
   *     banding-not-all-pairs claim.
@@ -55,14 +58,15 @@ object ScaleStats {
       ann.Ann.knnCandidateCounts(spark, dir, ann.GraphSearch.GraphK, ann.GraphSearch.Cells))
     stage("nnd")(ann.Ann.knnGraphDescent(spark, dir, ann.GraphSearch.GraphK,
       iters = 2, cells = ann.GraphSearch.Cells, collectStats = true).count())
-    val nndCand = ann.Ann.descentCandStats(
-      (dir, ann.GraphSearch.GraphK, 2, ann.GraphSearch.Cells, 50))
+    val nndKey = (dir, ann.GraphSearch.GraphK, 2, ann.GraphSearch.Cells, 50)
+    val nndCand = ann.Ann.descentCandStats(nndKey)
+    val nndInit = ann.Ann.descentInitStats(nndKey)
     val lshCand = stage("lsh_cand")(dedup.Dedup.lshCandidateCount(spark, dir))
     val lshVerified = stage("lsh_verify")(dedup.Dedup.minhashLsh(spark, dir).count())
     println(s"""{"dir":"$dir","n_embeddings":$n,"n_documents":$d,""" +
       s""""walk_visited":$visited,"walk_nq":${ann.GraphSearch.Nq},""" +
       s""""knn_ring_pairs":$ringPairs,"knn_joined_pairs":$joinedPairs,"knn_kernel_pairs":$kernelPairs,""" +
-      s""""nnd_cand_rows":$nndCand,""" +
+      s""""nnd_init_pairs":$nndInit,"nnd_cand_rows":$nndCand,""" +
       s""""lsh_cand_pairs":$lshCand,"lsh_verified_pairs":$lshVerified}""")
     spark.stop()
   }

@@ -356,7 +356,8 @@ object Ann {
     * neighbors, capped at 2k for bounded fan-out), re-ranked with the
     * bounded-heap aggregate; candidates always include the current
     * edges, so per-src recall is monotone non-decreasing per round.
-    * Initialized from the same-IVF-cell graph. Fixed iteration count
+    * Initialized from the ±bigK within-cell ring (O(bigK·N) — see
+    * buildDescent) plus hash-derived long-range links. Fixed iteration count
     * keeps it deterministic; at scale each round is two vec_id equi-
     * joins + one aggregate over |E| ≈ k·N slim rows (checkpoint the
     * graph between rounds to cut lineage).
@@ -368,6 +369,16 @@ object Ann {
     * instrumentation; production runs skip it).
     */
   val descentCandStats =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int, Int), Long]
+
+  /** Init-candidate row count per descent run (ring ∪ long-range,
+    * deduplicated) — recorded only under `collectStats`, like
+    * `descentCandStats`. The r10 scale table counted only descent
+    * ROUNDS, leaving the init term invisible; this makes the init's
+    * O(bigK·N) linearity a measured number (ScaleStats
+    * `nnd_init_pairs`).
+    */
+  val descentInitStats =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int, Int), Long]
 
   def knnGraphDescent(spark: SparkSession, dir: String, k: Int = 5,
@@ -394,15 +405,35 @@ object Ann {
     // trades convergence speed for work.
     val bigK = math.max(3 * k, 10)
     val e = IvfIndex.withCells(spark, dir, cells)
-    val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"), col("cell"))
-    val b = e.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("cell"))
     // Init MUST mix locality with diverse long-range links: a pure
-    // same-cell init is CLOSED under neighbor-of-neighbor (every
-    // candidate stays inside the cell) and descent can never escape
-    // it. Long-range links are hash-derived — deterministic stand-ins
-    // for NN-Descent's random init.
+    // local init is CLOSED under neighbor-of-neighbor and descent can
+    // never escape it. Long-range links are hash-derived —
+    // deterministic stand-ins for NN-Descent's random init.
+    //
+    // The LOCAL half is ring-seeded (r11): each member meets its ±bigK
+    // ring neighbors in a per-cell 1-D projection order (distance to
+    // the own centroid — the same (cell, slot) equi-join machinery as
+    // the exact build's bound pass, Ann.ringUpperBound) — O(bigK·N)
+    // init pairs BY CONSTRUCTION. The previous same-cell ALL-PAIRS
+    // join was N²/cells kernels at fixed cells: the identical latent
+    // quadratic the r10 rewrite removed from the exact build, hiding
+    // in the at-scale path's own init (VERDICT r10 #1). At spec scale
+    // (cell size ≤ 2·bigK) the ring covers the whole cell, so the
+    // seeded graph is unchanged there; past that the ring keeps init
+    // linear while descent rounds recover any cross-ring neighbors.
     val n = e.count()
-    val sameCell = a.join(b, "cell")
+    val idx = IvfIndex.getOrBuild(spark, dir, cells)
+    val rn = e
+      // the own-cell distance IS the min over centroids (it assigned
+      // the cell), same projection the medoid pick uses
+      .withColumn("d", array_min(centroid_dists(col("embedding"), idx.centroids)))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy(col("d"), col("vec_id"))))
+    val ringInit = rn
+      .select(col("vec_id").as("src"), col("cell"),
+        explode(sequence(col("rn") - bigK, col("rn") + bigK)).as("rn"))
+      .join(rn.select(col("vec_id").as("dst"), col("cell"), col("rn")), Seq("cell", "rn"))
       .filter(col("src") =!= col("dst"))
       .select("src", "dst")
     val longRange = e.select(col("vec_id").as("src"))
@@ -423,8 +454,10 @@ object Ann {
     // serving stack paid ~7 s/action of pure driver analysis at
     // sf0.001). Rounds older than the one still feeding the anti-join
     // are unpersisted as soon as the next materializes.
-    var graph = PlanCut.checkpointed(spark,
-      rerank(sameCell.union(longRange).distinct(), bigK))
+    val init = ringInit.union(longRange).distinct()
+    if (collectStats)
+      descentInitStats((dir, k, iters, cells, (rho * 100).toInt)) = init.count()
+    var graph = PlanCut.checkpointed(spark, rerank(init, bigK))
     var prev: Option[DataFrame] = None // previous round's graph
     val rho10 = math.max(1, math.round(rho * 10).toInt)
     for (rr <- 1 to iters) {
