@@ -192,6 +192,90 @@ object Calibrate {
   * quantifies the declared gap, it does not claim the serving tier.
   * Numbers land in CALIBRATION.md per round.
   */
+/** Round-11 appendix (`sbt "runMain graft.StreamMaint"`) — a measured
+  * throughput row for the one STREAMING component with heavy
+  * per-trigger cost: G18's live graph maintenance
+  * (`VectorStream.graphInsertStream` — hnswlib add_items as a stream).
+  * The streaming suite is spec-verified by design (no oracle), so like
+  * PointServe this puts a NUMBER on the declared surface: triggers/s
+  * and ms per inserted vector at a given corpus scale, with the same
+  * correctness gate the spec uses (drained stream == sequential batch
+  * composition of the recorded trigger sequence) asserted BEFORE the
+  * timing is reported. Base graph + medoids are warmed untimed (index
+  * builds, the Bench convention — steady-state maintenance serves
+  * from an existing index). Numbers land in CALIBRATION.md per round.
+  */
+object StreamMaint {
+  def main(args: Array[String]): Unit = {
+    Sidecars.isolate("graft_streammaint_sidecars")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nTrig = sys.env.getOrElse("SPARK_GRAFT_TRIGGERS", "5").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ann.GraphSearch
+    import org.apache.spark.sql.DataFrame
+
+    val cutoff = GraphSearch.insertCutoff(spark, sfDir)
+    val tail = GraphSearch.InsertTail
+    val tmp = java.nio.file.Files.createTempDirectory("maint_").toString
+    // one staged parquet FILE per trigger (maxFilesPerTrigger=1)
+    val per = math.max(1, tail / nTrig)
+    val bounds = (0 until nTrig).map { t =>
+      (cutoff + t.toLong * per,
+       if (t == nTrig - 1) cutoff + tail else cutoff + (t + 1).toLong * per)
+    }
+    bounds.zipWithIndex.foreach { case ((lo, hi), t) =>
+      graft.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stage$t")
+      val part = new java.io.File(s"$tmp/stage$t").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val target = java.nio.file.Paths.get(tmp, "vecs", s"b$t.parquet")
+      java.nio.file.Files.createDirectories(target.getParent)
+      java.nio.file.Files.move(part.toPath, target)
+    }
+    // warm the index state the stream reads (untimed: index build)
+    val base = GraphSearch.servingGraph(spark, sfDir, baseMax = cutoff)
+    val medoids = GraphSearch.cellMedoids(spark, sfDir, baseMax = cutoff)
+
+    val t0 = System.nanoTime()
+    val (q, h) = graft.streaming.VectorStream.graphInsertStream(
+      spark, sfDir, s"$tmp/vecs", s"$tmp/ckpt")
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    // correctness gate (the spec's assertion, re-run at THIS scale):
+    // the drained stream's graph must equal the sequential batch
+    // composition of the recorded trigger sequence
+    def edgesOf(df: DataFrame): Set[(Long, Long)] =
+      df.select("src", "nbr").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var g: DataFrame = base
+    for (ids <- h.triggerBatches) {
+      val batch = graft.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val next = GraphSearch.insertStep(spark, sfDir, g, medoids, batch)
+      if (g ne base) g.unpersist(blocking = true)
+      g = next
+    }
+    require(edgesOf(h.currentGraph) == edgesOf(g),
+      "drained stream diverged from the batch composition")
+    val nRows = h.triggerBatches.map(_.size).sum
+    println(s"""{"dir":"$sfDir","triggers":${h.triggerBatches.size},""" +
+      s""""insert_rows":$nRows,"wall_s":${math.round(wall * 1000) / 1000.0},""" +
+      s""""triggers_per_s":${math.round(h.triggerBatches.size / wall * 1000) / 1000.0},""" +
+      s""""ms_per_row":${math.round(wall * 1e6 / math.max(nRows, 1)) / 1000.0},"gate":"equal"}""")
+    spark.stop()
+  }
+}
+
 object PointServe {
   def main(args: Array[String]): Unit = {
     Sidecars.isolate("graft_pointserve_sidecars")
