@@ -33,7 +33,17 @@ object Sidecars {
     "opq_codebook.parquet",
     "pca_components_k32.parquet",
     "qdtree_splits.parquet",
-    "graph_ef.parquet")
+    "graph_ef.parquet",
+    // r11 — the xxhash64/seeded-constant family promoted to
+    // sidecar-replay oracles: the engine-specific derivation (seeded
+    // hyperplanes, xxhash64 sketches, descent init) is persisted once
+    // and DuckDB replays everything DOWNSTREAM of it in SQL
+    "lsh_hyperplanes.parquet",
+    "simhash_sigs.parquet",
+    "hash_buckets.parquet",
+    "nnd_graph_k5.parquet",
+    "nnd_graph_k8.parquet",
+    "half_vecs.parquet")
 
   def root: String = sys.props.getOrElse("graft.sidecar.dir", DefaultRoot)
 

@@ -105,7 +105,10 @@ object SparkEntry {
       IvfIndex.writeCentroidSidecar(s, d, 16)
       graft.ann.GraphSearch.graphUpsertTopK(s, d)
     }),
-    "ann_graph_topk_nnd" -> ((s, d) => graft.ann.GraphSearch.graphTopKNnd(s, d)),
+    "ann_graph_topk_nnd" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16) // oracle replays the medoid seeds
+      graft.ann.GraphSearch.graphTopKNnd(s, d)
+    }),
     "ann_knn_classify" -> ((s, d) => graft.ann.Classify.knnClassify(s, d)),
     "ann_graph_classify" -> ((s, d) => {
       IvfIndex.writeCentroidSidecar(s, d, 16)
@@ -213,7 +216,13 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
-    "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    "dedup_embedding" -> ((s, d) =>
+      // r11: the EXACT near-dup miner gets the same cells ∝ corpus
+      // knob as SemDeDup (= 8 at every oracle SF — the quadratic
+      // oracle is blocking-independent, so any cells value is
+      // lossless; the 10× run measured fixed cells=8 at 10.21×,
+      // just over the linear fence, for the same reason as C10)
+      Dedup.embeddingPairs(s, d, cells = Dedup.semanticCells(s, d))),
     "dedup_substring" -> ((s, d) => Dedup.substringSpans(s, d)),
     "dedup_semantic" -> ((s, d) => {
       // the paper's knob: cells ∝ corpus (= 8 at every oracle SF, so
@@ -437,16 +446,12 @@ object SparkEntry {
        |           row_number() OVER (PARTITION BY list_id ORDER BY d, vec_id) AS mrn
        |    FROM ${p}gassign WHERE rn = 1) WHERE mrn = 1)""".stripMargin
 
-  private def knnGraphCtes(baseWhere: String, p: String): String =
-    s"""${p}gknn AS MATERIALIZED (
-       |  SELECT a.vec_id AS src, b.vec_id AS nbr
-       |  FROM (SELECT * FROM embeddings WHERE $baseWhere) a,
-       |       (SELECT * FROM embeddings WHERE $baseWhere) b
-       |  WHERE a.vec_id <> b.vec_id
-       |  QUALIFY row_number() OVER (
-       |    PARTITION BY a.vec_id
-       |    ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) <= ${graft.ann.GraphSearch.GraphK}),
-       |${p}gund0 AS (SELECT src, nbr FROM ${p}gknn UNION SELECT nbr AS src, src AS nbr FROM ${p}gknn),
+  // the symmetrize + M_max-cap tail (mirrors GraphSearch.buildGraph),
+  // shared by the exact-build graph and the r11 sidecar-backed NND
+  // graph — the serving relation is the same SQL either way, only the
+  // ${p}gknn edge source differs
+  private def symCapCtes(p: String): String =
+    s"""${p}gund0 AS (SELECT src, nbr FROM ${p}gknn UNION SELECT nbr AS src, src AS nbr FROM ${p}gknn),
        |${p}gund AS MATERIALIZED (
        |  SELECT src, nbr FROM (
        |    SELECT u.src, u.nbr,
@@ -456,6 +461,26 @@ object SparkEntry {
        |    JOIN embeddings a ON a.vec_id = u.src
        |    JOIN embeddings b ON b.vec_id = u.nbr)
        |  WHERE rn <= ${2 * graft.ann.GraphSearch.GraphK})""".stripMargin
+
+  private def knnGraphCtes(baseWhere: String, p: String): String =
+    s"""${p}gknn AS MATERIALIZED (
+       |  SELECT a.vec_id AS src, b.vec_id AS nbr
+       |  FROM (SELECT * FROM embeddings WHERE $baseWhere) a,
+       |       (SELECT * FROM embeddings WHERE $baseWhere) b
+       |  WHERE a.vec_id <> b.vec_id
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY a.vec_id
+       |    ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) <= ${graft.ann.GraphSearch.GraphK}),
+       |${symCapCtes(p)}""".stripMargin
+
+  // r11: the NND serving graph's edges come from the descent sidecar
+  // (the xxhash64-derived init has no SQL derivation; everything
+  // downstream of the edge set replays) — same symmetrize+cap tail.
+  private def nndGraphCtes(p: String): String =
+    s"""${p}gknn AS MATERIALIZED (
+       |  SELECT src, nbr
+       |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/nnd_graph_k${graft.ann.GraphSearch.GraphK}.parquet/*.parquet')),
+       |${symCapCtes(p)}""".stripMargin
 
   private def walkRoundCtes(queriesWhere: String, p: String, ef: String,
                             graphCte: String, medoidCte: String): String = {
@@ -1067,6 +1092,47 @@ object SparkEntry {
          |SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
          |ORDER BY list_distance(e.embedding::DOUBLE[], q.v), e.vec_id
          |LIMIT 10""".stripMargin,
+    // B29 (promoted r11): every binary16 value is exactly a float, so
+    // the fp16-rounded corpus persists as a sidecar (the quantization
+    // is the only non-SQL step) and the ranking replays as the
+    // standard double-accumulated L2 top-k over the rounded values —
+    // query row included, ID 0 excluded from candidates as the engine
+    // does.
+    "ann_half_topk" ->
+      s"""WITH hv AS (
+         |  SELECT vec_id, hvec
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/half_vecs.parquet/*.parquet')),
+         |hq AS (SELECT hvec::DOUBLE[] AS v FROM hv WHERE vec_id = 0)
+         |SELECT h.vec_id FROM hv h, hq WHERE h.vec_id <> 0
+         |ORDER BY list_distance(h.hvec::DOUBLE[], hq.v), h.vec_id
+         |LIMIT 10""".stripMargin,
+    // B5 (promoted r11): the signature is sign bits of double dot
+    // products against the SEEDED hyperplane constants — persisted as
+    // a 12-row sidecar, so DuckDB re-derives every signature (same
+    // promote-to-double multiply, in-order accumulate as the codegen'd
+    // kernel), the multiprobe bucket set (qsig plus all 12 single-bit
+    // flips), the bucket scan and the exact cosine re-rank.
+    "ann_lsh_search" ->
+      s"""WITH hp AS (
+         |  SELECT bit, plane
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/lsh_hyperplanes.parquet/*.parquet')),
+         |sigs AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |         sum(CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |               i -> e.embedding[i]::DOUBLE * h.plane[i]::DOUBLE)) > 0
+         |             THEN (1 << h.bit) ELSE 0 END)::INT AS sig
+         |  FROM embeddings e CROSS JOIN hp h GROUP BY e.vec_id),
+         |qs AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT qsig AS p FROM qs
+         |  UNION SELECT xor(qsig, (1 << b))::INT FROM qs, range(0, ${graft.ann.Lsh.NumBits}) t(b)),
+         |$qv
+         |SELECT s.vec_id, s.sig
+         |FROM sigs s JOIN probes pr ON s.sig = pr.p
+         |JOIN embeddings e ON e.vec_id = s.vec_id, q
+         |WHERE s.vec_id <> 0
+         |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.v) DESC, s.vec_id
+         |LIMIT 10""".stripMargin,
     "ann_batch_topk" ->
       """SELECT q.vec_id AS query_id, e.vec_id AS block_id
         |FROM embeddings q, embeddings e
@@ -1142,6 +1208,32 @@ object SparkEntry {
          |SELECT vec_id, round(pr, 4) AS pagerank FROM r10
          |ORDER BY vec_id""".stripMargin
     },
+    // B41 (promoted r11): the SAME recurrence over the NN-DESCENT
+    // graph, edges from the descent sidecar (the xxhash64 init has no
+    // SQL derivation; the recurrence replays exactly given the edges).
+    // Weight is 1/out-degree from the ACTUAL edge set (GraphX
+    // staticPageRank normalizes by outDegrees) rather than the
+    // constant 1/k — NND lists are top-k too, but the replay should
+    // not ASSUME the build filled every list.
+    "ann_knn_centrality_nnd" -> {
+      val rounds = (1 to 10).map { t =>
+        s"""r$t AS MATERIALIZED (
+           |  SELECT v.vec_id, 0.15 + 0.85 * COALESCE(m.s, 0.0) AS pr
+           |  FROM r${t - 1} v LEFT JOIN (
+           |    SELECT g.nbr AS vec_id, sum(r.pr * (1.0/d.deg)) AS s
+           |    FROM gnnd g JOIN deg d ON d.src = g.src
+           |    JOIN r${t - 1} r ON r.vec_id = g.src GROUP BY 1) m
+           |  USING (vec_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH gnnd AS MATERIALIZED (
+         |  SELECT src, nbr
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/nnd_graph_k5.parquet/*.parquet')),
+         |deg AS (SELECT src, count(*)::DOUBLE AS deg FROM gnnd GROUP BY src),
+         |r0 AS (SELECT vec_id, 1.0::DOUBLE AS pr FROM embeddings),
+         |$rounds
+         |SELECT vec_id, round(pr, 4) AS pagerank FROM r10
+         |ORDER BY vec_id""".stripMargin
+    },
     // B31: the whole fixed-round beam walk is deterministic given the
     // centroid sidecar — seeds, per-round beams, expansions and the
     // final ranking all replay as unrolled CTEs (see graphWalk above).
@@ -1158,6 +1250,20 @@ object SparkEntry {
     "ann_graph_topk_model" ->
       s"""WITH ${graphWalkCtes("TRUE", s"vec_id < ${graft.ann.GraphSearch.Nq}",
                                ef = s"SELECT ef FROM read_parquet('${graft.Sidecars.DefaultRoot}/graph_ef.parquet/*.parquet')")}
+         |SELECT query_id, cand_id AS block_id FROM $graphVFinal
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY query_id ORDER BY dist, cand_id) <= 10
+         |ORDER BY query_id, block_id""".stripMargin,
+    // B39 (promoted r11): the IDENTICAL walk over the NND graph —
+    // edges from the descent sidecar, same symmetrize+cap tail, same
+    // medoid seeds and round CTEs. The walk is exact given the edges
+    // (the spec's driver replay has asserted this since r9); with the
+    // sidecar the oracle now VALUE-checks it too.
+    "ann_graph_topk_nnd" ->
+      s"""WITH ${medoidCtes("TRUE", "")},
+         |${nndGraphCtes("")},
+         |${walkRoundCtes(s"vec_id < ${graft.ann.GraphSearch.Nq}", "",
+                          graft.ann.GraphSearch.Ef.toString, "gund", "medoid")}
          |SELECT query_id, cand_id AS block_id FROM $graphVFinal
          |QUALIFY row_number() OVER (
          |  PARTITION BY query_id ORDER BY dist, cand_id) <= 10
@@ -1749,6 +1855,20 @@ object SparkEntry {
          |       round(list_inner_product(e.embedding::DOUBLE[], q.v), 4) AS dot_q
          |FROM embeddings e, q WHERE e.vec_id < 100
          |ORDER BY e.vec_id""".stripMargin,
+    // C3 (promoted r11): the 64-bit sketch is xxhash64-derived, so the
+    // per-doc signatures persist as a sidecar and the pair search
+    // replays as the plain quadratic hamming filter — which EQUALS the
+    // engine's banded join (hamming <= 3 over 4x16 bands leaves >= 1
+    // band identical by pigeonhole; the banding is lossless).
+    "dedup_simhash" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, sig
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/simhash_sigs.parquet/*.parquet'))
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |       bit_count(xor(a.sig, b.sig))::INT AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY doc1, doc2""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS h,
         |       count(*) OVER (PARTITION BY md5(text)) AS n_dups,
@@ -1904,6 +2024,23 @@ object SparkEntry {
         |       CASE WHEN ((doc_id % 100) * (2654435761 % 100)) % 100 < 90
         |            THEN 'train' ELSE 'val' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // D6 (promoted r11): xxhash64 lives only in the token→bucket
+    // dictionary, persisted as a sidecar; the featurize — tokenize,
+    // dictionary join, per-doc bucket counts, the weight quotient —
+    // replays in SQL (same space-split as the tfidf oracle).
+    "text_hash_embedding" ->
+      s"""WITH dict AS (
+         |  SELECT token, bucket
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/hash_buckets.parquet/*.parquet')),
+         |toks AS (
+         |  SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS n_tokens,
+         |         unnest(string_split(text, ' ')) AS token
+         |  FROM documents)
+         |SELECT t.doc_id, d.bucket,
+         |       round(count(*) / t.n_tokens, 4) AS weight
+         |FROM toks t JOIN dict d USING (token)
+         |GROUP BY t.doc_id, d.bucket, t.n_tokens
+         |ORDER BY doc_id, bucket""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),

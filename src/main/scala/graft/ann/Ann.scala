@@ -381,18 +381,36 @@ object Ann {
   val descentInitStats =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int, Int), Long]
 
+  private val nndSidecarWritten = new graft.SessionCache[(String, Int), Boolean]
+
   def knnGraphDescent(spark: SparkSession, dir: String, k: Int = 5,
                       iters: Int = 2, cells: Int = 16, rho: Double = 0.5,
                       collectStats: Boolean = false): DataFrame = {
     val key = (dir, k, iters, cells, (rho * 100).toInt)
+    // oracle sidecar (r11): the canonical descent graphs (k=5 feeds
+    // B41's centrality, k=8 the B39 serving walk). The descent init is
+    // xxhash64-derived — no SQL derivation — but EVERYTHING downstream
+    // (symmetrize + M_max cap + the beam walk; the PageRank recurrence)
+    // is deterministic SQL given the edges, so persisting them promotes
+    // both consumers to full oracle rows (B31/B27's replay discipline).
+    def maybeSidecar(built: DataFrame): DataFrame = {
+      if (graft.Sidecars.active && iters == 2 && cells == 16 &&
+          rho == 0.5 && (k == 5 || k == 8))
+        nndSidecarWritten.getOrElseUpdate(spark, (dir, k)) {
+          built.coalesce(1).write.mode("overwrite")
+            .parquet(graft.Sidecars.path(s"nnd_graph_k$k.parquet"))
+          true
+        }
+      built
+    }
     if (collectStats) {
       // stats runs bypass the cache (they must re-execute to count) but
       // still replace it without leaking the old persisted frame
       val built = buildDescent(spark, dir, k, iters, cells, rho, collectStats)
       descentCache.put(spark, key, built).foreach(_.unpersist())
-      built
-    } else descentCache.getOrElseUpdate(spark, key)(
-      buildDescent(spark, dir, k, iters, cells, rho, collectStats))
+      maybeSidecar(built)
+    } else maybeSidecar(descentCache.getOrElseUpdate(spark, key)(
+      buildDescent(spark, dir, k, iters, cells, rho, collectStats)))
   }
 
   private def buildDescent(spark: SparkSession, dir: String, k: Int,

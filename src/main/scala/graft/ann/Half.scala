@@ -20,15 +20,28 @@ import graft.functions.vector._
   * Plan shape: one corpus scan with the codegen'd rounding kernel
   * fused in, 1-row query broadcast, TakeOrderedAndProject top-k —
   * identical to the raw brute-force plan, half the scan bytes at
-  * rest. Rows-only (DuckDB has no fp16); HalfSpec's table-search
-  * reference + boundary sweep is the conversion's correctness gate,
-  * and recall vs the raw-float top-k is asserted.
+  * rest. Oracle-checked since r11: DuckDB has no fp16, but every
+  * binary16 value IS exactly a float, so the rounded corpus persists
+  * as a sidecar (the quantization — the only non-SQL step) and the
+  * ranking replays as the standard double-accumulated L2 top-k over
+  * it, query row included (same discipline as the simhash signature
+  * sidecar). HalfSpec's table-search reference + boundary sweep stays
+  * the CONVERSION's correctness gate; the oracle value-checks the
+  * search over the converted values.
   */
 object Half {
+
+  private val sidecarWritten = new graft.SessionCache[String, Boolean]
 
   def halfTopK(spark: SparkSession, dir: String, k: Int = 10,
                qid: Long = 0): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    if (graft.Sidecars.active) sidecarWritten.getOrElseUpdate(spark, dir) {
+      emb.select(col("vec_id"), half_round(col("embedding")).as("hvec"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(graft.Sidecars.path("half_vecs.parquet"))
+      true
+    }
     val q = emb.filter(col("vec_id") === qid)
       .select(half_round(col("embedding")).as("qvec"))
     emb.filter(col("vec_id") =!= qid)

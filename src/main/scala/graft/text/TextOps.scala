@@ -99,14 +99,28 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  private val hashDictWritten = new graft.SessionCache[String, Boolean]
+
   /** D6: hashed bag-of-words embedding (services/embedding_service.py
     * stand-in — that uses spacy vectors, unavailable here; the hashing
     * trick is the standard scalable featurizer). Output long form:
     * (doc_id, bucket, weight) with weight = bucket term count / doc
-    * token count. Rows-only (hash family engine-specific).
+    * token count. Oracle-checked since r11 via the token→bucket
+    * dictionary sidecar: xxhash64 lives ONLY in the dictionary
+    * derivation, so given (token, bucket) rows DuckDB replays the
+    * featurize — tokenize, dictionary join, per-doc bucket counts,
+    * the weight quotient — exactly.
     */
   def hashEmbedding(spark: SparkSession, dir: String, dims: Int = 16): DataFrame = {
     val w = ws(col("text"))
+    if (graft.Sidecars.active) hashDictWritten.getOrElseUpdate(spark, dir) {
+      Tables.documents(spark, dir)
+        .select(explode(w).as("token")).distinct()
+        .withColumn("bucket", pmod(xxhash64(col("token")), lit(dims)).cast("int"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(graft.Sidecars.path("hash_buckets.parquet"))
+      true
+    }
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), size(w).cast("double").as("n_tokens"),
