@@ -173,14 +173,27 @@ object Bench {
     // indexes (basic_benchmark builds, then benchmarks), so steady-state
     // per-query numbers should too. Build cost is still visible in the
     // first cold run of Verify.
+    //
+    // A SUBSET run (SPARK_GRAFT_ONLY) warms only the index state its
+    // keys serve from: at the 100× dir the EXACT serving-graph build is
+    // quadratic (the documented isotropic worst case), and the
+    // NND/dedup subset benched there must not pay it in warm-up for
+    // keys it never runs. Full runs warm everything, as before.
+    def warms(keys: String*): Boolean =
+      only.forall(sel => keys.exists(sel.contains))
     try {
       SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
       graft.ann.IvfIndex.assignments(spark, sfDir, 16).count()
       graft.ann.IvfIndex.assignments(spark, sfDir, 8).count()
       graft.ann.IvfIndex.cellRadii(spark, sfDir, 16)       // knn-graph pruning bound
       graft.ann.IvfIndex.withCells(spark, sfDir, 16).count()
-      graft.ann.IvfIndex.getOrBuildUnit(spark, sfDir, 8)   // cosine-blocking index
-      graft.ann.IvfIndex.cellRadii(spark, sfDir, 8, unit = true)
+      // cosine-blocking index — C5/C10 derive cells ∝ corpus (=8 at
+      // the oracle SFs, wider at the ScaleGen dirs), so warm THAT one
+      if (warms("dedup_embedding", "dedup_semantic")) {
+        val unitCells = graft.dedup.Dedup.semanticCells(spark, sfDir)
+        graft.ann.IvfIndex.getOrBuildUnit(spark, sfDir, unitCells)
+        graft.ann.IvfIndex.cellRadii(spark, sfDir, unitCells, unit = true)
+      }
       graft.ann.PqIndex.getOrBuild(spark, sfDir)
       graft.ann.QdTree.getOrBuild(spark, sfDir) // greedy tree = index metadata
       graft.ann.SqIndex.getOrBuild(spark, sfDir)
@@ -198,28 +211,43 @@ object Bench {
       graft.rbac.Hierarchy.dagClosure(spark).count()
       // graph-serving index state (B31-B37): the symmetrized kNN graph
       // + medoid entry points, full and base-prefix (B33) variants —
-      // index builds; the WALK itself stays timed (it is the search)
-      graft.ann.GraphSearch.servingGraph(spark, sfDir)
+      // index builds; the WALK itself stays timed (it is the search).
+      // The EXACT build is the quadratic step a 100×-dir subset run
+      // must be able to skip (its at-scale replacement is the NND
+      // build, warmed separately below).
+      if (warms("ann_graph_topk", "rbac_graph_topk", "ann_graph_classify",
+                "ann_graph_topk_model", "ann_graph_insert",
+                "ann_graph_insert_links", "ann_graph_delete_topk",
+                "ann_graph_upsert_topk")) {
+        graft.ann.GraphSearch.servingGraph(spark, sfDir)
+        val gcut = graft.ann.GraphSearch.insertCutoff(spark, sfDir)
+        graft.ann.GraphSearch.servingGraph(spark, sfDir, baseMax = gcut)
+        graft.ann.GraphSearch.cellMedoids(spark, sfDir, baseMax = gcut)
+      }
+      // the full-corpus medoid entry points are IVF-derived (cheap) and
+      // seed BOTH the exact-graph and the NND walks
       graft.ann.GraphSearch.cellMedoids(spark, sfDir)
-      val gcut = graft.ann.GraphSearch.insertCutoff(spark, sfDir)
-      graft.ann.GraphSearch.servingGraph(spark, sfDir, baseMax = gcut)
-      graft.ann.GraphSearch.cellMedoids(spark, sfDir, baseMax = gcut)
       // A21's per-dynamic-partition graph INDEX (built by the layout
       // job at scale); the walk stays timed like B31-B37's — it is
       // the search. The sweep key serves users 0-2: warm each routed
       // partition's index too.
-      graft.ann.GraphSearch.partitionGraphIndex(spark, sfDir, 1)
-      graft.ann.GraphSearch.SweepUsers
-        .foreach(u => graft.ann.GraphSearch.partitionGraphIndex(spark, sfDir, u))
+      if (warms("rbac_partition_graph_topk"))
+        graft.ann.GraphSearch.partitionGraphIndex(spark, sfDir, 1)
+      if (warms("rbac_partition_graph_sweep"))
+        graft.ann.GraphSearch.SweepUsers
+          .foreach(u => graft.ann.GraphSearch.partitionGraphIndex(spark, sfDir, u))
       // B38's measured ef→recall curve (model fit = index-build-time
       // work, the B22 convention; the model-ef WALK stays timed)
-      graft.ann.GraphSearch.efRecallCurve(spark, sfDir)
+      if (warms("ann_graph_topk_model"))
+        graft.ann.GraphSearch.efRecallCurve(spark, sfDir)
       // B39's NN-Descent serving graph (the approximate INDEX build —
       // the walk stays timed)
-      graft.ann.GraphSearch.nndServingGraph(spark, sfDir)
+      if (warms("ann_graph_topk_nnd"))
+        graft.ann.GraphSearch.nndServingGraph(spark, sfDir)
       // B40's repaired graph (index MAINTENANCE — hnswlib does this at
       // add time; the post-maintenance serving walk stays timed)
-      graft.ann.GraphSearch.repairedGraph(spark, sfDir)
+      if (warms("ann_graph_upsert_topk"))
+        graft.ann.GraphSearch.repairedGraph(spark, sfDir)
     } catch { case _: Throwable => () }
     // load ceiling for a clean measurement window (round-8 lesson:
     // rows taken at load 7-18 shipped numbers up to 43× off);
