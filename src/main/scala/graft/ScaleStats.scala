@@ -23,14 +23,26 @@ import org.apache.spark.sql.SparkSession
   *     candidate rows — the O(iters·k·N) local-join claim;
   *   - lsh_cand_pairs / lsh_verified_pairs: MinHash-LSH band-collision
   *     candidates and exact-verified near-dup pairs — the
-  *     banding-not-all-pairs claim.
+  *     banding-not-all-pairs claim;
+  *   - walk_visited_nnd (r11): visited rows of the SAME walk over the
+  *     NN-Descent graph — the at-scale serving pair of walk_visited.
   *
-  * Usage: runMain graft.ScaleStats <dir>
+  * Usage: runMain graft.ScaleStats <dir> [mode]
+  *
+  * mode "atscale" (r11, for the 100× dir) skips the EXACT-build
+  * stages — knnCandidateCounts streams the within-cell joined
+  * candidate rows (≈2.5e9 rows ≈ 1.2 TB of vector payload at 200k
+  * isotropic vectors: the design-rejected regime whose replacement is
+  * the NND family), and the exact-graph walk needs that same build.
+  * Everything measured at 100× (NND init/descent volumes, NND-walk
+  * visited, LSH candidates) is the designated at-scale path; the
+  * exact-build exponents are measured to 10× in mode "full".
   */
 object ScaleStats {
   def main(args: Array[String]): Unit = {
     Sidecars.isolate("graft_scalestats_sidecars")
     val dir = args(0)
+    val atScale = args.length > 1 && args(1) == "atscale"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,20 +65,27 @@ object ScaleStats {
     }
     val n = Tables.embeddings(spark, dir).count()
     val d = Tables.documents(spark, dir).count()
-    val visited = stage("walk")(ann.GraphSearch.visited(spark, dir).count())
-    val (ringPairs, joinedPairs, kernelPairs) = stage("knn_pairs")(
-      ann.Ann.knnCandidateCounts(spark, dir, ann.GraphSearch.GraphK, ann.GraphSearch.Cells))
+    // exact-build stages: full mode only (see the mode note above)
+    val exactJson = if (atScale) "" else {
+      val visited = stage("walk")(ann.GraphSearch.visited(spark, dir).count())
+      val (ringPairs, joinedPairs, kernelPairs) = stage("knn_pairs")(
+        ann.Ann.knnCandidateCounts(spark, dir, ann.GraphSearch.GraphK, ann.GraphSearch.Cells))
+      s""""walk_visited":$visited,""" +
+        s""""knn_ring_pairs":$ringPairs,"knn_joined_pairs":$joinedPairs,"knn_kernel_pairs":$kernelPairs,"""
+    }
     stage("nnd")(ann.Ann.knnGraphDescent(spark, dir, ann.GraphSearch.GraphK,
       iters = 2, cells = ann.GraphSearch.Cells, collectStats = true).count())
     val nndKey = (dir, ann.GraphSearch.GraphK, 2, ann.GraphSearch.Cells, 50)
     val nndCand = ann.Ann.descentCandStats(nndKey)
     val nndInit = ann.Ann.descentInitStats(nndKey)
+    val visitedNnd = stage("walk_nnd")(ann.GraphSearch.visitedNnd(spark, dir).count())
     val lshCand = stage("lsh_cand")(dedup.Dedup.lshCandidateCount(spark, dir))
     val lshVerified = stage("lsh_verify")(dedup.Dedup.minhashLsh(spark, dir).count())
-    println(s"""{"dir":"$dir","n_embeddings":$n,"n_documents":$d,""" +
-      s""""walk_visited":$visited,"walk_nq":${ann.GraphSearch.Nq},""" +
-      s""""knn_ring_pairs":$ringPairs,"knn_joined_pairs":$joinedPairs,"knn_kernel_pairs":$kernelPairs,""" +
+    println(s"""{"dir":"$dir","mode":"${if (atScale) "atscale" else "full"}",""" +
+      s""""n_embeddings":$n,"n_documents":$d,"walk_nq":${ann.GraphSearch.Nq},""" +
+      exactJson +
       s""""nnd_init_pairs":$nndInit,"nnd_cand_rows":$nndCand,""" +
+      s""""walk_visited_nnd":$visitedNnd,""" +
       s""""lsh_cand_pairs":$lshCand,"lsh_verified_pairs":$lshVerified}""")
     spark.stop()
   }

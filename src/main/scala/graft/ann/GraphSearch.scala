@@ -410,10 +410,12 @@ object GraphSearch {
     * graph in O(iters·k·N) local joins. The identical symmetrize +
     * M_max cap + medoid-seeded walk runs over that graph: same serving
     * plan, same constructive visited bounds, approximate only in WHICH
-    * edges exist. Rows-only by B17's declaration (the descent init is
-    * xxhash64-derived — no DuckDB analogue); the spec walks the
-    * COLLECTED graph on the driver (the walk is exact GIVEN the edges)
-    * and pins recall vs exact ground truth.
+    * edges exist. Oracle-checked since r11: the descent edge set (the
+    * only xxhash64-derived part) persists as the `nnd_graph_k8`
+    * sidecar and the identical walk CTEs replay the serving path; the
+    * spec additionally walks the COLLECTED graph on the driver (the
+    * walk is exact GIVEN the edges) and pins recall vs exact ground
+    * truth.
     */
   def nndServingGraph(spark: SparkSession, dir: String, gk: Int = GraphK,
                       cells: Int = Cells): DataFrame =
@@ -422,10 +424,15 @@ object GraphSearch {
         Ann.knnGraphDescent(spark, dir, gk, iters = 2, cells))
     }
 
-  def graphTopKNnd(spark: SparkSession, dir: String, nq: Int = Nq,
-                   k: Int = 10, ef: Int = Ef, rounds: Int = Rounds,
-                   gk: Int = GraphK, cells: Int = Cells): DataFrame = {
-    val vis = visitedCache.getOrElseUpdate(
+  /** The NND serving walk's visited state — shared by B39's top-k and
+    * ScaleStats' at-scale visited-fraction measurement (the exact
+    * graph's `visited` twin for the regime where the exact build is
+    * out of budget).
+    */
+  def visitedNnd(spark: SparkSession, dir: String, nq: Int = Nq,
+                 ef: Int = Ef, rounds: Int = Rounds,
+                 gk: Int = GraphK, cells: Int = Cells): DataFrame =
+    visitedCache.getOrElseUpdate(
       spark, (dir, s"nndserve$nq", ef, rounds, gk, cells)) {
       val queries = broadcast(Tables.embeddings(spark, dir)
         .filter(col("vec_id") < nq)
@@ -433,10 +440,13 @@ object GraphSearch {
       buildVisited(spark, dir, queries, ef, rounds,
         nndServingGraph(spark, dir, gk, cells), cellMedoids(spark, dir, cells))
     }
-    topOf(vis, k)
+
+  def graphTopKNnd(spark: SparkSession, dir: String, nq: Int = Nq,
+                   k: Int = 10, ef: Int = Ef, rounds: Int = Rounds,
+                   gk: Int = GraphK, cells: Int = Cells): DataFrame =
+    topOf(visitedNnd(spark, dir, nq, ef, rounds, gk, cells), k)
       .select(col("query_id"), col("cand_id").as("block_id"))
       .orderBy("query_id", "block_id")
-  }
 
   /** B33's reciprocal half (r9): hnswlib's mutuallyConnectNewElement
     * (hnswalg.h) — after a new node links to its walk's top-gk, the
