@@ -169,11 +169,15 @@ object Calibrate {
     val spBenefit = spearman(rows.map(_._3).toSeq, rows.map(_._4).toSeq)
     val spTime = spearman(rows.map(_._6).toSeq, rows.map(_._5).toSeq)
     val m = rows.length
+    // Locale.ROOT on every float (the r10 scaleSidecarJson advice): a
+    // comma-decimal default locale must not corrupt the JSON
+    def rt(fmt: String, d: Double) =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(d))
     val combJson = rows.map { case (c, nd, p, meas, t, pt) =>
-      f"""{"comb":"$c","n_docs":$nd,"pred_benefit":$p%.6f,"meas_benefit":$meas%.6f,"t_ms":$t%.1f,"pred_t_ms":$pt%.1f}"""
+      s"""{"comb":"$c","n_docs":$nd,"pred_benefit":${rt("%.6f", p)},"meas_benefit":${rt("%.6f", meas)},"t_ms":${rt("%.1f", t)},"pred_t_ms":${rt("%.1f", pt)}}"""
     }.mkString("[", ",", "]")
 
-    println(f"""{"points":$pts,"linear":{"a_ms_per_row":$la%.6f,"b_ms":$lb%.2f,"r2":$lr2%.4f},"log":{"a_ms":$ga%.2f,"b_ms":$gb%.2f,"r2":$gr2%.4f},"validation":{"t_full_ms":$tFull%.1f,"n_combs":$m,"spearman_benefit":$spBenefit%.4f,"spearman_time":$spTime%.4f,"combs":$combJson},"sf":"$sfDir"}""")
+    println(s"""{"points":$pts,"linear":{"a_ms_per_row":${rt("%.6f", la)},"b_ms":${rt("%.2f", lb)},"r2":${rt("%.4f", lr2)}},"log":{"a_ms":${rt("%.2f", ga)},"b_ms":${rt("%.2f", gb)},"r2":${rt("%.4f", gr2)}},"validation":{"t_full_ms":${rt("%.1f", tFull)},"n_combs":$m,"spearman_benefit":${rt("%.4f", spBenefit)},"spearman_time":${rt("%.4f", spTime)},"combs":$combJson},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
@@ -280,6 +284,13 @@ object PointServe {
   def main(args: Array[String]): Unit = {
     Sidecars.isolate("graft_pointserve_sidecars")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // r11: SPARK_GRAFT_POINTSERVE_GRAPH=nnd serves over the NN-DESCENT
+    // graph instead of the exact build — the only index whose BUILD is
+    // affordable at the 100× dir, so this is how the online tier gets
+    // a measured 100× row (the exact build is the documented quadratic
+    // boundary there). The gate compares against graphTopKNnd — the
+    // walk must reproduce the batch result over the SAME edge set.
+    val useNnd = sys.env.get("SPARK_GRAFT_POINTSERVE_GRAPH").contains("nnd")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -296,7 +307,8 @@ object PointServe {
 
     // "index load": collect the graph index a serving node would mmap
     val tLoad0 = System.nanoTime()
-    val edges = GraphSearch.servingGraph(spark, sfDir).collect()
+    val edges = (if (useNnd) GraphSearch.nndServingGraph(spark, sfDir)
+                 else GraphSearch.servingGraph(spark, sfDir)).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
     val medoids = GraphSearch.cellMedoids(spark, sfDir).collect().map(_.getLong(0))
@@ -324,7 +336,8 @@ object PointServe {
 
     // correctness gate first: the pointer chase must reproduce the
     // batch walk exactly, or its timing is meaningless
-    val batch = GraphSearch.graphTopK(spark, sfDir).collect()
+    val batch = (if (useNnd) GraphSearch.graphTopKNnd(spark, sfDir)
+                 else GraphSearch.graphTopK(spark, sfDir)).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .map { case (q, rs) => q -> rs.map(_._2).sorted.toSeq }
     val qids = 0L until GraphSearch.Nq.toLong
@@ -344,7 +357,12 @@ object PointServe {
     }
     val sorted = times.sorted
     val (p50, p99) = (sorted(sorted.length / 2), sorted((sorted.length * 99) / 100))
-    println(f"""{"metric":"point_serve","index_load_ms":$loadMs%.1f,"walk_us_p50":$p50%.1f,"walk_us_p99":$p99%.1f,"n_nodes":${emb.size},"n_queries":${qids.length},"reps":$reps,"ef":${GraphSearch.Ef},"rounds":${GraphSearch.Rounds},"sf":"$sfDir"}""")
+    // Locale.ROOT (the r10 advice on scaleSidecarJson, applied here
+    // too): the f interpolator formats in the default locale — a
+    // comma decimal separator would corrupt the JSON
+    def r1(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+    println(s"""{"metric":"point_serve","graph":"${if (useNnd) "nnd" else "exact"}","index_load_ms":${r1(loadMs)},"walk_us_p50":${r1(p50)},"walk_us_p99":${r1(p99)},"n_nodes":${emb.size},"n_queries":${qids.length},"reps":$reps,"ef":${GraphSearch.Ef},"rounds":${GraphSearch.Rounds},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

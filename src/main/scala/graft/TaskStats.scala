@@ -71,7 +71,11 @@ object TaskStats {
       val worstSkew = stages.filter(_._2 >= 4)
         .map { case (_, _, med, max) => max.toDouble / math.max(med, 1L) }
         .reduceOption(_ max _).getOrElse(1.0)
-      println(f"""{"query":"$n","stages":${stages.length},"big_stage_tasks":${big._2},"big_stage_median_ms":${big._3},"big_stage_max_ms":${big._4},"worst_stage_skew":$worstSkew%.2f,"wall_s":$wall%.2f}""")
+      // Locale.ROOT (the r10 scaleSidecarJson advice): a comma-decimal
+      // default locale must not corrupt the JSON
+      def rt2(d: Double) =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+      println(s"""{"query":"$n","stages":${stages.length},"big_stage_tasks":${big._2},"big_stage_median_ms":${big._3},"big_stage_max_ms":${big._4},"worst_stage_skew":${rt2(worstSkew)},"wall_s":${rt2(wall)}}""")
     }
     spark.stop()
   }
