@@ -225,10 +225,15 @@ object StreamMaint {
     import graft.ann.GraphSearch
     import org.apache.spark.sql.DataFrame
 
+    // r12: the stream's SHIPPED default is batched triggers (drain all
+    // staged files in one micro-batch — the measured 5.8×-per-row
+    // operating point); SPARK_GRAFT_MFPT=1 forces file-per-trigger to
+    // reproduce the r11 comparison rows
+    val mfpt = sys.env.getOrElse("SPARK_GRAFT_MFPT", "0").toInt
     val cutoff = GraphSearch.insertCutoff(spark, sfDir)
     val tail = GraphSearch.InsertTail
     val tmp = java.nio.file.Files.createTempDirectory("maint_").toString
-    // one staged parquet FILE per trigger (maxFilesPerTrigger=1)
+    // nTrig staged parquet FILES (one trigger each only under MFPT=1)
     val per = math.max(1, tail / nTrig)
     val bounds = (0 until nTrig).map { t =>
       (cutoff + t.toLong * per,
@@ -251,7 +256,7 @@ object StreamMaint {
 
     val t0 = System.nanoTime()
     val (q, h) = graft.streaming.VectorStream.graphInsertStream(
-      spark, sfDir, s"$tmp/vecs", s"$tmp/ckpt")
+      spark, sfDir, s"$tmp/vecs", s"$tmp/ckpt", maxFilesPerTrigger = mfpt)
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
 
@@ -272,7 +277,8 @@ object StreamMaint {
     require(edgesOf(h.currentGraph) == edgesOf(g),
       "drained stream diverged from the batch composition")
     val nRows = h.triggerBatches.map(_.size).sum
-    println(s"""{"dir":"$sfDir","triggers":${h.triggerBatches.size},""" +
+    println(s"""{"dir":"$sfDir","mfpt":$mfpt,"staged_files":$nTrig,""" +
+      s""""triggers":${h.triggerBatches.size},""" +
       s""""insert_rows":$nRows,"wall_s":${math.round(wall * 1000) / 1000.0},""" +
       s""""triggers_per_s":${math.round(h.triggerBatches.size / wall * 1000) / 1000.0},""" +
       s""""ms_per_row":${math.round(wall * 1e6 / math.max(nRows, 1)) / 1000.0},"gate":"equal"}""")

@@ -22,14 +22,22 @@ object RecallCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional 2nd arg "nnd": skip the exact-graph walk — its serving
+    // graph is the exact BUILD, quadratic on the isotropic 100× dir
+    // (the regime the NND index exists for); brute-force ground truth
+    // stays (linear scan, affordable at every ScaleGen rung)
+    val nndOnly = args.length > 1 && args(1) == "nnd"
     val exact = ann.Ann.batchTopK(spark, dir, 8, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val nnd = ann.GraphSearch.graphTopKNnd(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exactGraph = ann.GraphSearch.graphTopK(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    println(s"RECALL nnd=${nnd.intersect(exact).size.toDouble / exact.size} " +
-      s"exactgraph=${exactGraph.intersect(exact).size.toDouble / exact.size}")
+    val exactPart = if (nndOnly) "" else {
+      val exactGraph = ann.GraphSearch.graphTopK(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      s" exactgraph=${exactGraph.intersect(exact).size.toDouble / exact.size}"
+    }
+    println(s"RECALL nnd=${nnd.intersect(exact).size.toDouble / exact.size}" +
+      exactPart)
     spark.stop()
   }
 }

@@ -73,9 +73,12 @@ object ScaleStats {
       s""""walk_visited":$visited,""" +
         s""""knn_ring_pairs":$ringPairs,"knn_joined_pairs":$joinedPairs,"knn_kernel_pairs":$kernelPairs,"""
     }
+    // stats key carries the DERIVED descent cell count (r12: cells ∝
+    // √N, no longer the fixed serving-knob Cells)
+    val dcells = ann.Ann.descentCells(spark, dir)
     stage("nnd")(ann.Ann.knnGraphDescent(spark, dir, ann.GraphSearch.GraphK,
-      iters = 2, cells = ann.GraphSearch.Cells, collectStats = true).count())
-    val nndKey = (dir, ann.GraphSearch.GraphK, 2, ann.GraphSearch.Cells, 50)
+      iters = 2, collectStats = true).count())
+    val nndKey = (dir, ann.GraphSearch.GraphK, 2, dcells, 50)
     val nndCand = ann.Ann.descentCandStats(nndKey)
     val nndInit = ann.Ann.descentInitStats(nndKey)
     val visitedNnd = stage("walk_nnd")(ann.GraphSearch.visitedNnd(spark, dir).count())

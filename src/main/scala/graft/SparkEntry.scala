@@ -71,10 +71,15 @@ object SparkEntry {
     // 1 descent round in the workload entry (the convergence trajectory
     // 0.29→0.61→0.88→0.95 over rounds is asserted in ScalaTest)
     "ann_knn_graph_nnd" -> ((s, d) => Ann.knnGraphDescent(s, d, 5, iters = 1)),
+    // r12 dispatch (VERDICT r11 #7): exact build below the measured
+    // corpus ceiling, NN-Descent above — at every oracle SF this IS
+    // the exact branch, so B11's quadratic SQL oracles the key
+    "ann_knn_graph_auto" -> ((s, d) => Ann.knnGraphAuto(s, d, 5)),
     "ann_knn_centrality" -> ((s, d) => Ann.knnCentrality(s, d)),
-    // B41: the at-scale centrality — PageRank over the NND graph
-    // (rows-only by B17's declaration; Round10Spec driver-replays the
-    // full recurrence over the collected edges)
+    // B41: the at-scale centrality — PageRank over the NND graph.
+    // Fully oracle-checked since r11: the descent edges persist as the
+    // nnd_graph_k5 sidecar and the DuckDB oracle replays the 10-round
+    // recurrence as unrolled CTEs (oracle below, near line 1218).
     "ann_knn_centrality_nnd" -> ((s, d) => Ann.knnCentralityNnd(s, d)),
     "ann_graph_topk_model" -> ((s, d) => {
       IvfIndex.writeCentroidSidecar(s, d, 16)
@@ -223,6 +228,10 @@ object SparkEntry {
       // lossless; the 10× run measured fixed cells=8 at 10.21×,
       // just over the linear fence, for the same reason as C10)
       Dedup.embeddingPairs(s, d, cells = Dedup.semanticCells(s, d))),
+    // r12 dispatch (VERDICT r11 #7): exact blocked miner while the
+    // pre-measured candidate stream fits the budget, within-cell
+    // SemDeDup blocking past it — the oracle SFs take the exact branch
+    "dedup_embedding_auto" -> ((s, d) => Dedup.embeddingPairsAuto(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringSpans(s, d)),
     "dedup_semantic" -> ((s, d) => {
       // the paper's knob: cells ∝ corpus (= 8 at every oracle SF, so
@@ -1180,6 +1189,16 @@ object SparkEntry {
         |  PARTITION BY a.vec_id
         |  ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) <= 5
         |ORDER BY src, nbr""".stripMargin,
+    // the auto dispatch IS the exact build at every oracle SF
+    // (N ≤ 2000 < KnnExactMaxN) — B11's oracle applies verbatim
+    "ann_knn_graph_auto" ->
+      """SELECT a.vec_id AS src, b.vec_id AS nbr
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id <> b.vec_id
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY a.vec_id
+        |  ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id) <= 5
+        |ORDER BY src, nbr""".stripMargin,
     // B27 (promoted r9): GraphX staticPageRank's recurrence — r₀ = 1,
     // rₜ₊₁ = 0.15 + 0.85·Σ rₜ(u)·(1/deg⁺(u)) with msg-less vertices at
     // 0 (outerJoinVertices getOrElse 0.0) — replayed as 10 unrolled
@@ -1972,6 +1991,14 @@ object SparkEntry {
         |WHERE round(len(list_intersect(a.gs, b.gs))::DOUBLE / len(list_distinct(a.gs || b.gs)), 4) >= 0.8
         |ORDER BY doc1, doc2""".stripMargin,
     "dedup_embedding" ->
+      """SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45
+        |ORDER BY vec1, vec2""".stripMargin,
+    // the auto dispatch takes the exact branch at every oracle SF
+    // (candidate estimate ≪ the 10⁹ budget) — C5's oracle verbatim
+    "dedup_embedding_auto" ->
       """SELECT a.vec_id AS vec1, b.vec_id AS vec2,
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

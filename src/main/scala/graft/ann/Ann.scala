@@ -129,6 +129,34 @@ object Ann {
   def knnGraph(spark: SparkSession, dir: String, k: Int, cells: Int = 16): DataFrame =
     knnEdges(spark, dir, k, cells).orderBy("src", "nbr")
 
+  /** Corpus-size ceiling for the EXACT kNN-graph build in the auto
+    * dispatch. Measured (CALIBRATION r10/r11): at N = 2000 (sf0.1) the
+    * exact build's candidate stream is within its linear budget; at
+    * N = 20 000 (ScaleGen 10×, isotropic) the joined stream grew
+    * 16.1× for 10× data — the documented quadratic regime where cell
+    * pruning stops being selective. 5000 sits in the measured-safe
+    * decade with headroom.
+    */
+  val KnnExactMaxN = 5000L
+
+  /** B11/B17 dispatch (r12, closes VERDICT r11 #7): one kNN-graph
+    * operator, exact below the measured corpus threshold, NN-Descent
+    * above. Same (src, nbr) edge-list schema both sides. At every
+    * oracle SF (N ≤ 2000) the dispatch is the exact branch, so the
+    * key carries B11's quadratic SQL oracle unchanged; past the
+    * threshold the caller gets the graph the 100× run proved buildable
+    * (linear init, measured flat serving) instead of the one that
+    * isn't. The descent branch uses the canonical serving parameters
+    * (iters = 2, derived cells).
+    */
+  def knnGraphAuto(spark: SparkSession, dir: String, k: Int = 5,
+                   maxExactN: Long = KnnExactMaxN): DataFrame = {
+    val n = corpusCount.getOrElseUpdate(spark, dir)(
+      graft.Tables.embeddings(spark, dir).count())
+    if (n <= maxExactN) knnGraph(spark, dir, k)
+    else knnGraphDescent(spark, dir, k)
+  }
+
   /** B11 restricted to the base prefix `vec_id < maxId` — the graph an
     * incremental insert batch (B33) walks. The IVF scaffolding (fit +
     * radii) stays full-corpus: a full-cell radius upper-bounds the
@@ -319,14 +347,15 @@ object Ann {
     * (CALIBRATION round-10), so at 100 TB the centrality signal runs
     * over the NND graph instead: O(iters·k·N) build (measured 1.76×
     * candidate growth at 10× data), identical PageRank recurrence and
-    * rounding. Rows-only by B17's declaration (xxhash64 descent init
-    * has no DuckDB analogue); the Round10Spec replay recomputes the
-    * full 10-round recurrence in the driver over the collected NND
-    * edge set and asserts 4dp equality — B39's replay discipline
-    * applied to the centrality consumer.
+    * rounding. Fully oracle-checked since r11: the descent edge set
+    * persists as the `nnd_graph_k5` sidecar (only the xxhash64 init
+    * is non-SQL) and the DuckDB oracle replays the 10-round
+    * recurrence as unrolled CTEs with 1/out-degree weights
+    * (SparkEntry oracle). Round10Spec additionally driver-replays the
+    * recurrence and asserts 4dp equality.
     */
   def knnCentralityNnd(spark: SparkSession, dir: String, k: Int = 5,
-                       iters: Int = 10, cells: Int = 16): DataFrame = {
+                       iters: Int = 10, cells: Int = 0): DataFrame = {
     import spark.implicits._
     val edges = knnGraphDescent(spark, dir, k, cells = cells)
       .select(col("src"), col("nbr")).as[(Long, Long)].rdd
@@ -383,10 +412,38 @@ object Ann {
 
   private val nndSidecarWritten = new graft.SessionCache[(String, Int), Boolean]
 
+  private val corpusCount = new graft.SessionCache[String, Long]
+
+  /** Descent partition count ∝ corpus (r12, VERDICT r11 #4): the fixed
+    * cells=16 left a N/16-row single-task `row_number` window in the
+    * at-scale build path — not quadratic (pair volume stays linear in
+    * bigK·N) but a straggler at 10⁹ rows (a 6×10⁷-row single-task
+    * sort). Scaling rule is √N, NOT the linear `semanticCells` rule:
+    * SemDeDup's within-cell work is PAIR-quadratic, so it needs a
+    * fixed cell SIZE (cells ∝ N); the descent init's within-cell work
+    * is the ±bigK ring — LINEAR in cell size — so the binding
+    * constraints are the per-cell sort straggler (∝ N/cells) vs the
+    * k-means assignment cost (∝ N·cells). cells = √(N/8) balances
+    * them at O(N^1.5) total with an O(√N·log) straggler — the classic
+    * IVF nlist ≈ √N rule. Floor 16 keeps every oracle SF
+    * (sf0.001/0.01/0.1, N ≤ 2000 → √(N/8) ≤ 15.9) bit-identical to
+    * the r11 sidecar-replay oracles; the ScaleGen dirs derive 50
+    * (10×) and 158 (100×). Recall floor after the change is
+    * re-measured by RecallCheck at both scaled dirs (CALIBRATION r12).
+    */
+  def descentCells(spark: SparkSession, dir: String): Int = {
+    val n = corpusCount.getOrElseUpdate(spark, dir)(
+      graft.Tables.embeddings(spark, dir).count())
+    math.max(16, math.round(math.sqrt(n / 8.0)).toInt)
+  }
+
   def knnGraphDescent(spark: SparkSession, dir: String, k: Int = 5,
-                      iters: Int = 2, cells: Int = 16, rho: Double = 0.5,
+                      iters: Int = 2, cells: Int = 0, rho: Double = 0.5,
                       collectStats: Boolean = false): DataFrame = {
-    val key = (dir, k, iters, cells, (rho * 100).toInt)
+    // cells = 0 (the default) derives the partition count from the
+    // corpus; an explicit positive value pins it (tests, stats runs)
+    val c = if (cells > 0) cells else descentCells(spark, dir)
+    val key = (dir, k, iters, c, (rho * 100).toInt)
     // oracle sidecar (r11): the canonical descent graphs (k=5 feeds
     // B41's centrality, k=8 the B39 serving walk). The descent init is
     // xxhash64-derived — no SQL derivation — but EVERYTHING downstream
@@ -394,7 +451,12 @@ object Ann {
     // is deterministic SQL given the edges, so persisting them promotes
     // both consumers to full oracle rows (B31/B27's replay discipline).
     def maybeSidecar(built: DataFrame): DataFrame = {
-      if (graft.Sidecars.active && iters == 2 && cells == 16 &&
+      // the sidecar pin follows the DERIVED cell count (r12): at the
+      // oracle SFs descentCells floors to 16, so the persisted graphs
+      // stay bit-identical to the r11 oracles; a caller pinning any
+      // OTHER cells gets no sidecar (it would desync the replay)
+      if (graft.Sidecars.active && iters == 2 &&
+          c == descentCells(spark, dir) &&
           rho == 0.5 && (k == 5 || k == 8))
         nndSidecarWritten.getOrElseUpdate(spark, (dir, k)) {
           built.coalesce(1).write.mode("overwrite")
@@ -406,11 +468,11 @@ object Ann {
     if (collectStats) {
       // stats runs bypass the cache (they must re-execute to count) but
       // still replace it without leaking the old persisted frame
-      val built = buildDescent(spark, dir, k, iters, cells, rho, collectStats)
+      val built = buildDescent(spark, dir, k, iters, c, rho, collectStats)
       descentCache.put(spark, key, built).foreach(_.unpersist())
       maybeSidecar(built)
     } else maybeSidecar(descentCache.getOrElseUpdate(spark, key)(
-      buildDescent(spark, dir, k, iters, cells, rho, collectStats)))
+      buildDescent(spark, dir, k, iters, c, rho, collectStats)))
   }
 
   private def buildDescent(spark: SparkSession, dir: String, k: Int,
@@ -435,10 +497,13 @@ object Ann {
     // init pairs BY CONSTRUCTION. The previous same-cell ALL-PAIRS
     // join was N²/cells kernels at fixed cells: the identical latent
     // quadratic the r10 rewrite removed from the exact build, hiding
-    // in the at-scale path's own init (VERDICT r10 #1). At spec scale
-    // (cell size ≤ 2·bigK) the ring covers the whole cell, so the
-    // seeded graph is unchanged there; past that the ring keeps init
-    // linear while descent rounds recover any cross-ring neighbors.
+    // in the at-scale path's own init (VERDICT r10 #1). The ring
+    // covers every intra-cell pair only when cell size ≤ bigK+1;
+    // beyond that the seeded graph DIFFERS from the old all-pairs
+    // init (measured: B39 recall moved 0.925 → 0.9125 at sf0.1 under
+    // the ring init) — descent rounds recover cross-ring neighbors
+    // and the re-pinned spec floors absorb the shift, while init
+    // stays linear by construction.
     val n = e.count()
     val idx = IvfIndex.getOrBuild(spark, dir, cells)
     val rn = e

@@ -420,8 +420,12 @@ object GraphSearch {
   def nndServingGraph(spark: SparkSession, dir: String, gk: Int = GraphK,
                       cells: Int = Cells): DataFrame =
     graphCache.getOrElseUpdate(spark, (dir, gk, cells, "nnd")) {
+      // `cells` here is the SERVING knob (medoid entry points, walk
+      // seeds) and stays fixed at Cells; the descent build derives its
+      // own partition count from the corpus (Ann.descentCells, r12) —
+      // the two were conflated when both were hardwired to 16
       buildGraph(spark, dir, gk,
-        Ann.knnGraphDescent(spark, dir, gk, iters = 2, cells))
+        Ann.knnGraphDescent(spark, dir, gk, iters = 2))
     }
 
   /** The NND serving walk's visited state — shared by B39's top-k and

@@ -323,31 +323,125 @@ object Dedup {
     * plan) and survivors are verified with exact cosine on the RAW
     * embeddings. Mirrors what C2/C4 do for token sets, in vector space.
     */
-  def embeddingPairs(spark: SparkSession, dir: String, tau: Double = 0.45,
-                     cells: Int = 8): DataFrame = {
+  /** C5's candidate CELL pairs (both directions for a≠b, once for
+    * a=b): an unordered vec pair in cells {x,y} survives exactly once
+    * after the downstream vec1 < vec2 filter. Blocking must cover the
+    * ROUNDING band, not just cos ≥ τ: the final filter accepts
+    * round(cos,4) ≥ τ, i.e. raw cosine down to τ − 5e-5, whose unit
+    * distance slightly exceeds √(2−2τ) — block for the widened
+    * threshold so those pairs can't be cell-pruned (lossless).
+    */
+  private def candidateCellPairs(spark: SparkSession, dir: String,
+                                 tau: Double, cells: Int): Seq[(Int, Int)] = {
     import graft.ann.IvfIndex
     val idx = IvfIndex.getOrBuildUnit(spark, dir, cells)
     val radii = IvfIndex.cellRadii(spark, dir, cells, unit = true)
-    // blocking must cover the ROUNDING band, not just cos ≥ τ: the final
-    // filter accepts round(cos,4) ≥ τ, i.e. raw cosine down to τ − 5e-5,
-    // whose unit distance slightly exceeds √(2−2τ) — block for the
-    // widened threshold so those pairs can't be cell-pruned
     val tauDist = math.sqrt(math.max(2.0 - 2.0 * (tau - 0.00005), 0.0))
     def d(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
       math.sqrt(s)
     }
-    // candidate cell pairs (both directions for a≠b, once for a=b):
-    // an unordered vec pair in cells {x,y} then survives exactly once
-    // after the vec1 < vec2 filter
-    val cellPairs = for {
+    for {
       ca <- idx.centroids.indices
       cb <- idx.centroids.indices
       if d(idx.centroids(ca), idx.centroids(cb)) <=
         radii.getOrElse(ca, 0.0) + radii.getOrElse(cb, 0.0) + tauDist + 1e-9
     } yield (ca, cb)
-    val pairsDf = broadcast(spark.createDataFrame(cellPairs).toDF("cell_a", "cell_b"))
+  }
+
+  /** EXACT cardinality of C5's blocked candidate stream, computed
+    * BEFORE executing the join (r12 circuit breaker, VERDICT r11 #3a):
+    * a cell-to-cell equi-join's pre-filter output is BY DEFINITION
+    * Σ_{(a,b)∈cellPairs} n_a·n_b over the per-cell histogram, so one
+    * linear assignment pass + a cells-sized driver sum predicts the
+    * stream the r11 100× run discovered by filling the disk (>70 GB
+    * spill, ENOSPC). Exactness is spec-pinned against the executed
+    * join's pre-filter count at the oracle SFs.
+    */
+  def embeddingCandidateEstimate(spark: SparkSession, dir: String,
+                                 tau: Double = 0.45, cells: Int = 8): Long = {
+    import graft.ann.IvfIndex
+    val idx = IvfIndex.getOrBuildUnit(spark, dir, cells)
+    val hist = Tables.embeddings(spark, dir)
+      .select(nearest_centroid(vec_normalize(col("embedding")), idx.centroids).as("cell"))
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    candidateCellPairs(spark, dir, tau, cells).iterator
+      .map { case (a, b) => hist.getOrElse(a, 0L) * hist.getOrElse(b, 0L) }
+      .sum
+  }
+
+  /** Candidate-volume budget for C5 (overridable for tests). Default
+    * 10⁹ rows ≈ the largest stream the 10× run actually verified
+    * (measured ~4×10⁸ worst case there) with headroom; the 100×
+    * isotropic stream (~4×10¹⁰) trips it in seconds instead of
+    * spilling the disk to ENOSPC.
+    */
+  private[graft] def c5Budget: Long =
+    sys.env.get("SPARK_GRAFT_C5_MAX_PAIRS").map(_.toLong)
+      .getOrElse(1000000000L)
+
+  def embeddingPairs(spark: SparkSession, dir: String, tau: Double = 0.45,
+                     cells: Int = 8, budget: Long = c5Budget): DataFrame = {
+    // fail FAST when the blocked stream would be quadratic-at-scale
+    // (isotropic corpora defeat cell pruning): a diagnostic naming the
+    // at-scale path beats an ENOSPC outage three hours in
+    val est = embeddingCandidateEstimate(spark, dir, tau, cells)
+    if (est > budget) throw new IllegalStateException(
+      s"dedup_embedding (C5): estimated candidate stream ($est rows) exceeds " +
+      s"the budget ($budget). Exact cosine pair mining is cell-pair-" +
+      "quadratic on this corpus (blocking is not selective at cos >= " +
+      s"$tau); use dedup_semantic (C10, SemDeDup within-cell blocking) or " +
+      "embeddingPairsAuto at this scale, or raise SPARK_GRAFT_C5_MAX_PAIRS.")
+    blockedPairs(spark, dir, tau, cells,
+      candidateCellPairs(spark, dir, tau, cells))
+  }
+
+  /** The SemDeDup-blocked APPROXIMATION of C5's pair output: identical
+    * schema and verify kernel, candidate cell pairs restricted to
+    * a = b (within-cell only — the C10 blocking applied to the pair-
+    * mining output shape). With cells ∝ corpus (`semanticCells`) the
+    * stream is Σ n_c² ≈ N·(N/cells) = O(N·250) — linear — where the
+    * exact cross-cell block is quadratic on isotropic data. Recall is
+    * what SemDeDup trades (only pairs whose members share a cell
+    * surface); precision stays exact (every emitted cosine is
+    * verified on raw embeddings).
+    */
+  def embeddingPairsWithin(spark: SparkSession, dir: String,
+                           tau: Double = 0.45, cells: Int = 8): DataFrame =
+    blockedPairs(spark, dir, tau, cells,
+      candidateCellPairs(spark, dir, tau, cells).filter(p => p._1 == p._2))
+
+  /** C5/C10 dispatch (r12, VERDICT r11 #7): run the EXACT blocked pair
+    * miner when its pre-measured candidate stream fits the budget,
+    * else the within-cell SemDeDup blocking — same output schema, so
+    * the caller sees one operator whose exactness degrades only where
+    * exactness is unpayable (the measured 100× isotropic point:
+    * ~4×10¹⁰ candidate rows, ENOSPC in r11). At every oracle SF the
+    * dispatch picks the exact branch, so the key is fully
+    * oracle-checked by C5's quadratic SQL.
+    */
+  def embeddingPairsAuto(spark: SparkSession, dir: String,
+                         tau: Double = 0.45,
+                         budget: Long = c5Budget): DataFrame = {
+    val cells = semanticCells(spark, dir)
+    if (embeddingCandidateEstimate(spark, dir, tau, cells) <= budget)
+      embeddingPairs(spark, dir, tau, cells, budget)
+    else embeddingPairsWithin(spark, dir, tau, cells)
+  }
+
+  /** The shared execution shape of C5 and its within-cell variant:
+    * broadcast the (tiny) candidate cell-pair list, shuffle equi-join
+    * the corpus cell-to-cell, verify survivors with exact cosine on
+    * the raw embeddings. No crossJoin anywhere in the plan.
+    */
+  private def blockedPairs(spark: SparkSession, dir: String, tau: Double,
+                           cells: Int, cellPairs: Seq[(Int, Int)]): DataFrame = {
+    val pairsDf = broadcast(spark.createDataFrame(cellPairs)
+      .toDF("cell_a", "cell_b"))
+    import graft.ann.IvfIndex
+    val idx = IvfIndex.getOrBuildUnit(spark, dir, cells)
     val e = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),

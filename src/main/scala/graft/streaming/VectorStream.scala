@@ -161,20 +161,35 @@ object VectorStream {
     * the graph is safe — repairEdges replaces its list (spec-pinned
     * idempotence). The drained stream's final graph is asserted EXACTLY
     * equal to the batch composition of the same trigger sequence.
+    *
+    * Trigger batching (r12, the measured G18 lever): per-trigger cost
+    * is dominated by the fixed walk+repair machinery, not batch size —
+    * CALIBRATION r11 measured the SAME 50 rows at 152 s across 5
+    * triggers vs 26 s in 1 (5.8× per-row amortization; hnswlib's own
+    * add_items batching advice, quantified). The shipped default is
+    * therefore `maxFilesPerTrigger = 0` = UNSET: the file source
+    * drains every available file into one micro-batch per restart
+    * (Trigger.AvailableNow), i.e. the measured 1-trigger operating
+    * point. Pass a positive value (1 = file-per-trigger) when the
+    * trigger SEQUENCE itself is the object under test — per-trigger
+    * audit, state-release accounting, insert-order semantics.
     */
   def graphInsertStream(spark: SparkSession, dir: String, vecDir: String,
                         checkpoint: String, ef: Int = graft.ann.GraphSearch.Ef,
                         rounds: Int = graft.ann.GraphSearch.Rounds,
                         gk: Int = graft.ann.GraphSearch.GraphK,
-                        cells: Int = graft.ann.GraphSearch.Cells)
+                        cells: Int = graft.ann.GraphSearch.Cells,
+                        maxFilesPerTrigger: Int = 0)
       : (org.apache.spark.sql.streaming.StreamingQuery, GraphInsertHandle) = {
     import graft.ann.GraphSearch
     val cutoff = GraphSearch.insertCutoff(spark, dir)
     val base = GraphSearch.servingGraph(spark, dir, gk, cells, baseMax = cutoff)
     val medoids = GraphSearch.cellMedoids(spark, dir, cells, baseMax = cutoff)
     val handle = new GraphInsertHandle(base)
-    val q = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", 1) // one arriving file = one insert trigger
+    val reader = spark.readStream.schema(rawSchema)
+    val q = (if (maxFilesPerTrigger > 0)
+               reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+             else reader)
       .parquet(vecDir)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       .writeStream

@@ -115,8 +115,11 @@ class Round10Spec extends AnyFunSuite {
     val medoids = GraphSearch.cellMedoids(sp, sf, baseMax = cutoff)
     val n0 = sp.sparkContext.getPersistentRDDs.size
 
+    // maxFilesPerTrigger=1: this spec tests the trigger SEQUENCE
+    // itself (2 files → 2 triggers, per-trigger state release); the
+    // shipped default drains all files in one batch (r12)
     val (q, h) = graft.streaming.VectorStream.graphInsertStream(
-      sp, sf, s"$tmp/vecs", s"$tmp/ckpt")
+      sp, sf, s"$tmp/vecs", s"$tmp/ckpt", maxFilesPerTrigger = 1)
     q.awaitTermination()
 
     // trigger accounting: one file per trigger, every tail id exactly once
