@@ -244,6 +244,18 @@ object Bench {
       // the walk stays timed)
       if (warms("ann_graph_topk_nnd"))
         graft.ann.GraphSearch.nndServingGraph(spark, sfDir)
+      // the derived-cells IVF fit the NND builds partition on (r12:
+      // cells ∝ √N means the scaled dirs fit a NEW k-means the k=16/
+      // k=8 warm lines above don't cover — un-warmed it landed in the
+      // pool as +100 s of contention charged to whichever NND key ran
+      // first). The fit is index scaffolding by the same convention as
+      // those lines; the descent BUILD itself stays timed (B17/B42
+      // are build keys).
+      if (warms("ann_knn_centrality_nnd", "ann_knn_graph_auto",
+                "ann_knn_graph_nnd", "ann_graph_topk_nnd")) {
+        val dc = graft.ann.Ann.descentCells(spark, sfDir)
+        graft.ann.IvfIndex.withCells(spark, sfDir, dc).count()
+      }
       // B40's repaired graph (index MAINTENANCE — hnswlib does this at
       // add time; the post-maintenance serving walk stays timed)
       if (warms("ann_graph_upsert_topk"))
@@ -351,8 +363,12 @@ object Bench {
     // decays over ~60 s of 1-min-average; waiting it out before the
     // next row keeps the fence meaningful without letting 168 keys
     // each wait the full cap on a genuinely busy host
+    // 1800 s (r12, was 600): the steady-state fence doubles the serial
+    // phase, so heavy keys' own bursts take longer to decay — at the
+    // 10× dir the old budget drained mid-phase and the remaining rows
+    // shipped load-fenced (10 suspects) instead of waited-out
     val serialWaitBudgetNs = new java.util.concurrent.atomic.AtomicLong(
-      600L * 1000 * 1000 * 1000)
+      1800L * 1000 * 1000 * 1000)
     def awaitQuietSerial(): Unit = {
       var last = System.nanoTime()
       while (loadNow() > loadMax && serialWaitBudgetNs.get() > 0) {
@@ -371,11 +387,13 @@ object Bench {
         awaitQuietSerial()
         val first = retimeOnce(name)
         // a row that STARTED in a loaded host window is not a
-        // measurement — back off once and retry; rows STILL above the
-        // ceiling are quarantined under serial_suspect below instead
-        // of shipping as cross-round-comparable numbers
+        // measurement — wait the burst out (the fixed 3 s backoff this
+        // replaces was useless after a multi-minute heavy-key burst:
+        // the 1-min average needs ~60+ s to decay) and retry; rows
+        // STILL above the ceiling are quarantined under serial_suspect
+        // below instead of shipping as cross-round-comparable numbers
         val base = if (first._4.isEmpty && first._3 > loadMax) {
-          Thread.sleep(3000)
+          awaitQuietSerial()
           retimeOnce(name)
         } else first
         // steady-state fence (r12, VERDICT r11 #1): the pool phase can

@@ -230,6 +230,11 @@ object StreamMaint {
     // operating point); SPARK_GRAFT_MFPT=1 forces file-per-trigger to
     // reproduce the r11 comparison rows
     val mfpt = sys.env.getOrElse("SPARK_GRAFT_MFPT", "0").toInt
+    // SPARK_GRAFT_MAINT_GRAPH=nnd maintains the NN-Descent serving
+    // graph — the index buildable at the 100× dir, where the exact
+    // base-prefix build is the documented quadratic (PointServe's r11
+    // NND mode, applied to the maintenance tier)
+    val nndBase = sys.env.get("SPARK_GRAFT_MAINT_GRAPH").contains("nnd")
     val cutoff = GraphSearch.insertCutoff(spark, sfDir)
     val tail = GraphSearch.InsertTail
     val tmp = java.nio.file.Files.createTempDirectory("maint_").toString
@@ -251,12 +256,17 @@ object StreamMaint {
       java.nio.file.Files.move(part.toPath, target)
     }
     // warm the index state the stream reads (untimed: index build)
-    val base = GraphSearch.servingGraph(spark, sfDir, baseMax = cutoff)
-    val medoids = GraphSearch.cellMedoids(spark, sfDir, baseMax = cutoff)
+    val base =
+      if (nndBase) GraphSearch.nndServingGraph(spark, sfDir)
+      else GraphSearch.servingGraph(spark, sfDir, baseMax = cutoff)
+    val medoids =
+      if (nndBase) GraphSearch.cellMedoids(spark, sfDir)
+      else GraphSearch.cellMedoids(spark, sfDir, baseMax = cutoff)
 
     val t0 = System.nanoTime()
     val (q, h) = graft.streaming.VectorStream.graphInsertStream(
-      spark, sfDir, s"$tmp/vecs", s"$tmp/ckpt", maxFilesPerTrigger = mfpt)
+      spark, sfDir, s"$tmp/vecs", s"$tmp/ckpt", maxFilesPerTrigger = mfpt,
+      nndBase = nndBase)
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
 
@@ -277,7 +287,7 @@ object StreamMaint {
     require(edgesOf(h.currentGraph) == edgesOf(g),
       "drained stream diverged from the batch composition")
     val nRows = h.triggerBatches.map(_.size).sum
-    println(s"""{"dir":"$sfDir","mfpt":$mfpt,"staged_files":$nTrig,""" +
+    println(s"""{"dir":"$sfDir","graph":"${if (nndBase) "nnd" else "exact"}","mfpt":$mfpt,"staged_files":$nTrig,""" +
       s""""triggers":${h.triggerBatches.size},""" +
       s""""insert_rows":$nRows,"wall_s":${math.round(wall * 1000) / 1000.0},""" +
       s""""triggers_per_s":${math.round(h.triggerBatches.size / wall * 1000) / 1000.0},""" +

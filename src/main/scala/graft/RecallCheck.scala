@@ -22,10 +22,45 @@ object RecallCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // optional 2nd arg "nnd": skip the exact-graph walk — its serving
-    // graph is the exact BUILD, quadratic on the isotropic 100× dir
-    // (the regime the NND index exists for); brute-force ground truth
-    // stays (linear scan, affordable at every ScaleGen rung)
+    // optional 2nd arg:
+    //   "nnd"   — skip the exact-graph walk (its serving graph is the
+    //             exact BUILD, quadratic on the isotropic 100× dir —
+    //             the regime the NND index exists for); brute-force
+    //             ground truth stays (linear scan, affordable at every
+    //             ScaleGen rung)
+    //   "curve" — print the full ef→recall curve over a wide grid
+    //             instead (the B38 tuning loop run at THIS dir: fixed
+    //             ef decays as N grows, so the at-scale question is
+    //             which ef the model must pick here, not what one ef
+    //             scores)
+    if (args.length > 1 && (args(1) == "curve" || args(1) == "curve_nnd")) {
+      if (args(1) == "curve") {
+        val curve = ann.GraphSearch.efRecallCurve(spark, dir,
+          grid = Seq(8, 16, 32, 64, 128, 256, 512))
+        println("CURVE " +
+          curve.map { case (ef, r) => s"ef$ef=$r" }.mkString(" "))
+      } else {
+        // the NND serving walk's own ef sweep — the curve that matters
+        // where the exact graph can't be built (its serving graph IS
+        // the buildable-at-100× index)
+        val gt = ann.Ann.batchTopK(spark, dir, 8, 10).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val grid = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq
+                   else Seq(64, 128, 256, 512)
+        // optional 4th arg: descent iterations (build-quality knob)
+        val iters = if (args.length > 3) args(3).toInt else 2
+        val curve = grid.map { ef =>
+          val got = ann.GraphSearch.topOf(
+            ann.GraphSearch.visitedNnd(spark, dir, ef = ef, iters = iters), 10)
+            .select("query_id", "cand_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          ef -> got.intersect(gt).size.toDouble / gt.size
+        }
+        println("CURVE_NND " +
+          curve.map { case (ef, r) => s"ef$ef=$r" }.mkString(" "))
+      }
+      spark.stop(); return
+    }
     val nndOnly = args.length > 1 && args(1) == "nnd"
     val exact = ann.Ann.batchTopK(spark, dir, 8, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -418,14 +418,18 @@ object GraphSearch {
     * truth.
     */
   def nndServingGraph(spark: SparkSession, dir: String, gk: Int = GraphK,
-                      cells: Int = Cells): DataFrame =
-    graphCache.getOrElseUpdate(spark, (dir, gk, cells, "nnd")) {
+                      cells: Int = Cells, iters: Int = 2): DataFrame =
+    graphCache.getOrElseUpdate(spark, (dir, gk, cells, s"nnd$iters")) {
       // `cells` here is the SERVING knob (medoid entry points, walk
       // seeds) and stays fixed at Cells; the descent build derives its
       // own partition count from the corpus (Ann.descentCells, r12) —
-      // the two were conflated when both were hardwired to 16
+      // the two were conflated when both were hardwired to 16.
+      // `iters` is the build-QUALITY knob (hnswlib's efConstruction
+      // analogue): 2 is the shipped default; at 100× the walk's recall
+      // saturates on the 2-iter graph (CALIBRATION r12), so the knob
+      // is plumbed for measurement and larger corpora.
       buildGraph(spark, dir, gk,
-        Ann.knnGraphDescent(spark, dir, gk, iters = 2))
+        Ann.knnGraphDescent(spark, dir, gk, iters = iters))
     }
 
   /** The NND serving walk's visited state — shared by B39's top-k and
@@ -435,14 +439,16 @@ object GraphSearch {
     */
   def visitedNnd(spark: SparkSession, dir: String, nq: Int = Nq,
                  ef: Int = Ef, rounds: Int = Rounds,
-                 gk: Int = GraphK, cells: Int = Cells): DataFrame =
+                 gk: Int = GraphK, cells: Int = Cells,
+                 iters: Int = 2): DataFrame =
     visitedCache.getOrElseUpdate(
-      spark, (dir, s"nndserve$nq", ef, rounds, gk, cells)) {
+      spark, (dir, s"nndserve$nq-i$iters", ef, rounds, gk, cells)) {
       val queries = broadcast(Tables.embeddings(spark, dir)
         .filter(col("vec_id") < nq)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
       buildVisited(spark, dir, queries, ef, rounds,
-        nndServingGraph(spark, dir, gk, cells), cellMedoids(spark, dir, cells))
+        nndServingGraph(spark, dir, gk, cells, iters),
+        cellMedoids(spark, dir, cells))
     }
 
   def graphTopKNnd(spark: SparkSession, dir: String, nq: Int = Nq,
@@ -690,7 +696,27 @@ object GraphSearch {
             k: Int = 10, grid: Seq[Int] = Seq(8, 16, 32, Ef)): Int = {
     val curve = efRecallCurve(spark, dir, nq, k, grid)
     curve.collectFirst { case (ef, r) if r >= target => ef }
-      .getOrElse(curve.last._1)
+      .getOrElse {
+        // the grid edge is not an answer (r12): a FIXED beam decays as
+        // the corpus grows (measured: ef=64 recall 0.9375 at sf0.1 →
+        // 0.55 at the 10× dir, where 0.9 needs ef=256), so returning
+        // grid.max silently under-serves the target at scale. Do what
+        // hnswlib's tuning loop does: keep doubling ef — each probe a
+        // one-point curve call, cached and released like any sweep
+        // walk — until the target is met or the beam reaches the
+        // corpus-bounded cap (past which the walk is the scan it was
+        // supposed to avoid).
+        val cap = math.min(1024L,
+          Tables.embeddings(spark, dir).count()).toInt
+        var ef = grid.max
+        var picked = 0
+        while (picked == 0 && ef < cap) {
+          ef = math.min(ef * 2, cap)
+          if (efRecallCurve(spark, dir, nq, k, Seq(ef)).head._2 >= target)
+            picked = ef
+        }
+        if (picked > 0) picked else cap
+      }
   }
 
   /** B38 (r9): model-DRIVEN serving — `efFor` wired into a serving key

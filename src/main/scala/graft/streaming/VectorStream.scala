@@ -179,12 +179,25 @@ object VectorStream {
                         rounds: Int = graft.ann.GraphSearch.Rounds,
                         gk: Int = graft.ann.GraphSearch.GraphK,
                         cells: Int = graft.ann.GraphSearch.Cells,
-                        maxFilesPerTrigger: Int = 0)
+                        maxFilesPerTrigger: Int = 0,
+                        nndBase: Boolean = false)
       : (org.apache.spark.sql.streaming.StreamingQuery, GraphInsertHandle) = {
     import graft.ann.GraphSearch
     val cutoff = GraphSearch.insertCutoff(spark, dir)
-    val base = GraphSearch.servingGraph(spark, dir, gk, cells, baseMax = cutoff)
-    val medoids = GraphSearch.cellMedoids(spark, dir, cells, baseMax = cutoff)
+    // nndBase (r12, PointServe's r11 precedent applied to maintenance):
+    // at the 100× dir the exact base-prefix build is the documented
+    // quadratic, so the stream maintains the NN-DESCENT serving graph
+    // instead — the index that is actually buildable at that scale.
+    // The descent build runs full-corpus, so arriving ids are
+    // RE-ARRIVALS: repairEdges replaces their lists (idempotence is
+    // spec-pinned), and the drained==batch gate is unchanged (same
+    // base both sides).
+    val base =
+      if (nndBase) GraphSearch.nndServingGraph(spark, dir, gk, cells)
+      else GraphSearch.servingGraph(spark, dir, gk, cells, baseMax = cutoff)
+    val medoids =
+      if (nndBase) GraphSearch.cellMedoids(spark, dir, cells)
+      else GraphSearch.cellMedoids(spark, dir, cells, baseMax = cutoff)
     val handle = new GraphInsertHandle(base)
     val reader = spark.readStream.schema(rawSchema)
     val q = (if (maxFilesPerTrigger > 0)

@@ -355,8 +355,12 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(pickRecall >= 0.9, s"pick ef=$pickEf misses target: $pickRecall")
     // minimality: every SMALLER measured ef is below target
     assert(curve.takeWhile(_._1 < pick).forall(_._2 < 0.9))
-    // an unreachable target degrades to the largest measured ef
-    assert(GraphSearch.efFor(sp, sf, target = 2.0) == curve.last._1)
+    // an unreachable target extends past the grid (r12: the grid edge
+    // is not an answer — a fixed beam decays as N grows, Round12Spec
+    // pins the doubling loop) and lands on the corpus-bounded cap
+    // when even the widest beam cannot meet it
+    val cap = math.min(1024L, Tables.embeddings(sp, sf).count()).toInt
+    assert(GraphSearch.efFor(sp, sf, target = 2.0) == cap)
   }
 
   test("model-driven serving meets the recall target at no more than the fixed-Ef cost") {

@@ -186,6 +186,58 @@ class Round12Spec extends AnyFunSuite {
     h.release()
   }
 
+  test("G18 NND-base mode: drained stream == batch composition over the descent graph (re-arrival repair)") {
+    // the 100× maintenance row runs over the NN-Descent serving graph
+    // (the index buildable there — PointServe's r11 precedent). The
+    // descent build is full-corpus, so the arriving tail ids ALREADY
+    // have lists: the cycle exercises repairEdges' spec-pinned
+    // re-arrival idempotence, and the drained==batch gate must hold
+    // against the same NND base.
+    val sp = spark
+    import graft.ann.GraphSearch
+    import org.apache.spark.sql.{functions => F}
+    val cutoff = GraphSearch.insertCutoff(sp, sf)
+    val tailIds = (cutoff until cutoff + GraphSearch.InsertTail).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("g18n_").toString
+    val tail = Tables.embeddings(sp, sf).filter(F.col("vec_id") >= cutoff)
+      .select("vec_id", "embedding")
+    tail.coalesce(1).write.mode("overwrite").parquet(s"$tmp/s0")
+    val part = new java.io.File(s"$tmp/s0").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val target = java.nio.file.Paths.get(tmp, "vecs", "b0.parquet")
+    java.nio.file.Files.createDirectories(target.getParent)
+    java.nio.file.Files.move(part.toPath, target)
+    val base = GraphSearch.nndServingGraph(sp, sf)
+    val medoids = GraphSearch.cellMedoids(sp, sf)
+    val (q, h) = graft.streaming.VectorStream.graphInsertStream(
+      sp, sf, s"$tmp/vecs", s"$tmp/ckpt", nndBase = true)
+    q.awaitTermination()
+    assert(h.triggerBatches.flatMap(identity).toSet == tailIds)
+    val batch = Tables.embeddings(sp, sf)
+      .filter(F.col("vec_id").isin(tailIds.toSeq: _*))
+      .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qvec"))
+    val want = GraphSearch.insertStep(sp, sf, base, medoids, batch)
+    def edgesOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("src", "nbr").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgesOf(h.currentGraph) == edgesOf(want),
+      "NND-base stream graph must equal the one-batch composition")
+    want.unpersist(blocking = true)
+    h.release()
+  }
+
+  test("efFor extends past the grid edge until the target is met (no silent under-serving)") {
+    // measured at the 10× dir: ef=64 (the old grid edge) scores 0.55
+    // where the 0.9 target needs ef=256 — a fixed grid returns its max
+    // and silently under-serves at scale. Force the same shape at
+    // sf0.001 with a tiny grid: the tuning loop must DOUBLE past it to
+    // an ef whose measured recall actually meets the target.
+    val sp = spark
+    val picked = graft.ann.GraphSearch.efFor(sp, sf, 0.9, grid = Seq(2))
+    assert(picked > 2, "must extend past the grid edge")
+    val rec = graft.ann.GraphSearch.efRecallCurve(sp, sf, grid = Seq(picked)).head._2
+    assert(rec >= 0.9, s"extended pick ef=$picked must meet the target, got $rec")
+  }
+
   test("descentCells floors at 16 at every oracle SF (sidecar oracles stay bit-identical)") {
     val sp = spark
     // sf0.001 N=500 → √(500/8)=7.9 → floor 16; the largest oracle SF

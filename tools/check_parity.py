@@ -33,7 +33,11 @@ def main():
     out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        p = Path(sf_dir) / f"{t}.parquet"
+        # ScaleGen dirs hold Spark-written DIRECTORY tables; the driver's
+        # testdata holds single files — accept both
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
