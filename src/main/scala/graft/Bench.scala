@@ -290,7 +290,7 @@ object Bench {
     awaitQuietHost()
     val loadPre = loadNow()
     val concurrentSuspect = loadPre > loadMax
-    val poolSize = sys.env.getOrElse("SPARK_GRAFT_POOL", "8").toInt
+    val poolSize = Env.int("SPARK_GRAFT_POOL", 8)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -407,9 +407,14 @@ object Bench {
         if (base._4.isEmpty) {
           val second = retimeOnce(name)
           val kept = if (second._4.isEmpty && second._2 < base._2) second else base
-          val worst = math.max(base._2, second._2)
-          if (kept._2 > 0 && worst / kept._2 > 1.5)
-            serialUnstable.put(name, math.rint(worst / kept._2 * 100) / 100)
+          // the instability audit compares CLEAN runs only (r13): a
+          // second re-time that errored has a partial elapsed time —
+          // a ratio derived from it would be meaningless
+          if (second._4.isEmpty) {
+            val worst = math.max(base._2, second._2)
+            if (kept._2 > 0 && worst / kept._2 > 1.5)
+              serialUnstable.put(name, math.rint(worst / kept._2 * 100) / 100)
+          }
           kept
         } else base
       }
@@ -452,7 +457,13 @@ object Bench {
       val unstable = serialUnstable.toSeq.sortBy(-_._2)
         .map { case (n, r) => "\"" + n + "\":" + r }
         .mkString("{", ",", "}")
-      s""","$serialKey":$ok,"serial_suspect":$sus,"serial_load_max":$loadMax,"serial_load_1m":$loads,"serial_cached_missing":$miss,"serial_retime_unstable":$unstable,"serial_errors":$serr"""
+      // retime_policy (r13, ADVICE r12): the steady-state fence ships
+      // min-of-two per clean key since r12, which systematically
+      // shifts serial numbers DOWN vs the single-shot rows of r11 and
+      // earlier — cross-round tooling diffing against pre-r12 history
+      // lines needs the methodology stamped in the schema, not in
+      // narrative
+      s""","$serialKey":$ok,"serial_retime_policy":"min_of_2","serial_suspect":$sus,"serial_load_max":$loadMax,"serial_load_1m":$loads,"serial_cached_missing":$miss,"serial_retime_unstable":$unstable,"serial_errors":$serr"""
     }.getOrElse("")
     val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -462,6 +473,23 @@ object Bench {
     // the dataset digest rides in the artifact so cross-round tooling
     // can refuse to compare times across a testdata regeneration
     val fp = dataFingerprint(sfDir)
+    // C5/C11 attributability (r13, VERDICT r12 #2a): the exact miner's
+    // cost at the scaled dirs is FIT-dependent (the k-means blocking's
+    // selectivity swings with the fit — r11 vs r12 measured 8.2 s vs
+    // 38 s at identical data), and the candidate-stream estimate is
+    // exactly the quantity that varies. Stamp it into the artifact so
+    // a reader of `scale.superlinear` can distinguish fit-swing from a
+    // plan regression without re-running anything. Session-cached —
+    // the dedup keys already computed it, so this is a map lookup.
+    val c5Json =
+      if (qs.exists(q => q._1 == "dedup_embedding" || q._1 == "dedup_embedding_auto"))
+        try {
+          val cells = graft.dedup.Dedup.semanticCells(spark, sfDir)
+          val est = graft.dedup.Dedup.embeddingCandidateEstimate(
+            spark, sfDir, cells = cells)
+          s""","c5_candidate_estimate":$est,"c5_cells":$cells"""
+        } catch { case _: Throwable => "" }
+      else ""
     // round 10: when the 10×-dir sidecar exists, the artifact carries
     // the second scale point + per-key ratios (empirical scale check)
     val scaleJson = serialTimes.map { timed =>
@@ -471,7 +499,7 @@ object Bench {
     }.getOrElse("")
     // "total_full", not "total": exactly ONE stdout line may carry
     // metric=total or a consumer keying on it would double-count runs
-    val fullLine = s"""{"metric":"total_full","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"concurrent_load_pre":$loadPre,"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialJson$scaleJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}"}"""
+    val fullLine = s"""{"metric":"total_full","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"concurrent_load_pre":$loadPre,"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialJson$scaleJson$c5Json,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}"}"""
     // The harness that collects this output keeps only the LAST ~2000
     // characters of stdout; the full per-query line above is longer than
     // that, so a consumer parsing the tail never sees its start. Emit

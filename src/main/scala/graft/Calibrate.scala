@@ -213,7 +213,7 @@ object StreamMaint {
   def main(args: Array[String]): Unit = {
     Sidecars.isolate("graft_streammaint_sidecars")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val nTrig = sys.env.getOrElse("SPARK_GRAFT_TRIGGERS", "5").toInt
+    val nTrig = Env.int("SPARK_GRAFT_TRIGGERS", 5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -229,7 +229,7 @@ object StreamMaint {
     // staged files in one micro-batch — the measured 5.8×-per-row
     // operating point); SPARK_GRAFT_MFPT=1 forces file-per-trigger to
     // reproduce the r11 comparison rows
-    val mfpt = sys.env.getOrElse("SPARK_GRAFT_MFPT", "0").toInt
+    val mfpt = Env.int("SPARK_GRAFT_MFPT", 0)
     // SPARK_GRAFT_MAINT_GRAPH=nnd maintains the NN-Descent serving
     // graph — the index buildable at the 100× dir, where the exact
     // base-prefix build is the documented quadratic (PointServe's r11

@@ -708,14 +708,24 @@ object GraphSearch {
         // supposed to avoid).
         val cap = math.min(1024L,
           Tables.embeddings(spark, dir).count()).toInt
-        var ef = grid.max
-        var picked = 0
-        while (picked == 0 && ef < cap) {
-          ef = math.min(ef * 2, cap)
-          if (efRecallCurve(spark, dir, nq, k, Seq(ef)).head._2 >= target)
-            picked = ef
+        if (grid.max >= cap) {
+          // corpus smaller than the grid edge (r13, ADVICE r12): the
+          // doubling loop below would never execute and the returned
+          // cap would carry no measured recall. A corpus-bounded beam
+          // saturates the walk, so cap IS the right answer — but
+          // probe it so every returned ef is a measured point.
+          efRecallCurve(spark, dir, nq, k, Seq(cap))
+          cap
+        } else {
+          var ef = grid.max
+          var picked = 0
+          while (picked == 0 && ef < cap) {
+            ef = math.min(ef * 2, cap)
+            if (efRecallCurve(spark, dir, nq, k, Seq(ef)).head._2 >= target)
+              picked = ef
+          }
+          if (picked > 0) picked else cap
         }
-        if (picked > 0) picked else cap
       }
   }
 
