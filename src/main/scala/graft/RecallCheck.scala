@@ -61,6 +61,32 @@ object RecallCheck {
       }
       spark.stop(); return
     }
+    // "model_nnd" (r13): run the measured (iters, ef) serving policy —
+    // the B43 key's model fit — at THIS dir and print the pick plus
+    // the recall actually measured at it (the number VERDICT r12 #1
+    // asked the at-scale serving story to close on)
+    if (args.length > 1 && args(1) == "model_nnd") {
+      val (iters, ef, recall) = ann.GraphSearch.nndServePolicy(spark, dir)
+      println(s"MODEL_NND iters=$iters ef=$ef recall=$recall")
+      spark.stop(); return
+    }
+    // "partition" (r13, VERDICT r12 #7): end-to-end recall of the
+    // PARTITIONED serving path (A21 — the reference's literal
+    // architecture: route to the user's dynamic partition, walk its
+    // own graph, permission-filter at merge) vs the exact prefilter
+    // ground truth, per sweep user — the one quality axis previously
+    // asserted from components but never measured above sf0.1
+    if (args.length > 1 && args(1) == "partition") {
+      val rows = ann.GraphSearch.SweepUsers.map { u =>
+        val exact = rbac.Rbac.prefilterTopK(spark, dir, u, 10)
+          .collect().map(_.getLong(0)).toSet
+        val got = ann.GraphSearch.partitionGraphTopK(spark, dir, u)
+          .collect().map(_.getLong(0)).toSet
+        s"u$u=${got.intersect(exact).size.toDouble / exact.size}"
+      }
+      println("PARTITION_RECALL " + rows.mkString(" "))
+      spark.stop(); return
+    }
     val nndOnly = args.length > 1 && args(1) == "nnd"
     val exact = ann.Ann.batchTopK(spark, dir, 8, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

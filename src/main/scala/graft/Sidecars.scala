@@ -43,6 +43,10 @@ object Sidecars {
     "hash_buckets.parquet",
     "nnd_graph_k5.parquet",
     "nnd_graph_k8.parquet",
+    // r13 — B43's policy replay pair: the descent graph at the
+    // POLICY-picked iters plus the one-row (iters, ef) parameter table
+    "nnd_graph_model.parquet",
+    "nnd_serve.parquet",
     "half_vecs.parquet")
 
   def root: String = sys.props.getOrElse("graft.sidecar.dir", DefaultRoot)

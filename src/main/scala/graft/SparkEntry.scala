@@ -114,6 +114,14 @@ object SparkEntry {
       IvfIndex.writeCentroidSidecar(s, d, 16) // oracle replays the medoid seeds
       graft.ann.GraphSearch.graphTopKNnd(s, d)
     }),
+    // B43 (r13): NND serving at the MEASURED (iters, ef) policy — the
+    // key that meets the recall target at every corpus size, escalating
+    // descent iterations only where the beam knob has saturated
+    "ann_graph_topk_nnd_model" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16)
+      graft.ann.GraphSearch.writeNndServeSidecars(s, d)
+      graft.ann.GraphSearch.graphTopKNndModel(s, d)
+    }),
     "ann_knn_classify" -> ((s, d) => graft.ann.Classify.knnClassify(s, d)),
     "ann_graph_classify" -> ((s, d) => {
       IvfIndex.writeCentroidSidecar(s, d, 16)
@@ -485,10 +493,12 @@ object SparkEntry {
   // r11: the NND serving graph's edges come from the descent sidecar
   // (the xxhash64-derived init has no SQL derivation; everything
   // downstream of the edge set replays) — same symmetrize+cap tail.
-  private def nndGraphCtes(p: String): String =
+  private def nndGraphCtes(
+      p: String,
+      file: String = s"nnd_graph_k${graft.ann.GraphSearch.GraphK}.parquet"): String =
     s"""${p}gknn AS MATERIALIZED (
        |  SELECT src, nbr
-       |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/nnd_graph_k${graft.ann.GraphSearch.GraphK}.parquet/*.parquet')),
+       |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/$file/*.parquet')),
        |${symCapCtes(p)}""".stripMargin
 
   private def walkRoundCtes(queriesWhere: String, p: String, ef: String,
@@ -1283,6 +1293,22 @@ object SparkEntry {
          |${nndGraphCtes("")},
          |${walkRoundCtes(s"vec_id < ${graft.ann.GraphSearch.Nq}", "",
                           graft.ann.GraphSearch.Ef.toString, "gund", "medoid")}
+         |SELECT query_id, cand_id AS block_id FROM $graphVFinal
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY query_id ORDER BY dist, cand_id) <= 10
+         |ORDER BY query_id, block_id""".stripMargin,
+    // B43 (r13): the identical walk over the POLICY-built descent
+    // graph (its own sidecar — at oracle SFs the policy picks iters=2,
+    // so the edges coincide with nnd_graph_k8, but the replay never
+    // assumes that) at the policy-picked beam width (the one-row
+    // nnd_serve sidecar parameterizes every round, B38's convention
+    // applied to the knob PAIR).
+    "ann_graph_topk_nnd_model" ->
+      s"""WITH ${medoidCtes("TRUE", "")},
+         |${nndGraphCtes("", "nnd_graph_model.parquet")},
+         |${walkRoundCtes(s"vec_id < ${graft.ann.GraphSearch.Nq}", "",
+                          s"SELECT ef FROM read_parquet('${graft.Sidecars.DefaultRoot}/nnd_serve.parquet/*.parquet')",
+                          "gund", "medoid")}
          |SELECT query_id, cand_id AS block_id FROM $graphVFinal
          |QUALIFY row_number() OVER (
          |  PARTITION BY query_id ORDER BY dist, cand_id) <= 10

@@ -2,8 +2,6 @@ package graft.ann
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -18,7 +16,7 @@ import graft.functions.vector._
   * basic_benchmark/common_function.py:83).
   *
   * Spark-first re-expression: the index IS a partitioning.
-  *   - build: MLlib KMeans (seeded, deterministic) → tiny centroid
+  *   - build: deterministic k-means (`fitCentroids`) → tiny centroid
   *     matrix (k × dim floats, kilobytes); every vector gets a `list_id`
   *     from the `nearest_centroid` expression inside its scan stage. At
   *     100 TB the assignment is written once as list_id-partitioned
@@ -33,18 +31,76 @@ object IvfIndex {
 
   private val cache = TrieMap.empty[(String, Int), Index]
 
-  /** Fit (or fetch cached) KMeans centroids for the corpus. */
+  /** Deterministic k-means (r13, VERDICT r12 #3): identical data +
+    * identical code must yield IDENTICAL centroids on any JVM and any
+    * partition layout. MLlib's `setSeed(42)` does not give that — its
+    * "random" init samples depend on the physical partition layout, so
+    * the same corpus fit different cells across sessions, and on
+    * near-isotropic data the blocking selectivity (hence C5's measured
+    * cost: 8.2 s vs 38 s at the same 10× data, CALIBRATION r12) swung
+    * with the fit. Two choices remove every nondeterminism source:
+    *
+    *   - init: the k rows with the smallest (xxhash64(vec_id), vec_id)
+    *     key — a deterministic pseudo-random sample (same spirit as
+    *     the engine's other hash-derived stand-ins for randomness),
+    *     picked by a distributed takeOrdered, layout-independent.
+    *   - Lloyd steps: assignment is `nearest_centroid` (double math,
+    *     ties to the smallest cell id — already deterministic); the
+    *     new per-cell means sum QUANTIZED LONGS (round(x·2²⁴), exact
+    *     associative+commutative integer addition) instead of doubles,
+    *     so the reduction order Spark picks cannot perturb the result.
+    *     The 2⁻²⁴ quantization error (~6e-8) is noise four orders
+    *     below what a pruning/blocking index can resolve.
+    *
+    * Cost shape at scale: per iteration one corpus scan + a map-side-
+    * combined (cell, dim) aggregation of k·dim long cells — the same
+    * linear pass MLlib pays, minus its seed-sampling jobs.
+    */
+  private[graft] def fitCentroids(df: DataFrame, k: Int,
+                                  iters: Int = 5): Array[Array[Float]] = {
+    val Scale = (1L << 24).toDouble
+    val feats = df.select(col("vec_id"), col("features"))
+    // seed ORDER is load-bearing (centroid index = cell id): the hash
+    // key rides along and the driver re-sorts the collected rows by it
+    // — limit() makes no ordering promise after collect
+    var centers = feats
+      .select(xxhash64(col("vec_id")).as("h"), col("vec_id"), col("features"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Float](2).toArray))
+      .sortBy(_._1)
+      .map(_._2)
+    for (_ <- 1 to iters) {
+      val cents = centers
+      val sums = feats
+        .select(nearest_centroid(col("features"), cents).as("cell"),
+          posexplode(col("features")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(round(col("x").cast("double") * Scale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = centers.map(_.clone())
+      sums.foreach { r =>
+        val (cell, pos) = (r.getInt(0), r.getInt(1))
+        next(cell)(pos) = ((r.getLong(2).toDouble / r.getLong(3)) / Scale).toFloat
+      }
+      // cells that captured no points keep their previous center
+      // (cloned above), the standard empty-cell rule — deterministic
+      centers = next
+    }
+    centers
+  }
+
+  /** Fit (or fetch cached) centroids for the corpus — deterministic
+    * k-means (see `fitCentroids`; 5 Lloyd iterations is plenty for a
+    * pruning index: recall is governed by nprobe, not centroid polish).
+    */
   def getOrBuild(spark: SparkSession, dir: String, k: Int): Index =
     cache.getOrElseUpdate((dir, k), {
       val emb = Tables.embeddings(spark, dir)
-        .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
-      // random init: k-means|| spends several extra jobs picking seeds,
-      // which dominates on small corpora; 5 Lloyd iterations is plenty
-      // for a pruning index (recall is governed by nprobe, not centroid
-      // polish)
-      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
-        .setInitMode("random").setFeaturesCol("features").fit(emb)
-      Index(k, model.clusterCenters.map(_.toArray.map(_.toFloat)))
+        .select(col("vec_id"), col("embedding").as("features"))
+      Index(k, fitCentroids(emb, k))
     })
 
   private val assignCache = new graft.SessionFrameCache[(String, Int)]
@@ -107,17 +163,14 @@ object IvfIndex {
 
   private val unitCache = TrieMap.empty[(String, Int), Index]
 
-  /** Unit-sphere index: KMeans over NORMALIZED vectors — the blocking
+  /** Unit-sphere index: k-means over NORMALIZED vectors — the blocking
     * structure for cosine-threshold joins (cos ≥ τ ⇔ unit-L2 ≤ √(2−2τ)).
     */
   def getOrBuildUnit(spark: SparkSession, dir: String, k: Int): Index =
     unitCache.getOrElseUpdate((dir, k), {
       val emb = Tables.embeddings(spark, dir)
-        .select(array_to_vector(
-          vec_normalize(col("embedding")).cast("array<double>")).as("features"))
-      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
-        .setInitMode("random").setFeaturesCol("features").fit(emb)
-      Index(k, model.clusterCenters.map(_.toArray.map(_.toFloat)))
+        .select(col("vec_id"), vec_normalize(col("embedding")).as("features"))
+      Index(k, fitCentroids(emb, k))
     })
 
   /** B3: index-build report — list sizes (the reference's `CREATE INDEX`
