@@ -68,6 +68,10 @@ object RecallCheck {
     if (args.length > 1 && args(1) == "model_nnd") {
       val (iters, ef, recall) = ann.GraphSearch.nndServePolicy(spark, dir)
       println(s"MODEL_NND iters=$iters ef=$ef recall=$recall")
+      // every point the sweep probed — the calibration table's rows
+      ann.GraphSearch.nndProbedPoints(dir).foreach { case (i, e, r) =>
+        println(s"MODEL_NND_POINT iters=$i ef=$e recall=$r")
+      }
       spark.stop(); return
     }
     // "partition" (r13, VERDICT r12 #7): end-to-end recall of the

@@ -523,9 +523,24 @@ object Ann {
       .select(col("src"), explode(array((1 to bigK).map(j =>
         pmod(xxhash64(col("src"), lit(j)), lit(n))): _*)).as("dst"))
       .filter(col("src") =!= col("dst"))
+    // Embedding attach via SHUFFLED HASH joins, dst side first (r13):
+    // the candidate stream is 10⁸ rows at the 100× dir (measured
+    // 88.7M at iters=2; round 3's new×all volume is larger) and the
+    // default sort-merge join SORTS it with embedding arrays attached
+    // — two ~50 GB sort spills per round, which is what turned the
+    // first iters=3 build at 100× into an ENOSPC. A hash join streams
+    // the fat side unsorted (the per-partition build side is
+    // corpus/partitions embedding rows — bounded); joining dst FIRST
+    // and src LAST leaves the output hash-partitioned by src, so the
+    // groupBy(src) aggregation runs in the same stage with NO extra
+    // exchange of the embedding-attached stream. Per-round shuffle is
+    // then one slim cand exchange + one intermediate exchange, no
+    // sorts — Dong et al.'s local join IS a hash join at scale.
     def rerank(cand: DataFrame, kk: Int): DataFrame = cand
-      .join(e.select(col("vec_id").as("src"), col("embedding").as("ea")), "src")
-      .join(e.select(col("vec_id").as("dst"), col("embedding").as("eb")), "dst")
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+        .hint("SHUFFLE_HASH"), "dst")
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("ea"))
+        .hint("SHUFFLE_HASH"), "src")
       .groupBy("src")
       .agg(topk_ids(l2_dist(col("ea"), col("eb")), col("dst"), kk).as("ids"))
       .select(col("src"), explode(col("ids")).as("dst"))

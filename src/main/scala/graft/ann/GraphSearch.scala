@@ -543,6 +543,15 @@ object GraphSearch {
       (iters, ef, recall)
     })
 
+  /** Every (iters, ef, recall) point this process probed at `dir` —
+    * the calibration table's rows. Measured points only, never fits.
+    */
+  def nndProbedPoints(dir: String): Seq[(Int, Int, Double)] =
+    nndCurveCache.toSeq.collect {
+      case ((d, iters, nq, k, _), pts) if d == dir && nq == Nq && k == 10 =>
+        pts.map { case (ef, r) => (iters, ef, r) }
+    }.flatten.sortBy(t => (t._1, t._2))
+
   private val nndModelSidecarWritten = new graft.SessionCache[String, Boolean]
 
   /** Sidecars for the model-NND oracle replay: the descent graph at
