@@ -36,4 +36,36 @@ private[graft] object PlanCut {
     p.unpersist(blocking = true)
     rb
   }
+
+  private val ckptRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_ckpt_")
+    p.toFile.deleteOnExit()
+    p
+  }
+  private val ckptSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** FULL lineage cut via a disk checkpoint — for iterative builds
+    * whose per-round SHUFFLES are large (r13). `checkpointed` above
+    * keeps the original lineage reachable (eviction-safe recompute),
+    * which also PINS every superseded round's shuffle files: the
+    * 100× NN-Descent build accumulates ~20 GB of shuffle per round
+    * and ran the host out of disk once round 3 existed. Writing the
+    * (slim) round output to parquet and reading it back makes the
+    * old round's shuffle dependencies unreachable; the explicit GC
+    * nudge hands them to the ContextCleaner NOW rather than at its
+    * 30-minute periodic sweep, so peak shuffle disk is one round,
+    * not the whole build. On a cluster this is exactly
+    * `rdd.checkpoint()` to HDFS between iterations — the standard
+    * iterative-job discipline. The parquet files (megabytes: round
+    * outputs are slim id pairs) live for the JVM's lifetime; the
+    * gigabytes they unpin do not.
+    */
+  def diskCheckpointed(spark: SparkSession, df: DataFrame): DataFrame = {
+    val dir = ckptRoot.resolve(s"r${ckptSeq.incrementAndGet()}").toString
+    df.write.mode("overwrite").parquet(dir)
+    val rb = spark.read.parquet(dir).persist()
+    rb.count()
+    System.gc() // release superseded rounds' shuffle deps to the cleaner
+    rb
+  }
 }

@@ -555,7 +555,11 @@ object Ann {
     val init = ringInit.union(longRange).distinct()
     if (collectStats)
       descentInitStats((dir, k, iters, cells, (rho * 100).toInt)) = init.count()
-    var graph = PlanCut.checkpointed(spark, rerank(init, bigK))
+    // rounds are DISK-checkpointed (r13): the in-memory rebase keeps
+    // every superseded round's ~20 GB shuffle (100× dir) pinned via
+    // lineage for the whole build — a full cut caps peak shuffle disk
+    // at one round (see PlanCut.diskCheckpointed)
+    var graph = PlanCut.diskCheckpointed(spark, rerank(init, bigK))
     var prev: Option[DataFrame] = None // previous round's graph
     val rho10 = math.max(1, math.round(rho * 10).toInt)
     for (rr <- 1 to iters) {
@@ -591,9 +595,9 @@ object Ann {
         .distinct()
       if (collectStats && rr == iters)
         descentCandStats((dir, k, iters, cells, (rho * 100).toInt)) = cand.count()
-      // materialized (and lineage-cut) before releasing the round it
-      // was built from
-      val next = PlanCut.checkpointed(spark, rerank(cand, bigK))
+      // materialized (and FULLY lineage-cut) before releasing the
+      // round it was built from
+      val next = PlanCut.diskCheckpointed(spark, rerank(cand, bigK))
       prev.foreach(_.unpersist()) // no longer feeds any computation
       prev = Some(graph)
       graph = next
