@@ -47,16 +47,23 @@ object RecallCheck {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val grid = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq
                    else Seq(64, 128, 256, 512)
-        // optional 4th arg: descent iterations (build-quality knob)
+        // optional 4th arg: descent iterations (build-quality knob);
+        // optional 5th arg: walk expansion rounds (the graph-diameter
+        // knob — r13: at 100× neither beam nor build iterations moved
+        // recall past ~0.67, pointing at the FIXED 5-round frontier as
+        // the binding constraint on a 200k-node short-link graph)
         val iters = if (args.length > 3) args(3).toInt else 2
+        val rounds = if (args.length > 4) args(4).toInt
+                     else ann.GraphSearch.Rounds
         val curve = grid.map { ef =>
           val got = ann.GraphSearch.topOf(
-            ann.GraphSearch.visitedNnd(spark, dir, ef = ef, iters = iters), 10)
+            ann.GraphSearch.visitedNnd(spark, dir, ef = ef, iters = iters,
+              rounds = rounds), 10)
             .select("query_id", "cand_id").collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet
           ef -> got.intersect(gt).size.toDouble / gt.size
         }
-        println("CURVE_NND " +
+        println(s"CURVE_NND rounds=$rounds iters=$iters " +
           curve.map { case (ef, r) => s"ef$ef=$r" }.mkString(" "))
       }
       spark.stop(); return

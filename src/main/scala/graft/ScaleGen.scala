@@ -91,6 +91,80 @@ object ScaleGen {
         col("label"))
   }
 
+  /** Low-INTRINSIC-dimension variant (r13): embeddings drawn from an
+    * 8-dim linear manifold in the 64-dim ambient space (fixed
+    * hash-derived 64×8 projection of 8 i.i.d. hash-lane Gaussians,
+    * normalized). Rationale: the isotropic law above is the measured
+    * ADVERSARIAL control — at 200k points its distances concentrate
+    * (64-dim uniform sphere: 1-NN ≈ 1.09 vs mean pair 1.41) and the
+    * r13 knob sweep showed EVERY graph-serving knob saturating well
+    * below target there (iters 2→5: 0.56→0.66 at ef=1024; rounds
+    * 5→12: +0.14; all 21 points in CALIBRATION r13) — the textbook
+    * concentration-of-measure ceiling, not an engine defect. Real
+    * embedding corpora have low intrinsic dimension, which is the
+    * regime graph ANN indexes exist for; this law generates that
+    * regime at scale so the serving policy's target-meeting behavior
+    * is MEASURED at 200k nodes rather than asserted. Deterministic
+    * like everything else here (SplitMix64 lanes, no entropy).
+    */
+  def scaleEmbeddingsManifold(spark: SparkSession, srcDir: String,
+                              factor: Int): DataFrame = {
+    val src = Tables.embeddings(spark, srcDir)
+      .select("vec_id", "embedding", "label")
+    val n = src.count()
+    val dim = src.head().getSeq[Float](1).length
+    val idim = 8
+    def gauss(lane: Long): Double = {
+      val u1 = unit01(mix64(2 * lane))
+      val u2 = unit01(mix64(2 * lane + 1))
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+    }
+    // fixed projection matrix, hash-derived once on the driver and
+    // closure-captured (kilobytes)
+    val m = Array.tabulate(dim, idim)((i, d) =>
+      gauss(0x5EED0000L + i.toLong * 131 + d))
+    val copies = spark.range(factor.toLong).toDF("copy")
+    // udf acceptable here for the same reason as `gen` above:
+    // bench-only generator, not a query path. The hash/Gaussian
+    // helpers are REDEFINED inside the lambda: calling the enclosing
+    // object's methods would capture the (non-serializable) singleton
+    // in the task closure.
+    val genM = udf { (vecId: Long, copy: Long) =>
+      def mx(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      def u01(h: Long): Double = ((h >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+      def g(lane: Long): Double =
+        math.sqrt(-2.0 * math.log(u01(mx(2 * lane)))) *
+          math.cos(2.0 * math.Pi * u01(mx(2 * lane + 1)))
+      val j = copy * n + vecId
+      val t = Array.tabulate(idim)(d => g(j * 523 + d))
+      val out = new Array[Float](dim)
+      var norm = 0.0
+      var i = 0
+      while (i < dim) {
+        var s = 0.0
+        var d = 0
+        while (d < idim) { s += m(i)(d) * t(d); d += 1 }
+        out(i) = s.toFloat
+        norm += s * s
+        i += 1
+      }
+      val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+      var k = 0
+      while (k < dim) { out(k) = (out(k) * inv).toFloat; k += 1 }
+      out
+    }
+    src.crossJoin(broadcast(copies))
+      .select(
+        (col("copy") * n + col("vec_id")).as("vec_id"),
+        genM(col("vec_id"), col("copy")).as("embedding"),
+        col("label"))
+  }
+
   def scaleDocuments(spark: SparkSession, srcDir: String, factor: Int): DataFrame = {
     val src = Tables.documents(spark, srcDir)
     val n = src.count()
@@ -116,6 +190,9 @@ object ScaleGen {
     val srcDir = args(0)
     val outDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    // mode: "iso" (default — isotropic, the adversarial control) or
+    // "manifold" (8-dim intrinsic — the regime graph ANN serves)
+    val mode = if (args.length > 3) args(3) else "iso"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -130,7 +207,8 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    scaleEmbeddings(spark, srcDir, factor).coalesce(1)
+    (if (mode == "manifold") scaleEmbeddingsManifold(spark, srcDir, factor)
+     else scaleEmbeddings(spark, srcDir, factor)).coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     scaleDocuments(spark, srcDir, factor).coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")

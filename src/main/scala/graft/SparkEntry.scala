@@ -1297,18 +1297,21 @@ object SparkEntry {
          |QUALIFY row_number() OVER (
          |  PARTITION BY query_id ORDER BY dist, cand_id) <= 10
          |ORDER BY query_id, block_id""".stripMargin,
-    // B43 (r13): the identical walk over the POLICY-built descent
-    // graph (its own sidecar — at oracle SFs the policy picks iters=2,
-    // so the edges coincide with nnd_graph_k8, but the replay never
-    // assumes that) at the policy-picked beam width (the one-row
-    // nnd_serve sidecar parameterizes every round, B38's convention
-    // applied to the knob PAIR).
+    // B43 (r13): the identical walk over the POLICY-built NAVIGABLE
+    // serving graph. The sidecar carries the FINAL undirected edge set
+    // (descent short links post-cap ∪ hash long links — the graph IS
+    // the index), so the oracle walks it verbatim with no
+    // symmetrize/cap replay, at the policy-picked beam width (the
+    // one-row nnd_serve sidecar parameterizes every round — B38's
+    // convention applied to the knob pair).
     "ann_graph_topk_nnd_model" ->
       s"""WITH ${medoidCtes("TRUE", "")},
-         |${nndGraphCtes("", "nnd_graph_model.parquet")},
+         |gundm AS MATERIALIZED (
+         |  SELECT src, nbr
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/nnd_graph_model.parquet/*.parquet')),
          |${walkRoundCtes(s"vec_id < ${graft.ann.GraphSearch.Nq}", "",
                           s"SELECT ef FROM read_parquet('${graft.Sidecars.DefaultRoot}/nnd_serve.parquet/*.parquet')",
-                          "gund", "medoid")}
+                          "gundm", "medoid")}
          |SELECT query_id, cand_id AS block_id FROM $graphVFinal
          |QUALIFY row_number() OVER (
          |  PARTITION BY query_id ORDER BY dist, cand_id) <= 10
