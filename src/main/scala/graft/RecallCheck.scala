@@ -88,14 +88,18 @@ object RecallCheck {
     // ground truth, per sweep user — the one quality axis previously
     // asserted from components but never measured above sf0.1
     if (args.length > 1 && args(1) == "partition") {
+      // optional 3rd arg: beam width (attribution probe — a fixed
+      // ef=64 beam decays as the routed partitions grow, the same
+      // fixed-beam decay B38's efFor closes on the global graph)
+      val ef = if (args.length > 2) args(2).toInt else ann.GraphSearch.Ef
       val rows = ann.GraphSearch.SweepUsers.map { u =>
         val exact = rbac.Rbac.prefilterTopK(spark, dir, u, 10)
           .collect().map(_.getLong(0)).toSet
-        val got = ann.GraphSearch.partitionGraphTopK(spark, dir, u)
+        val got = ann.GraphSearch.partitionGraphTopK(spark, dir, u, ef = ef)
           .collect().map(_.getLong(0)).toSet
         s"u$u=${got.intersect(exact).size.toDouble / exact.size}"
       }
-      println("PARTITION_RECALL " + rows.mkString(" "))
+      println(s"PARTITION_RECALL ef=$ef " + rows.mkString(" "))
       spark.stop(); return
     }
     val nndOnly = args.length > 1 && args(1) == "nnd"
