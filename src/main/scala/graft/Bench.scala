@@ -64,7 +64,13 @@ object Bench {
     */
   private val ScaledDirs: Seq[(String, String, Double, String)] = Seq(
     ("sf1x", "sf0.1", 10.0, "scale"),
-    ("sf10x", "sf0.1", 100.0, "scale100"))
+    ("sf10x", "sf0.1", 100.0, "scale100"),
+    // the MANIFOLD 100× dir (r14, VERDICT r13 #6): same row count as
+    // sf10x but low intrinsic dimension — the data regime graph
+    // indexes exist for. Promoted from CALIBRATION-only into the bench
+    // rotation so serving-family ratios get a law-matched point, with
+    // the isotropic sf10x block kept as the adversarial control.
+    ("sf10xm", "sf0.1", 100.0, "scale100m"))
 
   /** Render the scale-comparison JSON fragments for this run's
     * artifact: for every ScaledDirs row whose BASE dir is the current
@@ -248,11 +254,20 @@ object Bench {
       // job at scale); the walk stays timed like B31-B37's — it is
       // the search. The sweep key serves users 0-2: warm each routed
       // partition's index too.
-      if (warms("rbac_partition_graph_topk"))
+      // the per-partition serve POLICY (r14) is index-build work by
+      // the B38/B43 convention — its probes (and the descent builds
+      // they may trigger above the exact ceiling) are warmed; the
+      // policy-pick walk stays timed. Below the ceiling the policy is
+      // pinned without probing, so this is a no-op at the oracle SFs.
+      if (warms("rbac_partition_graph_topk")) {
+        graft.ann.GraphSearch.partitionServePolicy(spark, sfDir, 1)
         graft.ann.GraphSearch.partitionGraphIndex(spark, sfDir, 1)
+      }
       if (warms("rbac_partition_graph_sweep"))
-        graft.ann.GraphSearch.SweepUsers
-          .foreach(u => graft.ann.GraphSearch.partitionGraphIndex(spark, sfDir, u))
+        graft.ann.GraphSearch.SweepUsers.foreach { u =>
+          graft.ann.GraphSearch.partitionServePolicy(spark, sfDir, u)
+          graft.ann.GraphSearch.partitionGraphIndex(spark, sfDir, u)
+        }
       // B38's measured ef→recall curve (model fit = index-build-time
       // work, the B22 convention; the model-ef WALK stays timed)
       if (warms("ann_graph_topk_model"))
@@ -312,11 +327,31 @@ object Bench {
     // the whole phase suspect when the wait gave up on a loaded box.
     awaitQuietHost()
     val loadPre = loadNow()
-    val concurrentSuspect = loadPre > loadMax
     val poolSize = Env.int("SPARK_GRAFT_POOL", 8)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // in-run load samples for the POOL phase (r14, VERDICT r13 #3):
+    // the pre-phase stamp alone can't explain a wall that degraded
+    // MID-phase (r13's 190.7 s wall started at load 7.59 — just under
+    // the ceiling — and averaged 19.3 during the run, so the artifact
+    // said "clean" about a measurement contention had already ruined).
+    // A daemon samples the 1-min average every 5 s for the phase's
+    // duration; mean/peak ride in the artifact and the suspect flag
+    // covers the whole window, not its first instant. Self-load note:
+    // the pool intentionally saturates the host, so the ceiling for
+    // the MEAN is loadMax + the worker threads the phase itself runs —
+    // the flag fires on load the phase cannot have generated.
+    val poolLoads = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val poolSamplerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val poolSampler = new Thread(() => {
+      while (!poolSamplerDone.get()) {
+        poolLoads.add(loadNow())
+        Thread.sleep(5000)
+      }
+    })
+    poolSampler.setDaemon(true)
+    poolSampler.start()
     val w0 = System.nanoTime()
     val futures = qs.map { case (name, fn) =>
       scala.concurrent.Future {
@@ -332,7 +367,21 @@ object Bench {
     val results = futures.map(f =>
       scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     val wall = (System.nanoTime() - w0) / 1e9
+    poolSamplerDone.set(true)
     pool.shutdown()
+    // pool-phase comparability verdict: mean/peak of the in-run samples
+    // plus a suspect flag. The phase's OWN work shows up in the load
+    // average (up to cpus on a saturated local[cpus]), so the mean's
+    // ceiling is cpus + loadMax: ambient load beyond what this process
+    // can generate. The pre-phase stamp keeps its original ceiling.
+    val poolSamples = {
+      import scala.jdk.CollectionConverters._
+      val s = poolLoads.asScala.toSeq; if (s.isEmpty) Seq(loadPre) else s
+    }
+    val poolLoadMean = poolSamples.sum / poolSamples.size
+    val poolLoadPeak = poolSamples.max
+    val concurrentSuspect = loadPre > loadMax ||
+      poolLoadMean > cpus.toInt + loadMax
     // the concurrent tail numbers are only comparable across rounds at
     // similar machine load — record it so a reader can tell a
     // regression from a loaded box (round-2 lesson), and optionally
@@ -484,7 +533,14 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     val serialJson = serialTimes.map { timed =>
       val (clean, suspect) = partitionByLoad(timed, loadMax)
-      val carried = priorSerial() -- clean.map(_._1)
+      // carried rows fill in keys this run DIDN'T attempt (ADVICE r13:
+      // the bare `-- clean` resurrected sidecar rows for keys that
+      // errored or were load-fenced THIS run — masking a fresh
+      // regression behind its old clean time — and re-imported the
+      // exact-by-contract keys a scaled-dir run deliberately excludes)
+      val attempted = timed.map(_._1).toSet
+      val carried = priorSerial() -- clean.map(_._1) -- attempted --
+        (if (dropExact) exactContractKeys else Set.empty[String])
       val ok = (clean.map { case (n, t, _) => n -> t } ++ carried.toSeq)
         .sortBy(_._1)
         .map { case (n, t) => "\"" + n + "\":" + t }
@@ -566,7 +622,7 @@ object Bench {
     }.getOrElse("")
     // "total_full", not "total": exactly ONE stdout line may carry
     // metric=total or a consumer keying on it would double-count runs
-    val fullLine = s"""{"metric":"total_full","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"concurrent_load_pre":$loadPre,"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialJson$scaleJson$c5Json$exclJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}"}"""
+    val fullLine = s"""{"metric":"total_full","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"concurrent_load_pre":$loadPre,"concurrent_load_mean":$poolLoadMean,"concurrent_load_peak":$poolLoadPeak,"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialJson$scaleJson$c5Json$exclJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}"}"""
     // The harness that collects this output keeps only the LAST ~2000
     // characters of stdout; the full per-query line above is longer than
     // that, so a consumer parsing the tail never sees its start. Emit

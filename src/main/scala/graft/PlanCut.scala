@@ -39,8 +39,35 @@ private[graft] object PlanCut {
 
   private val ckptRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_ckpt_")
-    p.toFile.deleteOnExit()
+    // deleteOnExit is a NO-OP for non-empty directories (ADVICE r13):
+    // every run's checkpoint parquet would accumulate in /tmp across
+    // JVM exits — a slow disk leak on the same host whose ENOSPC
+    // motivated the disk checkpoint. A shutdown hook deletes the tree
+    // recursively (children first).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p.toFile)))
     p
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** Checkpoint dir of each frame `diskCheckpointed` returned, so a
+    * superseded round's parquet can be deleted the moment nothing
+    * reads it (weak keys: an abandoned frame never pins its entry).
+    */
+  private val diskDirs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, String]())
+
+  /** Unpersist a disk-checkpointed round AND delete its parquet dir —
+    * for callers that know the frame no longer feeds any computation
+    * (the descent loop's superseded rounds). No-op on frames from
+    * other sources.
+    */
+  def releaseDisk(df: DataFrame): Unit = {
+    df.unpersist()
+    Option(diskDirs.remove(df)).foreach(d => rmTree(new java.io.File(d)))
   }
   private val ckptSeq = new java.util.concurrent.atomic.AtomicLong()
 
@@ -65,6 +92,7 @@ private[graft] object PlanCut {
     df.write.mode("overwrite").parquet(dir)
     val rb = spark.read.parquet(dir).persist()
     rb.count()
+    diskDirs.put(rb, dir)
     System.gc() // release superseded rounds' shuffle deps to the cleaner
     rb
   }

@@ -90,16 +90,35 @@ object RecallCheck {
     if (args.length > 1 && args(1) == "partition") {
       // optional 3rd arg: beam width (attribution probe — a fixed
       // ef=64 beam decays as the routed partitions grow, the same
-      // fixed-beam decay B38's efFor closes on the global graph)
-      val ef = if (args.length > 2) args(2).toInt else ann.GraphSearch.Ef
+      // fixed-beam decay B38's efFor closes on the global graph).
+      // WITHOUT it (r14): serve at the measured per-partition policy
+      // — the shipped default — and print each user's pick.
+      val efArg = if (args.length > 2) Some(args(2).toInt) else None
       val rows = ann.GraphSearch.SweepUsers.map { u =>
         val exact = rbac.Rbac.prefilterTopK(spark, dir, u, 10)
           .collect().map(_.getLong(0)).toSet
-        val got = ann.GraphSearch.partitionGraphTopK(spark, dir, u, ef = ef)
-          .collect().map(_.getLong(0)).toSet
-        s"u$u=${got.intersect(exact).size.toDouble / exact.size}"
+        // ADVICE r13: a sweep user with zero accessible documents has
+        // no denominator — print a named marker, never recall=NaN
+        if (exact.isEmpty) s"u$u=no_accessible_docs"
+        else {
+          val got = ann.GraphSearch.partitionGraphTopK(
+              spark, dir, u, ef = efArg.getOrElse(-1))
+            .collect().map(_.getLong(0)).toSet
+          val pick = if (efArg.isDefined) "" else {
+            val (i, e, r) = ann.GraphSearch.partitionServePolicy(spark, dir, u)
+            s"(iters=$i,ef=$e,batch_recall=$r)"
+          }
+          s"u$u=${got.intersect(exact).size.toDouble / exact.size}$pick"
+        }
       }
-      println(s"PARTITION_RECALL ef=$ef " + rows.mkString(" "))
+      println(s"PARTITION_RECALL ef=${efArg.map(_.toString).getOrElse("policy")} "
+        + rows.mkString(" "))
+      // every point the per-user policy probed — the calibration rows
+      ann.GraphSearch.SweepUsers.foreach { u =>
+        ann.GraphSearch.partitionProbed(dir, u).foreach { case (i, e, r) =>
+          println(s"PARTITION_POINT u=$u iters=$i ef=$e batch_recall=$r")
+        }
+      }
       spark.stop(); return
     }
     val nndOnly = args.length > 1 && args(1) == "nnd"

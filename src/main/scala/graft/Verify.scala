@@ -47,6 +47,21 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Reproducibility stamp (r14, VERDICT r13 #2): the oracle SQL
+    // interpolates ONE fixed sidecar root, so a later Verify at a
+    // different dataset overwrites the sidecars out from under any
+    // RECORDED outDir — re-running the oracle against the recorded
+    // outputs then fails with mystery value diffs (the r13 audit hit
+    // this adjudicating the 10× parity claims). Stamp the dataset
+    // fingerprint into BOTH the outDir and the sidecar root;
+    // check_parity refuses a mismatch with a named diagnostic instead
+    // of diffing values.
+    val fp = Bench.dataFingerprint(sfDir)
+    Files.writeString(Paths.get(s"$outDir/data_fingerprint"), fp)
+    if (Sidecars.active) {
+      Files.createDirectories(Paths.get(Sidecars.root))
+      Files.writeString(Paths.get(s"${Sidecars.root}/data_fingerprint"), fp)
+    }
     spark.stop()
   }
 }

@@ -475,16 +475,82 @@ object Ann {
       buildDescent(spark, dir, k, iters, c, rho, collectStats)))
   }
 
+  /** Dense-rank remap of an id subset: (vec_id, rid) with rid a
+    * contiguous [0, m) assignment in vec_id order — distributed sort +
+    * zipWithIndex, deterministic. The descent machinery's hash-derived
+    * long-range links draw `xxhash64(id, j) mod n`, which is uniform
+    * only over a CONTIGUOUS id space; a sparse member subset run
+    * through the raw modulus would concentrate every long link on
+    * whichever ids happen to survive it. Checkpointed: the rank frame
+    * is read by the init, both map-backs, and the nav-link derivation.
+    */
+  private[graft] def denseRanks(spark: SparkSession, members: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = members.select("vec_id").distinct().orderBy("vec_id")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("rid", LongType)))
+    graft.PlanCut.checkpointed(spark, spark.createDataFrame(
+      sorted.rdd.map(_.getLong(0)).zipWithIndex()
+        .map { case (v, r) => org.apache.spark.sql.Row(v, r) }, schema))
+  }
+
+  /** B17's NN-Descent build over an ARBITRARY member subset (r14,
+    * VERDICT r13 #1): the B42 dispatch's at-scale branch for A21's
+    * routed dynamic partitions, so a large shared partition never
+    * re-enters the quadratic exact build. `ranked` is the subset's
+    * `denseRanks` frame (callers that also derive nav long links share
+    * it); the descent runs entirely in rank space — ring init over a
+    * subset-sized IVF assignment (√(m/8) cells, the descentCells rule;
+    * the fit is full-corpus as everywhere), hash long-range init over
+    * the contiguous rank modulus — and the edge list maps back to real
+    * ids at the end. Returns (src, nbr) in real id space, un-sorted
+    * (the only consumer symmetrizes + caps, which repartitions anyway).
+    */
+  private[graft] def knnGraphDescentOnRanked(spark: SparkSession, dir: String,
+                                             ranked: DataFrame, m: Long,
+                                             k: Int, iters: Int = 2): DataFrame = {
+    val c = math.max(16, math.round(math.sqrt(m / 8.0)).toInt)
+    val idx = IvfIndex.getOrBuild(spark, dir, c)
+    val e = IvfIndex.withCells(spark, dir, c)
+      .join(ranked, "vec_id")
+      .select(col("rid").as("vec_id"), col("embedding"), col("cell"))
+    val edges = buildDescentFrom(spark, e, m, idx.centroids, k, iters,
+      rho = 0.5, statsKey = None)
+    val out = edges
+      .join(ranked.select(col("rid").as("src"), col("vec_id").as("real_src")), "src")
+      .join(ranked.select(col("rid").as("nbr"), col("vec_id").as("real_nbr")), "nbr")
+      .select(col("real_src").as("src"), col("real_nbr").as("nbr"))
+    edges.unpersist()
+    out
+  }
+
   private def buildDescent(spark: SparkSession, dir: String, k: Int,
                            iters: Int, cells: Int, rho: Double,
                            collectStats: Boolean): DataFrame = {
+    val e = IvfIndex.withCells(spark, dir, cells)
+    val n = e.count()
+    val idx = IvfIndex.getOrBuild(spark, dir, cells)
+    buildDescentFrom(spark, e, n, idx.centroids, k, iters, rho,
+      statsKey = if (collectStats)
+        Some((dir, k, iters, cells, (rho * 100).toInt)) else None)
+  }
+
+  /** The descent loop proper, over a prepared member frame `e` of
+    * (vec_id, embedding, cell) whose vec_ids are DENSE in [0, n) —
+    * the full corpus (buildDescent) or a rank-remapped subset
+    * (knnGraphDescentOnRanked). Returns the final (src, nbr) edge
+    * list, lineage-cut and persisted.
+    */
+  private def buildDescentFrom(spark: SparkSession, e: DataFrame, n: Long,
+                               centroids: Array[Array[Float]], k: Int,
+                               iters: Int, rho: Double,
+                               statsKey: Option[(String, Int, Int, Int, Int)]): DataFrame = {
     // descend with a LARGER working neighborhood than the requested k:
     // sparse graphs barely propagate (few shared owners), so the
     // standard move is K ≈ 3k during descent, top-k projection at the
     // end. Candidate volume per round is |V|·(2K)² — the knob that
     // trades convergence speed for work.
     val bigK = math.max(3 * k, 10)
-    val e = IvfIndex.withCells(spark, dir, cells)
     // Init MUST mix locality with diverse long-range links: a pure
     // local init is CLOSED under neighbor-of-neighbor and descent can
     // never escape it. Long-range links are hash-derived —
@@ -504,12 +570,10 @@ object Ann {
     // the ring init) — descent rounds recover cross-ring neighbors
     // and the re-pinned spec floors absorb the shift, while init
     // stays linear by construction.
-    val n = e.count()
-    val idx = IvfIndex.getOrBuild(spark, dir, cells)
     val rn = e
       // the own-cell distance IS the min over centroids (it assigned
       // the cell), same projection the medoid pick uses
-      .withColumn("d", array_min(centroid_dists(col("embedding"), idx.centroids)))
+      .withColumn("d", array_min(centroid_dists(col("embedding"), centroids)))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("cell").orderBy(col("d"), col("vec_id"))))
@@ -553,8 +617,7 @@ object Ann {
     // sf0.001). Rounds older than the one still feeding the anti-join
     // are unpersisted as soon as the next materializes.
     val init = ringInit.union(longRange).distinct()
-    if (collectStats)
-      descentInitStats((dir, k, iters, cells, (rho * 100).toInt)) = init.count()
+    statsKey.foreach(sk => descentInitStats(sk) = init.count())
     // rounds are DISK-checkpointed (r13): the in-memory rebase keeps
     // every superseded round's ~20 GB shuffle (100× dir) pinned via
     // lineage for the whole build — a full cut caps peak shuffle disk
@@ -593,19 +656,24 @@ object Ann {
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
         .union(undirected) // never drop current edges → monotone recall
         .distinct()
-      if (collectStats && rr == iters)
-        descentCandStats((dir, k, iters, cells, (rho * 100).toInt)) = cand.count()
+      if (rr == iters)
+        statsKey.foreach(sk => descentCandStats(sk) = cand.count())
       // materialized (and FULLY lineage-cut) before releasing the
       // round it was built from
       val next = PlanCut.diskCheckpointed(spark, rerank(cand, bigK))
-      prev.foreach(_.unpersist()) // no longer feeds any computation
+      // no longer feeds any computation — its checkpoint parquet is
+      // dead too (the next round reads its OWN parquet on eviction),
+      // so releaseDisk reclaims the files now, not at JVM exit
+      prev.foreach(PlanCut.releaseDisk)
       prev = Some(graph)
       graph = next
     }
     val out = PlanCut.checkpointed(spark,
       rerank(graph, k) // project the working graph down to top-k
         .select(col("src"), col("dst").as("nbr")).orderBy("src", "nbr"))
-    prev.foreach(_.unpersist())
+    prev.foreach(PlanCut.releaseDisk)
+    // the LAST round keeps its parquet: `out`'s rebase recomputes
+    // through it if out's blocks are ever evicted
     graph.unpersist()
     out
   }

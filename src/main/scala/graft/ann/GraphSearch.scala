@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.{PlanCut, Tables}
 import graft.functions.vector._
+import graft.operators.TopKAgg.topk_ids
 
 /** B31/B32: batch graph-walk ANN serving — the Spark re-expression of
   * the reference's graph-index serving loop: hnswlib's `knn_query` with
@@ -89,18 +90,59 @@ object GraphSearch {
     }
 
   /** The serving graph over an ARBITRARY member subset (A21's routed
-    * dynamic partition): exact kNN edges among `members` (ids), then
-    * the same symmetrize + M_max cap. `tag` names the subset for the
-    * session cache — it must determine `members` (e.g. "dynpart<user>").
+    * dynamic partition). `tag` names the subset for the session cache —
+    * it must determine `members` (e.g. "dynpart<user>").
+    *
+    * DISPATCHED like B42 (r14, VERDICT r13 #1): below the measured
+    * exact-build ceiling the subset gets exact kNN edges + the
+    * symmetrize/M_max cap (unchanged — the regime every oracle SF
+    * lands in, so A21's replay CTEs stay valid verbatim); above it —
+    * where a large SHARED partition used to re-enter both the
+    * quadratic exact build and the fixed-beam decay — the member set
+    * gets the same treatment the global at-scale index earned in r13:
+    * an NN-Descent build (rank-remapped, linear) plus NSW long links
+    * (`links` deterministic hash edges per node, added after the cap,
+    * restoring reachability on the converged short-link graph).
     */
   def servingGraphOn(spark: SparkSession, dir: String, tag: String,
                      members: DataFrame, gk: Int = GraphK,
-                     cells: Int = Cells): DataFrame =
+                     cells: Int = Cells, iters: Int = 2,
+                     links: Int = 2): DataFrame =
     graphCache.getOrElseUpdate(spark, (dir, gk, cells, tag)) {
-      val e = IvfIndex.withCells(spark, dir, cells)
-        .join(members.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      buildGraph(spark, dir, gk, Ann.knnEdgesFrom(spark, dir, gk, cells, e))
+      val m = members.select(col("vec_id"))
+      val n = m.count()
+      if (n <= Ann.KnnExactMaxN) {
+        val e = IvfIndex.withCells(spark, dir, cells)
+          .join(m, Seq("vec_id"), "left_semi")
+        buildGraph(spark, dir, gk, Ann.knnEdgesFrom(spark, dir, gk, cells, e))
+      } else {
+        val ranked = Ann.denseRanks(spark, m)
+        val base = buildGraph(spark, dir, gk,
+          Ann.knnGraphDescentOnRanked(spark, dir, ranked, n, gk, iters))
+        val nav = subsetNavLinks(ranked, n, links)
+        val out = PlanCut.checkpointed(spark, base.unionAll(nav).distinct())
+        base.unpersist(blocking = true)
+        ranked.unpersist(blocking = true)
+        out
+      }
     }
+
+  /** NSW long links over a rank-remapped member subset: `links`
+    * deterministic hash edges per node in rank space (uniform over the
+    * contiguous [0, m) modulus), mapped back to real ids,
+    * bidirectional. The subset twin of `nndNavServingGraph`'s
+    * long-link derivation.
+    */
+  private def subsetNavLinks(ranked: DataFrame, m: Long, links: Int): DataFrame = {
+    val lr = ranked
+      .select(col("vec_id").as("src"), col("rid"),
+        explode(array((1 to links).map(j =>
+          pmod(xxhash64(col("rid"), lit(j)), lit(m))): _*)).as("nbrr"))
+      .filter(col("rid") =!= col("nbrr"))
+      .join(ranked.select(col("rid").as("nbrr"), col("vec_id").as("nbr")), "nbrr")
+      .select("src", "nbr")
+    lr.unionAll(lr.select(col("nbr").as("src"), col("src").as("nbr")))
+  }
 
   private def buildGraph(spark: SparkSession, dir: String, gk: Int,
                          edges: DataFrame): DataFrame = {
@@ -367,31 +409,176 @@ object GraphSearch {
     * itself stays timed: it is the search, as for B31-B37). The cache
     * tag carries userId AND alpha — both determine the member set.
     */
-  def partitionGraphIndex(spark: SparkSession, dir: String, userId: Long = 1,
-                          gk: Int = GraphK, cells: Int = Cells,
-                          alpha: Double = 2.0): (DataFrame, DataFrame) = {
+  /** The user's routed member docs (A7's routing) — the id set whose
+    * serving graph A21 builds. One definition shared by the index
+    * build, the serve policy's ceiling check, and the specs.
+    */
+  def partitionMembers(spark: SparkSession, dir: String, userId: Long,
+                       alpha: Double = 2.0): DataFrame = {
     import graft.rbac.Partitioned
-    val tag = s"dynpart${userId}_a$alpha"
     val pids = Partitioned.routedPartitionIds(spark, dir, userId, alpha)
-    val members = Partitioned.costModelPartitionDocs(spark, dir, alpha)
+    Partitioned.costModelPartitionDocs(spark, dir, alpha)
       .filter(col("partition_id").isin(pids: _*))
       .select(col("document_id").as("vec_id")).distinct()
-    (servingGraphOn(spark, dir, tag, members, gk, cells),
+  }
+
+  /** Routed member-set size, session-cached — read by the serve
+    * policy (the exact-ceiling pin) and by every A21 key's dispatch.
+    */
+  private val memberCountCache = new graft.SessionCache[(String, Long, Double), Long]
+  def partitionMemberCount(spark: SparkSession, dir: String, userId: Long,
+                           alpha: Double = 2.0): Long =
+    memberCountCache.getOrElseUpdate(spark, (dir, userId, alpha))(
+      partitionMembers(spark, dir, userId, alpha).count())
+
+  def partitionGraphIndex(spark: SparkSession, dir: String, userId: Long = 1,
+                          gk: Int = GraphK, cells: Int = Cells,
+                          alpha: Double = 2.0, iters: Int = 2): (DataFrame, DataFrame) = {
+    // iters (the descent build-quality knob) only exists above the
+    // exact ceiling; the medoid seeds don't depend on it
+    val tag = s"dynpart${userId}_a$alpha"
+    val gtag = if (iters == 2) tag else s"${tag}_i$iters"
+    val members = partitionMembers(spark, dir, userId, alpha)
+    (servingGraphOn(spark, dir, gtag, members, gk, cells, iters),
       cellMedoidsOn(spark, dir, tag, members, cells))
   }
 
+  /** A21's measured per-partition serving policy (r14, VERDICT r13
+    * #1): (iters, ef) for THIS user's routed partition, the
+    * `nndServePolicy` discipline applied to the partitioned path —
+    * the one serving surface still at fixed r8-era defaults after r13
+    * (its shipped ef=64 measured 0.30 recall for the shared-partition
+    * user at 10×, CALIBRATION r13; "the beam, not the routing").
+    *
+    * Below the exact-build ceiling the policy is PINNED to the
+    * shipped default (iters=2, ef=Ef) without probing — the regime
+    * every oracle SF lands in, so the replay CTEs stay valid and
+    * Verify never pays probe walks. Above it: double ef from the
+    * default up to the per-query cost cap (min(1024, m), efFor's
+    * rule); if the capped beam still misses the target, escalate
+    * build ITERS (a one-time linear build pass beats a per-query beam
+    * past the cap), keeping a level only when it buys ≥0.05 recall
+    * (the saturation rule). Recall is measured END-TO-END: the
+    * Nq-batch walk over the user's partition graph, permission filter
+    * at merge, vs the exact accessible ground truth — the quantity
+    * RecallCheck's partition mode reports. Returned recall -1.0 =
+    * pinned, unprobed (below the ceiling).
+    */
+  private val partPolicyCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Double, Double), (Int, Int, Double)]
+  private val partProbedPoints = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Vector[(Int, Int, Double)]]
+
+  def partitionServePolicy(spark: SparkSession, dir: String, userId: Long,
+                           alpha: Double = 2.0,
+                           target: Double = RecallTarget): (Int, Int, Double) =
+    partPolicyCache.getOrElseUpdate((dir, userId, alpha, target), {
+      val m = partitionMemberCount(spark, dir, userId, alpha)
+      if (m <= Ann.KnnExactMaxN) (2, Ef, -1.0)
+      else {
+        val gt = exactAccessTopK(spark, dir, userId, Nq, 10)
+        val cap = math.min(1024L, m).toInt
+        def probe(iters: Int, ef: Int): Double = {
+          val r = partitionProbeRecall(spark, dir, userId, alpha, iters, ef, gt)
+          partProbedPoints.updateWith((dir, userId))(
+            o => Some(o.getOrElse(Vector.empty) :+ ((iters, ef, r))))
+          r
+        }
+        def efSweep(iters: Int): (Int, Double) = {
+          var ef = math.min(Ef, cap)
+          var recall = probe(iters, ef)
+          while (recall < target && ef < cap) {
+            ef = math.min(ef * 2, cap)
+            recall = probe(iters, ef)
+          }
+          (ef, recall)
+        }
+        var iters = 2
+        var (ef, recall) = efSweep(iters)
+        var done = recall >= target
+        while (!done && iters < MaxDescentIters) {
+          val (e2, r2) = efSweep(iters + 1)
+          if (r2 - recall < 0.05 && r2 < target) done = true
+          else {
+            iters += 1; ef = e2; recall = r2
+            done = recall >= target
+          }
+        }
+        (iters, ef, recall)
+      }
+    })
+
+  /** Every (iters, ef, recall) point the partition policy probed for
+    * `userId` at `dir` — the calibration table's rows.
+    */
+  def partitionProbed(dir: String, userId: Long): Seq[(Int, Int, Double)] =
+    partProbedPoints.getOrElse((dir, userId), Vector.empty)
+
+  /** Exact per-query top-k over the user's ACCESSIBLE docs for the
+    * benchmark query batch — the end-to-end ground truth the partition
+    * policy measures against (the reference's compute_ground_truth
+    * quantity, restricted to one user × Nq queries). Self-excluded to
+    * match the walk's benchmark convention.
+    */
+  private def exactAccessTopK(spark: SparkSession, dir: String, userId: Long,
+                              nq: Int, k: Int): Set[(Long, Long)] = {
+    val e = Tables.embeddings(spark, dir)
+    val acc = graft.rbac.Rbac.accessibleDocs(spark, dir, userId)
+      .select(col("document_id").as("cand_id"))
+    val queries = broadcast(e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+    e.select(col("vec_id").as("cand_id"), col("embedding"))
+      .join(acc, Seq("cand_id"), "left_semi")
+      .crossJoin(queries)
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(topk_ids(l2_dist(col("embedding"), col("qvec")), col("cand_id"), k).as("ids"))
+      .select(col("query_id"), explode(col("ids")).as("cand_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  /** One transient policy probe: the Nq-batch walk over the user's
+    * partition graph at (iters, ef), permission-filtered at merge,
+    * scored against `gt`. The walk state is released after measuring
+    * (the sweep-walk discipline).
+    */
+  private def partitionProbeRecall(spark: SparkSession, dir: String,
+                                   userId: Long, alpha: Double, iters: Int,
+                                   ef: Int, gt: Set[(Long, Long)]): Double = {
+    val (edges, medoids) =
+      partitionGraphIndex(spark, dir, userId, GraphK, Cells, alpha, iters)
+    val queries = broadcast(Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < Nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+    val vis = buildVisited(spark, dir, queries, ef, Rounds, edges, medoids)
+    val acc = graft.rbac.Rbac.accessibleDocs(spark, dir, userId)
+      .select(col("document_id").as("cand_id"))
+    val got = topOf(vis.join(acc, Seq("cand_id"), "left_semi"), 10)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    vis.unpersist(blocking = true)
+    got.intersect(gt).size.toDouble / gt.size
+  }
+
   def partitionGraphTopK(spark: SparkSession, dir: String, userId: Long = 1,
-                         k: Int = 10, ef: Int = Ef, rounds: Int = Rounds,
+                         k: Int = 10, ef: Int = -1, rounds: Int = Rounds,
                          gk: Int = GraphK, cells: Int = Cells,
                          alpha: Double = 2.0): DataFrame = {
     import graft.rbac.Rbac
-    val tag = s"dynpart${userId}_a$alpha"
-    val vis = visitedCache.getOrElseUpdate(spark, (dir, tag, ef, rounds, gk, cells)) {
-      val (edges, medoids) = partitionGraphIndex(spark, dir, userId, gk, cells, alpha)
+    // ef = -1 (the shipped default): serve at the MEASURED per-
+    // partition policy. An explicit ef is an attribution probe
+    // (RecallCheck's sweep) and walks the default-quality graph.
+    val (iters, efR) =
+      if (ef > 0) (2, ef)
+      else { val (i, e, _) = partitionServePolicy(spark, dir, userId, alpha); (i, e) }
+    val tag = s"dynpart${userId}_a${alpha}_i$iters"
+    val vis = visitedCache.getOrElseUpdate(spark, (dir, tag, efR, rounds, gk, cells)) {
+      val (edges, medoids) =
+        partitionGraphIndex(spark, dir, userId, gk, cells, alpha, iters)
       val queries = broadcast(Tables.embeddings(spark, dir)
         .filter(col("vec_id") === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
-      buildVisited(spark, dir, queries, ef, rounds, edges, medoids)
+      buildVisited(spark, dir, queries, efR, rounds, edges, medoids)
     }
     val acc = Rbac.accessibleDocs(spark, dir, userId)
       .select(col("document_id").as("cand_id"))
@@ -810,18 +997,25 @@ object GraphSearch {
     */
   def partitionGraphSweep(spark: SparkSession, dir: String,
                           userIds: Seq[Long] = SweepUsers, nq: Int = Nq,
-                          k: Int = 10, ef: Int = Ef, rounds: Int = Rounds,
+                          k: Int = 10, ef: Int = -1, rounds: Int = Rounds,
                           gk: Int = GraphK, cells: Int = Cells,
                           alpha: Double = 2.0): DataFrame = {
     import graft.rbac.Rbac
     userIds.map { u =>
-      val tag = s"dynpartsweep${u}_n${nq}_a$alpha"
-      val vis = visitedCache.getOrElseUpdate(spark, (dir, tag, ef, rounds, gk, cells)) {
-        val (edges, medoids) = partitionGraphIndex(spark, dir, u, gk, cells, alpha)
+      // ef = -1: each user's walk serves at ITS partition's measured
+      // policy (partition sizes differ per routing, so one fixed beam
+      // cannot fit all three sweep users — the r13 measurement)
+      val (iters, efR) =
+        if (ef > 0) (2, ef)
+        else { val (i, e, _) = partitionServePolicy(spark, dir, u, alpha); (i, e) }
+      val tag = s"dynpartsweep${u}_n${nq}_a${alpha}_i$iters"
+      val vis = visitedCache.getOrElseUpdate(spark, (dir, tag, efR, rounds, gk, cells)) {
+        val (edges, medoids) =
+          partitionGraphIndex(spark, dir, u, gk, cells, alpha, iters)
         val queries = broadcast(Tables.embeddings(spark, dir)
           .filter(col("vec_id") < nq)
           .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
-        buildVisited(spark, dir, queries, ef, rounds, edges, medoids)
+        buildVisited(spark, dir, queries, efR, rounds, edges, medoids)
       }
       val acc = Rbac.accessibleDocs(spark, dir, u)
         .select(col("document_id").as("cand_id"))

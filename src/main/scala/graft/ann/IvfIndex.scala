@@ -71,6 +71,13 @@ object IvfIndex {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Float](2).toArray))
       .sortBy(_._1)
       .map(_._2)
+    // named diagnostic (ADVICE r13): limit(k) on a corpus with fewer
+    // rows than k returns short — Index(k, centers) would then carry a
+    // k its centroid array can't back, and every consumer of Index.k
+    // (cell ids, nprobe caps) would trip on the inconsistency far from
+    // the cause
+    require(centers.length == k,
+      s"fitCentroids: corpus has only ${centers.length} rows, need k=$k seeds")
     for (_ <- 1 to iters) {
       val cents = centers
       val sums = feats

@@ -38,6 +38,23 @@ def main():
         # testdata holds single files — accept both
         src = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    # Stale-sidecar refusal (r14): graft.Verify stamps the dataset
+    # fingerprint into its outDir AND the shared sidecar root. If a
+    # LATER Verify at different data overwrote the sidecars, the oracle
+    # would fail with mystery value diffs on every sidecar-replayed key
+    # — name the condition instead.
+    out_fp_file = out_dir / "data_fingerprint"
+    side_fp_file = Path("/tmp/graft_oracle_sidecars/data_fingerprint")
+    if out_fp_file.exists() and side_fp_file.exists():
+        out_fp, side_fp = out_fp_file.read_text(), side_fp_file.read_text()
+        if out_fp != side_fp:
+            print(
+                f"STALE_SIDECARS: sidecar root was re-written for a different "
+                f"dataset (fp {side_fp}) than this verify outDir (fp {out_fp}); "
+                f"re-run `sbt \"runMain graft.Verify {sf_dir} {out_dir}\"` to "
+                f"restore matching sidecars before comparing"
+            )
+            sys.exit(2)
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
