@@ -259,7 +259,7 @@ object Bench {
       // they may trigger above the exact ceiling) are warmed; the
       // policy-pick walk stays timed. Below the ceiling the policy is
       // pinned without probing, so this is a no-op at the oracle SFs.
-      if (warms("rbac_partition_graph_topk")) {
+      if (warms("rbac_partition_graph_topk", "rbac_partition_graph_policy_topk")) {
         graft.ann.GraphSearch.partitionServePolicy(spark, sfDir, 1)
         graft.ann.GraphSearch.partitionGraphIndex(spark, sfDir, 1)
       }

@@ -47,6 +47,10 @@ object Sidecars {
     // POLICY-picked iters plus the one-row (iters, ef) parameter table
     "nnd_graph_model.parquet",
     "nnd_serve.parquet",
+    // r14 — A22's policy replay pair: the routed partition graph at
+    // the policy-picked iters plus its one-row (iters, ef) table
+    "dynpart_graph.parquet",
+    "dynpart_serve.parquet",
     "half_vecs.parquet")
 
   def root: String = sys.props.getOrElse("graft.sidecar.dir", DefaultRoot)

@@ -135,6 +135,14 @@ object SparkEntry {
       IvfIndex.writeCentroidSidecar(s, d, 16)
       graft.ann.GraphSearch.partitionGraphTopK(s, d)
     }),
+    // A22 (r14): the partitioned serving path AT the measured
+    // (iters, ef) policy — B43's sidecar-replay convention, so the
+    // key stays value-checkable above the exact-build ceiling
+    "rbac_partition_graph_policy_topk" -> ((s, d) => {
+      IvfIndex.writeCentroidSidecar(s, d, 16)
+      graft.ann.GraphSearch.writePartitionServeSidecars(s, d)
+      graft.ann.GraphSearch.partitionGraphPolicyTopK(s, d)
+    }),
     "rbac_partition_graph_sweep" -> ((s, d) => {
       IvfIndex.writeCentroidSidecar(s, d, 16)
       graft.ann.GraphSearch.partitionGraphSweep(s, d)
@@ -1479,6 +1487,38 @@ object SparkEntry {
          |WHERE v.query_id = 0
          |ORDER BY v.dist, v.cand_id
          |LIMIT 10""".stripMargin,
+    // A22 (r14): the policy serving replay — routing, medoid seeding,
+    // the walk, and the merge filter replayed in SQL; the partition
+    // graph's edge set (the dispatch-dependent, hash-derived part) and
+    // the measured ef come from the sidecar pair, B43's convention.
+    "rbac_partition_graph_policy_topk" ->
+      s"""WITH $urAll, $ur1, $perm, $acc, $costLayout,
+         |user_pid AS (
+         |  SELECT l.partition_id FROM layout l
+         |  JOIN ucomb u ON u.comb_key = l.comb_key
+         |  WHERE u.user_id = 1
+         |),
+         |partdocs AS (
+         |  SELECT DISTINCT l.partition_id, p.document_id
+         |  FROM combroles cr JOIN perm p USING (role_id)
+         |  JOIN layout l ON l.comb_key = cr.comb_key
+         |),
+         |scandocs AS MATERIALIZED (
+         |  SELECT DISTINCT pd.document_id
+         |  FROM partdocs pd JOIN user_pid up ON pd.partition_id = up.partition_id
+         |),
+         |${medoidCtes("vec_id IN (SELECT document_id FROM scandocs)", "")},
+         |gundp AS MATERIALIZED (
+         |  SELECT src, nbr
+         |  FROM read_parquet('${graft.Sidecars.DefaultRoot}/dynpart_graph.parquet/*.parquet')),
+         |${walkRoundCtes(s"vec_id < ${graft.ann.GraphSearch.Nq}", "",
+                          s"SELECT ef FROM read_parquet('${graft.Sidecars.DefaultRoot}/dynpart_serve.parquet/*.parquet')",
+                          "gundp", "medoid")}
+         |SELECT v.query_id, v.cand_id AS block_id
+         |FROM $graphVFinal v JOIN acc ON v.cand_id = acc.document_id
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY v.query_id ORDER BY v.dist, v.cand_id) <= 10
+         |ORDER BY query_id, block_id""".stripMargin,
     // A21 sweep (r9): the same routing + walk + merge replay, once per
     // swept user (prefixed CTEs keep the three walks apart) and over
     // the B31-width query batch — the reference's user sweep

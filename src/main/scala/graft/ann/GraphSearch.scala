@@ -590,6 +590,63 @@ object GraphSearch {
       .select(col("cand_id").as("block_id"), col("cand_id").as("document_id"))
   }
 
+  private val partModelSidecarWritten = new graft.SessionCache[(String, Long), Boolean]
+
+  /** Sidecars for A22's oracle replay — B43's convention applied to
+    * the PARTITIONED serving path: the user's routed partition graph
+    * (whatever branch the size dispatch built — exact at the oracle
+    * SFs, descent+nav above the ceiling) persists verbatim, plus a
+    * one-row (iters, ef) table with the measured policy pick. The
+    * oracle still replays routing, medoid seeding, the walk, and the
+    * merge-time permission filter independently in SQL; only the
+    * hash-derived edge set is read back.
+    */
+  def writePartitionServeSidecars(spark: SparkSession, dir: String,
+                                  userId: Long = 1, alpha: Double = 2.0): Unit =
+    if (graft.Sidecars.active)
+      partModelSidecarWritten.getOrElseUpdate(spark, (dir, userId)) {
+        val (iters, ef, _) = partitionServePolicy(spark, dir, userId, alpha)
+        val (edges, _) =
+          partitionGraphIndex(spark, dir, userId, GraphK, Cells, alpha, iters)
+        edges.coalesce(1).write.mode("overwrite")
+          .parquet(graft.Sidecars.path("dynpart_graph.parquet"))
+        spark.range(1)
+          .select(lit(iters).as("iters"), lit(ef).as("ef"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(graft.Sidecars.path("dynpart_serve.parquet"))
+        true
+      }
+
+  /** A22 `rbac_partition_graph_policy_topk` (r14): the partitioned
+    * serving surface (the reference's dynamic-partition search,
+    * controller/dynamic_partition/search.py:31) served AT the measured
+    * per-partition (iters, ef) policy over the full benchmark query
+    * batch, permission-filtered at merge — the at-scale form of A21
+    * that stays value-checkable at ANY corpus size via the sidecar
+    * replay (A21 itself keeps the stronger full-SQL exact-build oracle
+    * at the oracle SFs, where the two coincide by the dispatch pin).
+    */
+  def partitionGraphPolicyTopK(spark: SparkSession, dir: String,
+                               userId: Long = 1, nq: Int = Nq, k: Int = 10,
+                               alpha: Double = 2.0): DataFrame = {
+    import graft.rbac.Rbac
+    val (iters, ef, _) = partitionServePolicy(spark, dir, userId, alpha)
+    val tag = s"dynpartpolicy${userId}_a${alpha}_i$iters"
+    val vis = visitedCache.getOrElseUpdate(spark, (dir, tag, ef, Rounds, GraphK, Cells)) {
+      val (edges, medoids) =
+        partitionGraphIndex(spark, dir, userId, GraphK, Cells, alpha, iters)
+      val queries = broadcast(Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < nq)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+      buildVisited(spark, dir, queries, ef, Rounds, edges, medoids)
+    }
+    val acc = Rbac.accessibleDocs(spark, dir, userId)
+      .select(col("document_id").as("cand_id"))
+    topOf(vis.join(acc, Seq("cand_id"), "left_semi"), k)
+      .select(col("query_id"), col("cand_id").as("block_id"))
+      .orderBy("query_id", "block_id")
+  }
+
   /** B39 (r9): serving over the NN-DESCENT graph — B17's documented
     * escape hatch made REAL for serving. At 100 TB the exact
     * cell-bucketed kNN build (B11) is the expensive half of the graph

@@ -48,6 +48,21 @@ class Round14Spec extends AnyFunSuite {
     assert(policy == pinned, "ef=-1 (policy) changed oracle-SF serving output")
   }
 
+  test("A22: policy serving key is pinned and permission-clean at the oracle SF") {
+    // below the exact ceiling the policy pin means A22 walks the SAME
+    // graph at the SAME (iters=2, ef=Ef) as A21 — the key adds the
+    // batch width and the sidecar replay, not new oracle-SF semantics
+    val out = GraphSearch.partitionGraphPolicyTopK(spark, sf, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty, "policy serving returned no rows")
+    val acc = graft.rbac.Rbac.accessibleDocs(spark, sf, 1)
+      .select("document_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => acc(r._2)),
+      "A22 served a document outside user 1's accessible set")
+    val perQuery = out.groupBy(_._1).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ <= 10), "A22 served more than k per query")
+  }
+
   test("denseRanks is a dense order-preserving bijection over the subset") {
     val members = Tables.embeddings(spark, sf)
       .filter(pmod(col("vec_id"), lit(3)) === 1)
