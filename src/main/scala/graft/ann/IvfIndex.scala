@@ -59,7 +59,19 @@ object IvfIndex {
   private[graft] def fitCentroids(df: DataFrame, k: Int,
                                   iters: Int = 5): Array[Array[Float]] = {
     val Scale = (1L << 24).toDouble
+    // Repartition + cache across the Lloyd rounds: the fit inherits the
+    // SOURCE partitioning, and a corpus stored as one parquet file under
+    // maxPartitionBytes (ScaleGen's coalesce(1) dirs) pins every
+    // assignment scan to ONE task — at k=800 over 200k vectors that is
+    // ~10 GFLOP/round on a single core (measured: the 100× dedup warmup
+    // sat 40+ min in this loop). Safe for determinism: seeds come from a
+    // total (hash, id) order and Lloyd sums are quantized-long
+    // (associative+commutative), so partition count cannot perturb the
+    // result — Round13Spec pins layout independence.
     val feats = df.select(col("vec_id"), col("features"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .persist()
+    try {
     // seed ORDER is load-bearing (centroid index = cell id): the hash
     // key rides along and the driver re-sorts the collected rows by it
     // — limit() makes no ordering promise after collect
@@ -97,6 +109,7 @@ object IvfIndex {
       centers = next
     }
     centers
+    } finally feats.unpersist(blocking = false)
   }
 
   /** Fit (or fetch cached) centroids for the corpus — deterministic
