@@ -98,6 +98,31 @@ object Bench {
           val (n, med, p90, sup) = scaleRatios(curClean, other, factor)
           if (n == 0) None
           else {
+            // the scaled run's own pool/load verdict rides in the
+            // block (r15, VERDICT r14 #3): a reader attributing this
+            // round's sf2_wall against last round's must see the
+            // load regime the wall was taken under WITHOUT opening
+            // the sidecar; absent fields (pre-r15 sidecars) emit
+            // nothing rather than a fabricated number
+            def optNum(c: String): String =
+              if (!df.columns.contains(c)) ""
+              else try {
+                df.select(c).collect().head.get(0) match {
+                  case x: Number => s""","sf2_$c":${x.doubleValue}"""
+                  case b: java.lang.Boolean => s""","sf2_$c":$b"""
+                  case _ => ""
+                }
+              } catch { case _: Throwable => "" }
+            val verdictJson = Seq("concurrent_load_pre", "concurrent_load_mean",
+              "concurrent_load_peak", "concurrent_ambient_mean",
+              "concurrent_self_cores_mean", "concurrent_suspect")
+              .map(optNum).mkString
+            // fingerprint drift flag: the sidecar's serial map is only
+            // comparable while the scaled dir still holds the data it
+            // was timed on — a regeneration between rounds must be a
+            // recorded fact, not a silent ratio shift
+            val liveFp = dataFingerprint(meta.getString(2))
+            val changed = liveFp != meta.getString(1)
             // Locale.ROOT (ADVICE r10): the f interpolator formats in the
             // default locale — a comma decimal separator corrupts the JSON
             def r2(d: Double) =
@@ -106,7 +131,7 @@ object Bench {
               String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
             val supJson = sup.map { case (k, r) => "\"" + k + "\":" + r2(r) }
               .mkString("{", ",", "}")
-            Some(s""","$key":{"sf2":"${jsonEscape(meta.getString(2))}","sf2_fingerprint":"${jsonEscape(meta.getString(1))}","sf2_wall":${meta.getDouble(0)},"factor":$factor,"n_common":$n,"serial_ratio_median":${r3(med)},"serial_ratio_p90":${r3(p90)},"superlinear":$supJson}""")
+            Some(s""","$key":{"sf2":"${jsonEscape(meta.getString(2))}","sf2_fingerprint":"${jsonEscape(meta.getString(1))}","sf2_data_changed":$changed,"sf2_wall":${meta.getDouble(0)}$verdictJson,"factor":$factor,"n_common":$n,"serial_ratio_median":${r3(med)},"serial_ratio_p90":${r3(p90)},"superlinear":$supJson}""")
           }
         }
       } catch { case _: Throwable => None }
@@ -140,6 +165,48 @@ object Bench {
     md.digest(entries.mkString("|").getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
   }
+
+  /** Ambient-vs-self split of the pool phase's load samples (r15,
+    * VERDICT r14 #4): the 1-min load average mixes the host's OTHER
+    * work with this process's own saturated pool — the r14 rule
+    * (mean > cpus + loadMax) could not tell a loaded box from a busy
+    * phase, so the two recorded r14 sf0.1 walls (108.2 s quiet /
+    * 161.3 s loaded) shipped the same non-flag. Each sample carries
+    * the JVM's cumulative process-CPU seconds; self-cores at sample i
+    * is the trailing-60 s CPU rate (the 1-min average's own window;
+    * cumulative-from-start while the phase is younger than 60 s) and
+    * ambient_i = max(0, load_i − self_i). Pure over the samples —
+    * unit-tested without Spark, and REPLAYABLE against recorded walls:
+    * the phase's total self-CPU work is wall-invariant for a fixed
+    * query set, so self-cores under a recorded wall = work/wall.
+    *
+    * samples: (wallSec since phase start, 1-min load, cumulative
+    * process-CPU sec). Returns (ambientMean, ambientPeak,
+    * selfCoresMean); None below 2 samples (no interval to rate).
+    */
+  private[graft] def ambientStats(
+      samples: Seq[(Double, Double, Double)]): Option[(Double, Double, Double)] = {
+    if (samples.size < 2) return None
+    val rows = samples.indices.drop(1).map { i =>
+      val (wi, li, ci) = samples(i)
+      val j0 = samples.lastIndexWhere({ case (wj, _, _) => wi - wj >= 60.0 }, i - 1)
+      val (wj, _, cj) = samples(if (j0 >= 0) j0 else 0)
+      val self = if (wi > wj) math.max(0.0, (ci - cj) / (wi - wj)) else 0.0
+      (math.max(0.0, li - self), self)
+    }
+    Some((rows.map(_._1).sum / rows.size, rows.map(_._1).max,
+      rows.map(_._2).sum / rows.size))
+  }
+
+  /** Replay the ambient rule against a RECORDED wall (r15): for a
+    * fixed query set the phase's total self-CPU work is wall-invariant
+    * (competition stretches the wall, not the work), so a recorded
+    * (wall, mean-load) pair plus a measured work figure yields the
+    * ambient mean the new rule would have seen: load − work/wall.
+    */
+  private[graft] def replayAmbient(wall: Double, loadMean: Double,
+                                   selfCpuSec: Double): Double =
+    math.max(0.0, loadMean - selfCpuSec / wall)
 
   /** Cached partitions currently MISSING from persisted RDDs (evicted
     * or not-yet-computed blocks). Sampled before each serial re-time:
@@ -342,11 +409,25 @@ object Bench {
     // the pool intentionally saturates the host, so the ceiling for
     // the MEAN is loadMax + the worker threads the phase itself runs —
     // the flag fires on load the phase cannot have generated.
-    val poolLoads = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    // self-CPU alongside each load sample (r15, VERDICT r14 #4): the
+    // process's cumulative CPU seconds let the verdict subtract the
+    // phase's OWN work from the 1-min average — the flag fires on
+    // AMBIENT load (what the host's other tenants ran), not on the
+    // pool's intentional saturation
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def processCpuSec(): Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        val t = b.getProcessCpuTime; if (t < 0) -1.0 else t / 1e9
+      case _ => -1.0
+    }
+    val poolLoads =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Double, Double, Double)]()
     val poolSamplerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val phase0 = System.nanoTime()
+    val cpuSec0 = processCpuSec()
     val poolSampler = new Thread(() => {
       while (!poolSamplerDone.get()) {
-        poolLoads.add(loadNow())
+        poolLoads.add(((System.nanoTime() - phase0) / 1e9, loadNow(), processCpuSec()))
         Thread.sleep(5000)
       }
     })
@@ -376,12 +457,29 @@ object Bench {
     // can generate. The pre-phase stamp keeps its original ceiling.
     val poolSamples = {
       import scala.jdk.CollectionConverters._
-      val s = poolLoads.asScala.toSeq; if (s.isEmpty) Seq(loadPre) else s
+      // one closing sample at drain time: a sub-cadence phase would
+      // otherwise carry a single sample — no interval to rate self
+      // CPU over, so the ambient verdict would silently vanish
+      poolLoads.add(((System.nanoTime() - phase0) / 1e9, loadNow(), processCpuSec()))
+      poolLoads.asScala.toSeq.sortBy(_._1)
     }
-    val poolLoadMean = poolSamples.sum / poolSamples.size
-    val poolLoadPeak = poolSamples.max
+    val poolLoadMean = poolSamples.map(_._2).sum / poolSamples.size
+    val poolLoadPeak = poolSamples.map(_._2).max
+    // ambient verdict (r15): subtract the measured self-cores from
+    // each load sample; the flag fires on load the phase cannot have
+    // generated. Falls back to the r14 whole-process ceiling when the
+    // platform bean exposes no process CPU (never on this JDK).
+    val ambient =
+      if (cpuSec0 < 0) None
+      else ambientStats(poolSamples)
+    // total self-CPU work of the phase — wall-invariant for a fixed
+    // query set, so a recorded wall can be REPLAYED: self-cores under
+    // wall W = this work / W (the r14-pair calibration demo)
+    val poolSelfCpuSec =
+      if (cpuSec0 < 0) -1.0 else math.max(0.0, processCpuSec() - cpuSec0)
     val concurrentSuspect = loadPre > loadMax ||
-      poolLoadMean > cpus.toInt + loadMax
+      ambient.map(_._1 > loadMax)
+        .getOrElse(poolLoadMean > cpus.toInt + loadMax)
     // the concurrent tail numbers are only comparable across rounds at
     // similar machine load — record it so a reader can tell a
     // regression from a loaded box (round-2 lesson), and optionally
@@ -622,7 +720,13 @@ object Bench {
     }.getOrElse("")
     // "total_full", not "total": exactly ONE stdout line may carry
     // metric=total or a consumer keying on it would double-count runs
-    val fullLine = s"""{"metric":"total_full","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"concurrent_load_pre":$loadPre,"concurrent_load_mean":$poolLoadMean,"concurrent_load_peak":$poolLoadPeak,"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialJson$scaleJson$c5Json$exclJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}"}"""
+    // ambient fields ride in the artifact so a wall delta is
+    // attributable without re-running (r15): ambient ≈ other tenants'
+    // cores; self_cpu_sec is the replay invariant
+    val ambientJson = ambient.map { case (m, p, s) =>
+      s""","concurrent_ambient_mean":$m,"concurrent_ambient_peak":$p,"concurrent_self_cores_mean":$s,"concurrent_self_cpu_sec":$poolSelfCpuSec"""
+    }.getOrElse("")
+    val fullLine = s"""{"metric":"total_full","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"concurrent_load_pre":$loadPre,"concurrent_load_mean":$poolLoadMean,"concurrent_load_peak":$poolLoadPeak$ambientJson,"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialJson$scaleJson$c5Json$exclJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}"}"""
     // The harness that collects this output keeps only the LAST ~2000
     // characters of stdout; the full per-query line above is longer than
     // that, so a consumer parsing the tail never sees its start. Emit

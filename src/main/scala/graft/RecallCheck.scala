@@ -113,11 +113,37 @@ object RecallCheck {
       }
       println(s"PARTITION_RECALL ef=${efArg.map(_.toString).getOrElse("policy")} "
         + rows.mkString(" "))
-      // every point the per-user policy probed — the calibration rows
+      // every point the per-partition policy probed — the calibration
+      // rows (r15: keyed by routed partition set; sharing users print
+      // the same rows, labeled by the partition key)
       ann.GraphSearch.SweepUsers.foreach { u =>
-        ann.GraphSearch.partitionProbed(dir, u).foreach { case (i, e, r) =>
-          println(s"PARTITION_POINT u=$u iters=$i ef=$e batch_recall=$r")
+        val pk = ann.GraphSearch.routedPartitionKey(spark, dir, u)
+        ann.GraphSearch.partitionProbed(spark, dir, u).foreach { case (i, e, r) =>
+          println(s"PARTITION_POINT u=$u pid=$pk iters=$i ef=$e batch_recall=$r")
         }
+      }
+      println(s"PARTITION_PROBE_TOTAL ${ann.GraphSearch.partitionProbeCount(dir)}")
+      // the r15 sharing demo (VERDICT r14 #2 done-criterion): serve a
+      // SECOND user routed to an already-probed partition set and show
+      // the probe counter does not move — the policy row is layout
+      // metadata of the partition, not of the user who asked first
+      val sweepKeys = ann.GraphSearch.SweepUsers
+        .map(u => ann.GraphSearch.routedPartitionKey(spark, dir, u)).toSet
+      val sharer = (0L to 20L)
+        .filterNot(ann.GraphSearch.SweepUsers.contains)
+        .find(u =>
+          graft.rbac.Partitioned.routedPartitionIds(spark, dir, u).nonEmpty &&
+            sweepKeys(ann.GraphSearch.routedPartitionKey(spark, dir, u)))
+      sharer match {
+        case Some(u) =>
+          val before = ann.GraphSearch.partitionProbeCount(dir)
+          val (i, e, r) = ann.GraphSearch.partitionServePolicy(spark, dir, u)
+          val after = ann.GraphSearch.partitionProbeCount(dir)
+          println(s"PARTITION_SHARED_USER u=$u " +
+            s"pid=${ann.GraphSearch.routedPartitionKey(spark, dir, u)} " +
+            s"(iters=$i,ef=$e,recall=$r) probes_before=$before probes_after=$after")
+        case None =>
+          println("PARTITION_SHARED_USER none_in_sample")
       }
       spark.stop(); return
     }

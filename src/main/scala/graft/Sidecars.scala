@@ -51,7 +51,22 @@ object Sidecars {
     // the policy-picked iters plus its one-row (iters, ef) table
     "dynpart_graph.parquet",
     "dynpart_serve.parquet",
+    // r15 — the mm payload sidecars (VERDICT r14 #7): the media
+    // tables' exact payload bytes persist once so the parity tool can
+    // re-decode them with INDEPENDENT parsers (stdlib wave, a hand
+    // PGM reader, a zlib PNG un-filterer) and diff the decoded
+    // features row-for-row — read by tools/check_parity.py, not by
+    // any oracle SQL
+    "media_payloads.parquet",
+    "media_png.parquet",
     "half_vecs.parquet")
+
+  /** Sidecars consumed by the PARITY TOOL (tools/check_parity.py)
+    * rather than by oracle SQL — the mm payload dumps it re-decodes
+    * with independent parsers. Declared so SidecarPathSpec can keep
+    * requiring every other registered sidecar to be read by an oracle.
+    */
+  val ToolRead: Set[String] = Set("media_payloads.parquet", "media_png.parquet")
 
   def root: String = sys.props.getOrElse("graft.sidecar.dir", DefaultRoot)
 

@@ -225,9 +225,16 @@ object SparkEntry {
       PqIndex.ivfAdcSearch(s, d, userId = Some(1))
     }),
     // --- F. Multimodal plumbing ---
-    "mm_binary_features" -> ((s, d) => Multimodal.features(s, d).toDF().orderBy("media_id")),
+    "mm_binary_features" -> ((s, d) => {
+      // r15: payload sidecar → check_parity re-decodes independently
+      Multimodal.writeMediaSidecar(s, d)
+      Multimodal.features(s, d).toDF().orderBy("media_id")
+    }),
     "mm_jpeg_features" -> ((s, d) => Multimodal.jpegFeatures(s, d).toDF().orderBy("media_id")),
-    "mm_png_features" -> ((s, d) => Multimodal.pngFeatures(s, d).toDF().orderBy("media_id")),
+    "mm_png_features" -> ((s, d) => {
+      Multimodal.writePngSidecar(s, d)
+      Multimodal.pngFeatures(s, d).toDF().orderBy("media_id")
+    }),
     "mm_audio_features" -> ((s, d) => Multimodal.audioFeatures(s, d).toDF().orderBy("media_id")),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
     "mm_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, d)),
@@ -1488,9 +1495,11 @@ object SparkEntry {
          |ORDER BY v.dist, v.cand_id
          |LIMIT 10""".stripMargin,
     // A22 (r14): the policy serving replay — routing, medoid seeding,
-    // the walk, and the merge filter replayed in SQL; the partition
-    // graph's edge set (the dispatch-dependent, hash-derived part) and
-    // the measured ef come from the sidecar pair, B43's convention.
+    // the walk, and the merge filter replayed in SQL; the sidecar pair
+    // carries the FINAL undirected edge set of the routed serving
+    // graph (exact-kNN edges at the oracle SFs, descent+nav above the
+    // ceiling) plus the measured ef, walked verbatim with no
+    // symmetrize/cap replay — B43's convention.
     "rbac_partition_graph_policy_topk" ->
       s"""WITH $urAll, $ur1, $perm, $acc, $costLayout,
          |user_pid AS (

@@ -70,8 +70,12 @@ class SidecarPathSpec extends AnyFunSuite {
         s"oracle reads an unregistered sidecar file: $l")
     }
     assert(refs.nonEmpty, "expected sidecar-replayed oracles to exist")
-    // every registered sidecar is actually consumed by some oracle
-    Sidecars.Known.foreach { n =>
+    // every registered sidecar is actually consumed — by some oracle,
+    // or (the r15 mm payload dumps) by the parity tool's independent
+    // decoders, declared in ToolRead
+    assert(Sidecars.ToolRead.subsetOf(Sidecars.Known),
+      "ToolRead names an unregistered sidecar")
+    (Sidecars.Known -- Sidecars.ToolRead).foreach { n =>
       assert(refs.exists(_.contains(s"/$n/")), s"sidecar $n written but never read")
     }
     // ...while THIS test JVM (which executes every query fn at
