@@ -585,7 +585,18 @@ object Bench {
             if (kept._2 > 0 && worst / kept._2 > 1.5)
               serialUnstable.put(name, math.rint(worst / kept._2 * 100) / 100)
           }
-          kept
+          // fence on the FIRST (awaited) attempt's pre-load (r15): the
+          // second back-to-back run STARTS inside the first's own
+          // 32-thread burst by design (that is what makes it the
+          // steady-state sample), so its 1-min load reads SELF-load,
+          // not ambient — the r10 rule. Fencing on it quarantined
+          // every ≥15 s key whose warm second run was the faster one
+          // (observed at the 100× dirs: substring/embedding_auto/
+          // centrality suspect on an idle host while sub-second
+          // siblings passed). Ambient arriving MID-pair inflates the
+          // second run's time, min-of-2 then keeps the first — which
+          // base's awaited pre-load stamp covers.
+          (kept._1, kept._2, base._3, kept._4)
         } else base
       }
     // The serial phase starts the moment the pool drains, while the
