@@ -12,6 +12,39 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def jsonEscape(s: String): String = JsonOut.escape(s)
 
+  /** Locale-fixed fixed-point render (ADVICE r10: the f interpolator
+    * formats in the default locale — a comma decimal separator
+    * corrupts the JSON).
+    */
+  private[graft] def fmt(d: Double, places: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
+
+  /** Known-law attributions for scaled-dir superlinear ratios (r16,
+    * VERDICT r15 #4): a ratio with a stamped mechanical cause must
+    * carry it IN the artifact — r14/r15 re-discovered
+    * dedup_embedding_auto's 10× flag every round because the
+    * attribution lived only in CALIBRATION prose. The C11 dispatcher's
+    * exact branch scales with the C5 candidate-pair law
+    * (`c5_candidate_estimate`, stamped alongside in the same artifact:
+    * 4·10⁶→4·10⁸ candidate pairs for 10× data), so its time ratio is
+    * the candidate law, not a plan regression.
+    */
+  private[graft] val SuperlinearAttribution: Map[String, String] = Map(
+    "dedup_embedding_auto" -> "c5_candidate_law",
+    "dedup_embedding" -> "c5_candidate_law")
+
+  /** Render the superlinear map: each entry is {"ratio": R} plus an
+    * "attributed" tag when a stamped law exists, so a reader of
+    * BENCH_rN.json alone can tell a known-by-law ratio from a fresh
+    * anomaly (an entry WITHOUT "attributed" is the alarm).
+    */
+  private[graft] def superlinearJson(sup: Seq[(String, Double)]): String =
+    sup.map { case (k, r) =>
+      val attr = SuperlinearAttribution.get(k)
+        .map(a => s""","attributed":"$a"""").getOrElse("")
+      "\"" + k + "\":{\"ratio\":" + fmt(r, 2) + attr + "}"
+    }.mkString("{", ",", "}")
+
   /** Host-load ceiling for a serial re-time to count as clean: a
     * quarter of the worker threads (the round-8 lesson: serial rows
     * taken at load 7-18 on a 32-cpu host shipped numbers up to 43×
@@ -75,15 +108,23 @@ object Bench {
   /** Render the scale-comparison JSON fragments for this run's
     * artifact: for every ScaledDirs row whose BASE dir is the current
     * run, read the scaled dir's bench sidecar (written by a prior
-    * Bench run there) and emit per-key serial ratios. Empty string
+    * Bench run there) and emit per-key serial ratios. Empty strings
     * when no sidecar applies or on any parse problem — the scale
     * blocks are additive, never a reason to fail the bench.
+    *
+    * Returns (full, compact): the FULL blocks (per-key superlinear
+    * detail + the scaled run's own pool verdict + fingerprint flag)
+    * ride only in the fullLine/sidecar; the COMPACT blocks
+    * (wall/median/p90/n_superlinear/suspect) ride in the tail-visible
+    * line. r15 embedded the full blocks in both and the compact line
+    * outgrew the driver's ~2000-char tail capture — the round shipped
+    * with `parsed: null` (VERDICT r15 #1).
     */
   private def scaleSidecarJson(spark: SparkSession, sfDir: String,
-                               curClean: Map[String, Double]): String = {
-    if (curClean.isEmpty) return ""
+                               curClean: Map[String, Double]): (String, String) = {
+    if (curClean.isEmpty) return ("", "")
     val curName = new java.io.File(sfDir).getName
-    ScaledDirs.flatMap { case (scaled, base, factor, key) =>
+    val frags = ScaledDirs.flatMap { case (scaled, base, factor, key) =>
       val side = new java.io.File(s"bench_full_$scaled.json")
       if (curName != base || !side.exists()) None
       else try {
@@ -123,19 +164,27 @@ object Bench {
             // recorded fact, not a silent ratio shift
             val liveFp = dataFingerprint(meta.getString(2))
             val changed = liveFp != meta.getString(1)
-            // Locale.ROOT (ADVICE r10): the f interpolator formats in the
-            // default locale — a comma decimal separator corrupts the JSON
-            def r2(d: Double) =
-              String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-            def r3(d: Double) =
-              String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-            val supJson = sup.map { case (k, r) => "\"" + k + "\":" + r2(r) }
-              .mkString("{", ",", "}")
-            Some(s""","$key":{"sf2":"${jsonEscape(meta.getString(2))}","sf2_fingerprint":"${jsonEscape(meta.getString(1))}","sf2_data_changed":$changed,"sf2_wall":${meta.getDouble(0)}$verdictJson,"factor":$factor,"n_common":$n,"serial_ratio_median":${r3(med)},"serial_ratio_p90":${r3(p90)},"superlinear":$supJson}""")
+            val supJson = superlinearJson(sup)
+            val full = s""","$key":{"sf2":"${jsonEscape(meta.getString(2))}","sf2_fingerprint":"${jsonEscape(meta.getString(1))}","sf2_data_changed":$changed,"sf2_wall":${meta.getDouble(0)}$verdictJson,"factor":$factor,"n_common":$n,"serial_ratio_median":${fmt(med, 3)},"serial_ratio_p90":${fmt(p90, 3)},"superlinear":$supJson}"""
+            // compact block: summary only, guaranteed-small; "suspect"
+            // carries the scaled run's own pool verdict when the
+            // sidecar recorded one (pre-r15 sidecars: absent)
+            val suspectCompact =
+              if (!df.columns.contains("concurrent_suspect")) ""
+              else try {
+                df.select("concurrent_suspect").collect().head.get(0) match {
+                  case b: java.lang.Boolean => s""","suspect":$b"""
+                  case _ => ""
+                }
+              } catch { case _: Throwable => "" }
+            val changedCompact = if (changed) ""","data_changed":true""" else ""
+            val compact = s""","$key":{"wall":${fmt(meta.getDouble(0), 1)},"n":$n,"med":${fmt(med, 2)},"p90":${fmt(p90, 2)},"n_sup":${sup.size}$suspectCompact$changedCompact}"""
+            Some((full, compact))
           }
         }
       } catch { case _: Throwable => None }
-    }.mkString
+    }
+    (frags.map(_._1).mkString, frags.map(_._2).mkString)
   }
 
   /** Digest of (name, size, mtime) over every file of the benched
@@ -552,6 +601,13 @@ object Bench {
     // exceeded the kept one by >1.5× — the rows the old single-shot
     // serial phase would have shipped as cross-round "regressions"
     val serialUnstable = scala.collection.concurrent.TrieMap.empty[String, Double]
+    // kept-second audit (r16, ADVICE r15): the fence reads the FIRST
+    // attempt's awaited pre-load, so a kept SECOND run's own window is
+    // invisible — ambient arriving mid-pair while the second run still
+    // beats a cache-recovery-inflated first run would ship under the
+    // first attempt's quiet stamp. Record the second attempt's
+    // pre-load for every kept-second row so those rows stay auditable.
+    val serialKeptSecondLoad = scala.collection.concurrent.TrieMap.empty[String, Double]
     def retime(names: Seq[String]): Seq[(String, Double, Double, Option[String])] =
       names.map { name =>
         awaitQuietSerial()
@@ -577,6 +633,7 @@ object Bench {
         if (base._4.isEmpty) {
           val second = retimeOnce(name)
           val kept = if (second._4.isEmpty && second._2 < base._2) second else base
+          if (kept eq second) serialKeptSecondLoad.put(name, second._3)
           // the instability audit compares CLEAN runs only (r13): a
           // second re-time that errored has a partial elapsed time —
           // a ratio derived from it would be meaningless
@@ -679,6 +736,13 @@ object Bench {
       val unstable = serialUnstable.toSeq.sortBy(-_._2)
         .map { case (n, r) => "\"" + n + "\":" + r }
         .mkString("{", ",", "}")
+      // the kept-second audit map (ADVICE r15): second-attempt pre-load
+      // for every row whose kept time came from the second run — a
+      // reader can fence-check those rows' own windows even though the
+      // shipped load stamp is the first attempt's awaited one
+      val keptSecond = serialKeptSecondLoad.toSeq.sortBy(_._1)
+        .map { case (n, l) => "\"" + n + "\":" + l }
+        .mkString("{", ",", "}")
       // retime_policy (r13, ADVICE r12): the steady-state fence ships
       // min-of-two per clean key since r12, which systematically
       // shifts serial numbers DOWN vs the single-shot rows of r11 and
@@ -690,7 +754,7 @@ object Bench {
       val carriedJson = if (carried.isEmpty) "" else
         s""","serial_carried_over":${carried.keys.toSeq.sorted
           .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-      s""","$serialKey":$ok,"serial_retime_policy":"min_of_2","serial_suspect":$sus,"serial_load_max":$loadMax,"serial_load_1m":$loads,"serial_cached_missing":$miss,"serial_retime_unstable":$unstable$carriedJson,"serial_errors":$serr"""
+      s""","$serialKey":$ok,"serial_retime_policy":"min_of_2","serial_suspect":$sus,"serial_load_max":$loadMax,"serial_load_1m":$loads,"serial_cached_missing":$miss,"serial_retime_unstable":$unstable,"serial_kept_second_load":$keptSecond$carriedJson,"serial_errors":$serr"""
     }.getOrElse("")
     val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -723,12 +787,15 @@ object Bench {
       s""","excluded_by_contract":${exactContractKeys.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     // round 10: when the 10×-dir sidecar exists, the artifact carries
-    // the second scale point + per-key ratios (empirical scale check)
-    val scaleJson = serialTimes.map { timed =>
+    // the second scale point + per-key ratios (empirical scale check).
+    // Full blocks → fullLine only; compact summaries → the tail line
+    // (r16, VERDICT r15 #1: both lines carried the full blocks and the
+    // tail line outgrew the driver's capture window)
+    val (scaleJson, scaleCompactJson) = serialTimes.map { timed =>
       val curClean = partitionByLoad(timed, loadMax)._1
         .map { case (n, t, _) => n -> t }.toMap
       scaleSidecarJson(spark, sfDir, curClean)
-    }.getOrElse("")
+    }.getOrElse(("", ""))
     // "total_full", not "total": exactly ONE stdout line may carry
     // metric=total or a consumer keying on it would double-count runs
     // ambient fields ride in the artifact so a wall delta is
@@ -737,7 +804,11 @@ object Bench {
     val ambientJson = ambient.map { case (m, p, s) =>
       s""","concurrent_ambient_mean":$m,"concurrent_ambient_peak":$p,"concurrent_self_cores_mean":$s,"concurrent_self_cpu_sec":$poolSelfCpuSec"""
     }.getOrElse("")
-    val fullLine = s"""{"metric":"total_full","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"concurrent_load_pre":$loadPre,"concurrent_load_mean":$poolLoadMean,"concurrent_load_peak":$poolLoadPeak$ambientJson,"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialJson$scaleJson$c5Json$exclJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}"}"""
+    // heap stamp (ADVICE r15): the same main launched via
+    // tools/run_graft.sh vs sbt could run at different -Xmx; GC/spill-
+    // sensitive numbers are only comparable at a recorded heap
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    val fullLine = s"""{"metric":"total_full","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"concurrent_load_pre":$loadPre,"concurrent_load_mean":$poolLoadMean,"concurrent_load_peak":$poolLoadPeak$ambientJson,"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}","heap_max_gb":${fmt(heapGb, 1)}$serialJson$scaleJson$c5Json$exclJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}"}"""
     // The harness that collects this output keeps only the LAST ~2000
     // characters of stdout; the full per-query line above is longer than
     // that, so a consumer parsing the tail never sees its start. Emit
@@ -771,7 +842,10 @@ object Bench {
     println(fullLine)
     def r3(d: Double): String = // Locale.ROOT: a comma decimal separator would break the JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val top = results.sortBy(-_._2).take(15)
+    // top-12, not 15 (r16): two 15-row maps of 32-char key names plus
+    // the compact scale blocks brushed the driver's capture window —
+    // the complete maps are in the sidecar/fullLine either way
+    val top = results.sortBy(-_._2).take(12)
       .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     // the serial numbers ride in the compact tail-visible line too —
     // when the concurrent wall hits a bad host window they are the
@@ -782,9 +856,9 @@ object Bench {
     val serialCompact = serialTimes.map { t =>
       val (clean, suspect) = partitionByLoad(t, loadMax)
       // full mode re-times everything — the tail line only fits the
-      // heaviest 15 CLEAN rows (the complete map is in the sidecar
+      // heaviest 12 CLEAN rows (the complete map is in the sidecar
       // file); suspect rows surface as a count, never as numbers
-      val shown = if (serialMode == "full") clean.sortBy(-_._2).take(15) else clean
+      val shown = if (serialMode == "full") clean.sortBy(-_._2).take(12) else clean
       val ok = shown.map { case (n, s, _) => "\"" + n + "\":" + r3(s) }
         .mkString("{", ",", "}")
       val bad = t.collect { case (n, _, _, Some(e)) =>
@@ -793,7 +867,10 @@ object Bench {
       s""","$serialKey":$ok,"n_serial_suspect":${suspect.size}""" +
         (if (bad == "{}") "" else s""","serial_errors":$bad""")
     }.getOrElse("")
-    println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":$top,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"load_avg_1m":${r3(loadAvg)},"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}"$serialCompact$scaleJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}","full":"${jsonEscape(sideName)}"}""")
+    // compact scale blocks only (r16, VERDICT r15 #1): the full blocks
+    // pushed this line past the driver's ~2000-char tail capture in
+    // r15 and the round's totals went unparsed
+    println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":$top,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"load_avg_1m":${r3(loadAvg)},"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}","heap_max_gb":${fmt(heapGb, 1)}$serialCompact$scaleCompactJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}","full":"${jsonEscape(sideName)}"}""")
     if (results.exists(_._3.isDefined)) System.err.println(
       s"BENCH ERRORS: ${results.count(_._3.isDefined)} queries failed")
     spark.stop()

@@ -59,6 +59,11 @@ object Sidecars {
     // any oracle SQL
     "media_payloads.parquet",
     "media_png.parquet",
+    // r16 — JPEG payload bytes (VERDICT r15 #7): the parity tool's
+    // from-spec SOF header parser checks mm_jpeg_features' NON-codec
+    // columns (geometry, byte length, rolling checksum) without
+    // crossing the declared imageio codec boundary for the pixel stats
+    "media_jpeg.parquet",
     "half_vecs.parquet")
 
   /** Sidecars consumed by the PARITY TOOL (tools/check_parity.py)
@@ -66,7 +71,8 @@ object Sidecars {
     * with independent parsers. Declared so SidecarPathSpec can keep
     * requiring every other registered sidecar to be read by an oracle.
     */
-  val ToolRead: Set[String] = Set("media_payloads.parquet", "media_png.parquet")
+  val ToolRead: Set[String] =
+    Set("media_payloads.parquet", "media_png.parquet", "media_jpeg.parquet")
 
   def root: String = sys.props.getOrElse("graft.sidecar.dir", DefaultRoot)
 

@@ -230,7 +230,11 @@ object SparkEntry {
       Multimodal.writeMediaSidecar(s, d)
       Multimodal.features(s, d).toDF().orderBy("media_id")
     }),
-    "mm_jpeg_features" -> ((s, d) => Multimodal.jpegFeatures(s, d).toDF().orderBy("media_id")),
+    "mm_jpeg_features" -> ((s, d) => {
+      // payload sidecar for the parity tool's independent header check
+      Multimodal.writeJpegSidecar(s, d)
+      Multimodal.jpegFeatures(s, d).toDF().orderBy("media_id")
+    }),
     "mm_png_features" -> ((s, d) => {
       Multimodal.writePngSidecar(s, d)
       Multimodal.pngFeatures(s, d).toDF().orderBy("media_id")

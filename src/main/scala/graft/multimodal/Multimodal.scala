@@ -330,6 +330,20 @@ object Multimodal {
           .parquet(graft.Sidecars.path("media_png.parquet"))
         true
       }
+  /** JPEG payload dump (r16, VERDICT r15 #7): the parity tool re-reads
+    * these bytes with a from-spec SOF marker-walk parser and checks
+    * mm_jpeg_features' non-codec columns (media_id, kind, n_bytes,
+    * checksum, width, height) row-for-row — the geometry lives in the
+    * JPEG HEADER, so the check needs no pixel decode and the imageio
+    * codec boundary (mean luma) stays where it is declared.
+    */
+  def writeJpegSidecar(spark: SparkSession, dir: String): Unit =
+    if (graft.Sidecars.active)
+      mediaSidecarWritten.getOrElseUpdate(spark, (dir, "jpeg")) {
+        jpegTable(spark, dir).toDF().coalesce(1).write.mode("overwrite")
+          .parquet(graft.Sidecars.path("media_jpeg.parquet"))
+        true
+      }
 
   /** F1: binary → typed feature extraction via mapPartitions (decoder
     * dispatch initialized once per partition; rows stream through in

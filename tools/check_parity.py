@@ -113,6 +113,44 @@ def _decode_png(p):
     return w, h, bytes(out)
 
 
+def _jpeg_dims(p):
+    # from-spec SOF scan (ITU T.81 Annex B, r16 / VERDICT r15 #7): walk
+    # marker segments from SOI and read height/width out of the first
+    # SOFn frame header. Header-only — no entropy/pixel decode, so the
+    # declared imageio codec boundary (mean luma) is not crossed.
+    assert p[0:2] == b"\xff\xd8", "not a JPEG (no SOI)"
+    i = 2
+    while i + 1 < len(p):
+        if p[i] != 0xFF:  # stray byte outside a segment
+            i += 1
+            continue
+        m = p[i + 1]
+        if m == 0xFF:  # fill byte
+            i += 1
+            continue
+        if m == 0x01 or 0xD0 <= m <= 0xD9:  # standalone markers
+            i += 2
+            continue
+        (ln,) = struct.unpack(">H", p[i + 2 : i + 4])
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):  # SOFn
+            h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+            return w, h
+        if m == 0xDA:  # SOS: entropy data follows; SOF must precede it
+            break
+        i += 2 + ln
+    raise AssertionError("no SOF marker before SOS")
+
+
+def _expected_jpeg_geometry(rows):
+    # everything in mm_jpeg_features EXCEPT the codec-decoded mean:
+    # byte length and rolling checksum come straight off the payload,
+    # width/height from the SOF header above
+    return [
+        (media_id, kind, len(p), _checksum(p), *_jpeg_dims(p))
+        for media_id, kind, p in rows
+    ]
+
+
 def _expected_binary_features(rows):
     exp = []
     for media_id, kind, p in rows:
@@ -219,25 +257,36 @@ def mm_independent_checks(out_dir):
     (subset Verify runs)."""
     media = _read_payloads("media_payloads.parquet")
     png = _read_payloads("media_png.parquet")
+    jpeg = _read_payloads("media_jpeg.parquet")
+    # (check name, engine output dir, expected rows, engine columns to
+    # EXCLUDE — the jpeg geometry check diffs every non-codec column and
+    # leaves mean_intensity at the declared imageio boundary)
     checks = []
     if media is not None:
         checks += [
-            ("mm_binary_features", _expected_binary_features(media)),
-            ("mm_audio_features", _expected_audio_features(media)),
-            ("mm_frame_sample", _expected_frame_sample(media)),
-            ("mm_resize_plan", _expected_resize_plan(media)),
+            ("mm_binary_features", "mm_binary_features",
+             _expected_binary_features(media), set()),
+            ("mm_audio_features", "mm_audio_features",
+             _expected_audio_features(media), set()),
+            ("mm_frame_sample", "mm_frame_sample",
+             _expected_frame_sample(media), set()),
+            ("mm_resize_plan", "mm_resize_plan",
+             _expected_resize_plan(media), set()),
         ]
     if png is not None:
-        checks.append(("mm_png_features", _expected_png_features(png)))
+        checks.append(("mm_png_features", "mm_png_features",
+                       _expected_png_features(png), set()))
+    if jpeg is not None:
+        checks.append(("mm_jpeg_features_geometry", "mm_jpeg_features",
+                       _expected_jpeg_geometry(jpeg), {"mean_intensity"}))
     n_pass = n_fail = 0
-    for name, exp_rows in checks:
-        pdir = out_dir / name
+    for name, out_key, exp_rows, drop_cols in checks:
+        pdir = out_dir / out_key
         if not pdir.exists():
             continue
         tbl = pq.read_table(pdir)
-        got = canon(
-            zip(*[tbl.column(c).to_pylist() for c in tbl.column_names])
-        )
+        cols = [c for c in tbl.column_names if c not in drop_cols]
+        got = canon(zip(*[tbl.column(c).to_pylist() for c in cols]))
         exp = canon(exp_rows)
         if got == exp:
             print(f"PASS mm_independent:{name} ({len(got)} rows)")
