@@ -103,7 +103,15 @@ object Bench {
     // indexes exist for. Promoted from CALIBRATION-only into the bench
     // rotation so serving-family ratios get a law-matched point, with
     // the isotropic sf10x block kept as the adversarial control.
-    ("sf10xm", "sf0.1", 100.0, "scale100m"))
+    ("sf10xm", "sf0.1", 100.0, "scale100m"),
+    // RELATIONAL-scaled dirs (r16, closing the "relational tables are
+    // pass-through copies" caveat): ScaleGen mode "rel" key-shifts the
+    // fact tables ×10/×100 with embeddings/documents passed through —
+    // the E family's scale exponents get measured instead of caveated,
+    // and its pure-SQL oracles give a cheap DuckDB parity surface at
+    // 100×. Blocks emit only once a sidecar exists at the dir.
+    ("sf1xr", "sf0.1", 10.0, "scale_rel"),
+    ("sf10xr", "sf0.1", 100.0, "scale100_rel"))
 
   /** Render the scale-comparison JSON fragments for this run's
     * artifact: for every ScaledDirs row whose BASE dir is the current
@@ -842,10 +850,13 @@ object Bench {
     println(fullLine)
     def r3(d: Double): String = // Locale.ROOT: a comma decimal separator would break the JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    // top-12, not 15 (r16): two 15-row maps of 32-char key names plus
-    // the compact scale blocks brushed the driver's capture window —
-    // the complete maps are in the sidecar/fullLine either way
-    val top = results.sortBy(-_._2).take(12)
+    // top-8, not 15 (r16): two big maps of 32-char key names plus the
+    // compact scale blocks (5 dirs since the relational pair landed)
+    // brushed the driver's capture window — the complete maps are in
+    // the sidecar/fullLine either way, and of the two maps the SERIAL
+    // one is the comparable signal, so it keeps more rows (10) than
+    // the pool-amortized queries map (8)
+    val top = results.sortBy(-_._2).take(8)
       .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     // the serial numbers ride in the compact tail-visible line too —
     // when the concurrent wall hits a bad host window they are the
@@ -856,9 +867,9 @@ object Bench {
     val serialCompact = serialTimes.map { t =>
       val (clean, suspect) = partitionByLoad(t, loadMax)
       // full mode re-times everything — the tail line only fits the
-      // heaviest 12 CLEAN rows (the complete map is in the sidecar
+      // heaviest 10 CLEAN rows (the complete map is in the sidecar
       // file); suspect rows surface as a count, never as numbers
-      val shown = if (serialMode == "full") clean.sortBy(-_._2).take(12) else clean
+      val shown = if (serialMode == "full") clean.sortBy(-_._2).take(10) else clean
       val ok = shown.map { case (n, s, _) => "\"" + n + "\":" + r3(s) }
         .mkString("{", ",", "}")
       val bad = t.collect { case (n, _, _, Some(e)) =>

@@ -29,6 +29,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     its keys still RUN at the scaled dir, but their times carry no
   *     scale-exponent claim; CALIBRATION.md says so).
   *
+  * Mode "rel" (r16) closes that caveat from the other side: it scales
+  * the RELATIONAL tables (customer/orders/lineitem/part/supplier/
+  * events) by key-shifted copies — copy c's keys are the source key
+  * domain shifted by c·(max(key)+1), so copies are disjoint and every
+  * FK edge (lineitem→orders/part/supplier, orders→customer) stays
+  * inside its own copy — and passes embeddings/documents through
+  * verbatim. The scaling law is TPC-H's own: fixed dimensions
+  * (region/nation), fact tables ×factor, per-copy value distributions
+  * identical, so constant-cardinality groups (q1's returnflag×
+  * linestatus) grow ×factor in rows-per-group while key-cardinality
+  * groups grow ×factor in group count. A "rel" dir gives the E family
+  * measured scale exponents AND a cheap DuckDB value-parity surface
+  * (pure-SQL oracles, no sidecar replay) at 10×/100×.
+  *
   * NO DuckDB oracle runs at this scale (the oracle-cost bound is
   * documented in SURVEY §7) — correctness is pinned at sf0.001/0.01/0.1;
   * this dataset exists only for Bench and ScaleStats.
@@ -186,6 +200,54 @@ object ScaleGen {
           .otherwise(col("n_chars") + length(col("suffix"))).as("n_chars"))
   }
 
+  /** Key-shifted ×factor copies of the relational/events tables (mode
+    * "rel"). Pure column arithmetic — no UDF, fully codegen'd — and
+    * deterministic (copy 0 is the source verbatim: every shift is
+    * `copy · stride + key` with copy = 0). Strides come from the PK
+    * table's own max key so FK columns shift by the SAME stride as the
+    * key domain they reference and every copy is join-closed.
+    */
+  def scaleRelational(spark: SparkSession, srcDir: String,
+                      factor: Int): Seq[(String, DataFrame)] = {
+    import org.apache.spark.sql.functions.max
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key)).cast("long")).head.getLong(0) + 1
+    // events is read RAW (not Tables.events): the ts column passes
+    // through in the file's own logical type (NTZ / legacy nanos), so
+    // the scaled file is type-identical to the source and the oracle's
+    // existing ts handling applies unchanged at the scaled dir
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val customer = Tables.customer(spark, srcDir)
+    val orders   = Tables.orders(spark, srcDir)
+    val lineitem = Tables.lineitem(spark, srcDir)
+    val part     = Tables.part(spark, srcDir)
+    val supplier = Tables.supplier(spark, srcDir)
+    val events   = Tables.table(spark, srcDir, "events")
+    val ck = stride(customer, "c_custkey")
+    val ok = stride(orders, "o_orderkey")
+    val pk = stride(part, "p_partkey")
+    val sk = stride(supplier, "s_suppkey")
+    val ek = stride(events, "event_id")
+    val uk = stride(events, "user_id")
+    def shifted(src: DataFrame, shifts: Map[String, Long]): DataFrame = {
+      val copies = spark.range(factor.toLong).toDF("copy")
+      src.crossJoin(broadcast(copies)).select(src.columns.map { c =>
+        shifts.get(c) match {
+          case Some(s) => (col("copy") * s + col(c)).as(c)
+          case None    => col(c)
+        }
+      }: _*)
+    }
+    Seq(
+      "customer" -> shifted(customer, Map("c_custkey" -> ck)),
+      "orders"   -> shifted(orders, Map("o_orderkey" -> ok, "o_custkey" -> ck)),
+      "lineitem" -> shifted(lineitem,
+        Map("l_orderkey" -> ok, "l_partkey" -> pk, "l_suppkey" -> sk)),
+      "part"     -> shifted(part, Map("p_partkey" -> pk)),
+      "supplier" -> shifted(supplier, Map("s_suppkey" -> sk)),
+      "events"   -> shifted(events, Map("event_id" -> ek, "user_id" -> uk)))
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
     val outDir = args(1)
@@ -207,22 +269,32 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    (if (mode == "manifold") scaleEmbeddingsManifold(spark, srcDir, factor)
-     else scaleEmbeddings(spark, srcDir, factor)).coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    scaleDocuments(spark, srcDir, factor).coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    val passthrough = Seq("region", "nation", "customer", "supplier",
-      "part", "orders", "lineitem", "events")
+    val passthrough =
+      if (mode == "rel") {
+        scaleRelational(spark, srcDir, factor).foreach { case (t, df) =>
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+        }
+        Seq("region", "nation", "documents", "embeddings")
+      } else {
+        (if (mode == "manifold") scaleEmbeddingsManifold(spark, srcDir, factor)
+         else scaleEmbeddings(spark, srcDir, factor)).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+        scaleDocuments(spark, srcDir, factor).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+        Seq("region", "nation", "customer", "supplier",
+          "part", "orders", "lineitem", "events")
+      }
     passthrough.foreach { t =>
       val dst = java.nio.file.Paths.get(outDir, s"$t.parquet")
       if (!java.nio.file.Files.exists(dst))
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(srcDir, s"$t.parquet"), dst)
     }
-    println(s"""{"scaled":"$outDir","factor":$factor,"embeddings":${
-      spark.read.parquet(s"$outDir/embeddings.parquet").count()},"documents":${
-      spark.read.parquet(s"$outDir/documents.parquet").count()}}""")
+    val stampTables =
+      if (mode == "rel") Seq("lineitem", "events") else Seq("embeddings", "documents")
+    println(s"""{"scaled":"$outDir","factor":$factor,"mode":"$mode",${
+      stampTables.map(t => s""""$t":${
+        spark.read.parquet(s"$outDir/$t.parquet").count()}""").mkString(",")}}""")
     spark.stop()
   }
 }

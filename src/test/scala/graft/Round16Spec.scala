@@ -33,7 +33,7 @@ class Round16Spec extends AnyFunSuite {
     } finally java.util.Locale.setDefault(prev)
   }
 
-  test("compact tail line budget: 12-row maps + compact scale blocks fit a 2000-char capture") {
+  test("compact tail line budget: top-8/top-10 maps + five compact scale blocks fit a 2000-char capture") {
     // the r15 regression, re-modeled: worst-case key names (40 chars)
     // at the r15 value widths, two 12-row maps, three compact scale
     // blocks, plus the fixed fields — must fit the driver's ~2000-char
@@ -41,9 +41,73 @@ class Round16Spec extends AnyFunSuite {
     // string: it fails if someone grows the compact line's shape past
     // the capture window again.
     val longKey = "x" * 40
-    val map12 = (1 to 12).map(i => s""""$longKey$i":123.456""").mkString("{", ",", "}")
-    val block = s""","scaleZZZ":{"wall":1234.5,"n":169,"med":1.39,"p90":2.37,"n_sup":1,"suspect":false,"data_changed":true}"""
-    val line = s"""{"metric":"total","value":120.183,"unit":"sec","queries":$map12,"n_queries":172,"n_errors":0,"load_avg_1m":3.690,"concurrent_suspect":false,"pool":8,"cpus":"32","heap_max_gb":48.0,"serial_full":$map12,"n_serial_suspect":0${block * 3},"data_fingerprint":"a0fefbd38515f0a8","sf":"/root/testdata/sf0.1","full":"bench_full_sf0.1.json"}"""
+    val map8 = (1 to 8).map(i => s""""$longKey$i":123.456""").mkString("{", ",", "}")
+    val map10 = (1 to 10).map(i => s""""$longKey$i":123.456""").mkString("{", ",", "}")
+    val block = s""","scale100_rel":{"wall":1234.5,"n":169,"med":1.39,"p90":2.37,"n_sup":1,"suspect":false,"data_changed":true}"""
+    // ×5 blocks since r16: sf1x/sf10x/sf10xm + the two relational dirs
+    val line = s"""{"metric":"total","value":120.183,"unit":"sec","queries":$map8,"n_queries":172,"n_errors":0,"load_avg_1m":3.690,"concurrent_suspect":false,"pool":8,"cpus":"32","heap_max_gb":48.0,"serial_full":$map10,"n_serial_suspect":0${block * 5},"data_fingerprint":"a0fefbd38515f0a8","sf":"/root/testdata/sf0.1","full":"bench_full_sf0.1.json"}"""
     assert(line.length < 1900, s"compact line budget blown: ${line.length} chars")
+  }
+
+  test("ScaleGen rel: counts scale, copies are key-disjoint, copy 0 is the source verbatim") {
+    val spark = SparkTest.spark
+    import org.apache.spark.sql.functions._
+    val factor = 3
+    val scaled = ScaleGen.scaleRelational(spark, SparkTest.sf, factor).toMap
+    for ((t, df) <- scaled) {
+      val srcN = Tables.table(spark, SparkTest.sf, t).count()
+      assert(df.count() == factor * srcN, s"$t count != ${factor}x source")
+    }
+    // key disjointness: per-copy key images don't overlap — factor x
+    // source distinct keys stay distinct after the shift
+    val srcOrders = Tables.orders(spark, SparkTest.sf)
+    assert(scaled("orders").select("o_orderkey").distinct.count() ==
+      factor * srcOrders.select("o_orderkey").distinct.count())
+    // copy 0 verbatim: the source rows are a strict subset (shift = 0)
+    val maxOk = srcOrders.agg(max("o_orderkey")).head.getLong(0)
+    assert(scaled("orders").filter(col("o_orderkey") <= maxOk)
+      .exceptAll(srcOrders).isEmpty, "copy 0 of orders is not the source")
+  }
+
+  test("ScaleGen rel: every FK edge stays join-closed inside its copy") {
+    val spark = SparkTest.spark
+    val factor = 3
+    val scaled = ScaleGen.scaleRelational(spark, SparkTest.sf, factor).toMap
+    def orphans(fact: String, fk: String, dim: String, k: String): Long =
+      scaled(fact).join(scaled(dim),
+        scaled(fact)(fk) === scaled(dim)(k), "left_anti").count()
+    assert(orphans("lineitem", "l_orderkey", "orders", "o_orderkey") == 0)
+    assert(orphans("lineitem", "l_partkey", "part", "p_partkey") == 0)
+    assert(orphans("lineitem", "l_suppkey", "supplier", "s_suppkey") == 0)
+    assert(orphans("orders", "o_custkey", "customer", "c_custkey") == 0)
+    // and the join CARDINALITY scales exactly x factor: shifted FKs
+    // land in exactly one copy's dimension image, never several
+    val srcL = Tables.lineitem(spark, SparkTest.sf)
+    val srcO = Tables.orders(spark, SparkTest.sf)
+    val src = srcL.join(srcO, srcL("l_orderkey") === srcO("o_orderkey")).count()
+    val big = scaled("lineitem").join(scaled("orders"),
+      scaled("lineitem")("l_orderkey") === scaled("orders")("o_orderkey")).count()
+    assert(big == factor * src, s"join cardinality $big != $factor x $src")
+  }
+
+  test("ScaleGen rel: constant-cardinality aggregates scale exactly x factor") {
+    val spark = SparkTest.spark
+    import org.apache.spark.sql.functions._
+    val factor = 3
+    val scaled = ScaleGen.scaleRelational(spark, SparkTest.sf, factor).toMap
+    val srcQ1 = Tables.lineitem(spark, SparkTest.sf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val bigQ1 = scaled("lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(bigQ1.keySet == srcQ1.keySet, "group set changed under scaling")
+    for ((g, (q, n)) <- srcQ1) {
+      assert(bigQ1(g)._2 == factor * n, s"$g row count not x$factor")
+      assert(math.abs(bigQ1(g)._1 - factor * q) < 1e-6 * math.abs(factor * q),
+        s"$g sum(l_quantity) not x$factor")
+    }
   }
 }
