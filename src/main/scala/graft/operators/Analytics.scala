@@ -592,16 +592,23 @@ object Analytics {
       .select("l_orderkey", "l_suppkey", "l_shipdate")
     val fOrders = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "F").select("o_orderkey")
-    val others = li.select(col("l_orderkey").as("r_orderkey"),
-      col("l_suppkey").as("r_suppkey"), col("l_shipdate").as("r_shipdate"))
+    // EXISTS / NOT-EXISTS over OTHER suppliers in the same order,
+    // without self-joins: an order holds a BOUNDED number of lineitems
+    // (TPC-H law: ≤7, scale-invariant), so the order's full
+    // (shipdate, suppkey) set fits a per-row array built by ONE
+    // window over the semi-join's existing l_orderkey partitioning —
+    // the two 60M-row `others` shuffles of the r6 plan (semi + anti,
+    // measured 42.8 s serial at the 100× dir) collapse into a sort on
+    // already-shuffled data. Row semantics identical: a row survives
+    // iff some other supplier exists in the order (EXISTS) and none of
+    // them shipped strictly later than THIS row (NOT EXISTS).
+    val w = Window.partitionBy("l_orderkey")
     li.join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      // EXISTS: some other supplier in the same order
-      .join(others, col("l_orderkey") === col("r_orderkey")
-        && col("l_suppkey") =!= col("r_suppkey"), "left_semi")
-      // NOT EXISTS: no other supplier shipped later
-      .join(others, col("l_orderkey") === col("r_orderkey")
-        && col("l_suppkey") =!= col("r_suppkey")
-        && col("r_shipdate") > col("l_shipdate"), "left_anti")
+      .withColumn("supps", collect_list(
+        struct(col("l_shipdate").as("d"), col("l_suppkey").as("s"))).over(w))
+      .withColumn("others", expr("filter(supps, x -> x.s != l_suppkey)"))
+      .filter(size(col("others")) > 0 &&
+        size(expr("filter(others, x -> x.d > l_shipdate)")) === 0)
       .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")

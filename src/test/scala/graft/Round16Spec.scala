@@ -90,6 +90,18 @@ class Round16Spec extends AnyFunSuite {
     assert(big == factor * src, s"join cardinality $big != $factor x $src")
   }
 
+  test("q21 plans ONE lineitem scan (window over bounded order groups, no self-joins)") {
+    // the r6 plan shipped two extra 60M-row `others` shuffles (semi +
+    // anti self-joins); the r16 window rewrite must keep them gone —
+    // measured 42.8 s -> 14.2 s serial at the 100x relational dir
+    val spark = SparkTest.spark
+    val df = graft.operators.Analytics.q21WaitingSuppliers(spark, SparkTest.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val liScans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(liScans == 1, s"expected exactly 1 lineitem scan, saw $liScans:\n$plan")
+    assert(plan.contains("Window"), "expected the per-order window formulation")
+  }
+
   test("ScaleGen rel: constant-cardinality aggregates scale exactly x factor") {
     val spark = SparkTest.spark
     import org.apache.spark.sql.functions._
