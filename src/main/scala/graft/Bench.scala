@@ -88,30 +88,52 @@ object Bench {
     (ratios.size, pct(0.5), pct(0.9), ratios.filter(_._2 > factor))
   }
 
+  /** Relational-family key classifier: the TPC-H flavors (q1..q22,
+    * q_*) and the events family — exactly the tables ScaleGen mode
+    * "rel" scales. qdtree_* reads embeddings and is NOT relational.
+    * Used to scope each scale block's ratio stats to the family its
+    * dir actually scales (see ScaledDirs).
+    */
+  private[graft] def relationalKey(name: String): Boolean =
+    (name.startsWith("q") && !name.startsWith("qdtree")) ||
+      name.startsWith("events_")
+
   /** The ScaleGen comparison ladder: scaled-dir name → (the base dir
     * the factor is RELATIVE to, the factor, the JSON key the block is
-    * emitted under). Name and factor are bound in ONE row (ADVICE r10:
-    * deriving them independently let a run at any other SF compare
-    * against the wrong baseline/factor), and a block is emitted ONLY
-    * when the current run IS the base dir of that row.
+    * emitted under, the scaled FAMILY). Name and factor are bound in
+    * ONE row (ADVICE r10: deriving them independently let a run at any
+    * other SF compare against the wrong baseline/factor), and a block
+    * is emitted ONLY when the current run IS the base dir of that row.
+    *
+    * The family tag (r16): each ScaleGen mode scales SOME tables and
+    * passes the rest through verbatim — iso/manifold scale
+    * embeddings+documents, "rel" scales the relational/events fact
+    * tables. A key whose tables did NOT scale at a dir runs at 1× data
+    * there, and its ≈1.0 "ratio" both drags the block's median below
+    * the family's true exponent and reads as spectacular
+    * sub-linearity. Ratio stats therefore include only keys whose
+    * family the dir scales: relational keys at the *r dirs, everything
+    * else at the iso/manifold dirs. (Before the *r dirs existed this
+    * was a documented caveat on the sf1x block's n=169; now each
+    * family has a dir where its exponent is real.)
     */
-  private val ScaledDirs: Seq[(String, String, Double, String)] = Seq(
-    ("sf1x", "sf0.1", 10.0, "scale"),
-    ("sf10x", "sf0.1", 100.0, "scale100"),
+  private val ScaledDirs: Seq[(String, String, Double, String, Boolean)] = Seq(
+    ("sf1x", "sf0.1", 10.0, "scale", false),
+    ("sf10x", "sf0.1", 100.0, "scale100", false),
     // the MANIFOLD 100× dir (r14, VERDICT r13 #6): same row count as
     // sf10x but low intrinsic dimension — the data regime graph
     // indexes exist for. Promoted from CALIBRATION-only into the bench
     // rotation so serving-family ratios get a law-matched point, with
     // the isotropic sf10x block kept as the adversarial control.
-    ("sf10xm", "sf0.1", 100.0, "scale100m"),
+    ("sf10xm", "sf0.1", 100.0, "scale100m", false),
     // RELATIONAL-scaled dirs (r16, closing the "relational tables are
     // pass-through copies" caveat): ScaleGen mode "rel" key-shifts the
     // fact tables ×10/×100 with embeddings/documents passed through —
     // the E family's scale exponents get measured instead of caveated,
     // and its pure-SQL oracles give a cheap DuckDB parity surface at
     // 100×. Blocks emit only once a sidecar exists at the dir.
-    ("sf1xr", "sf0.1", 10.0, "scale_rel"),
-    ("sf10xr", "sf0.1", 100.0, "scale100_rel"))
+    ("sf1xr", "sf0.1", 10.0, "scale_rel", true),
+    ("sf10xr", "sf0.1", 100.0, "scale100_rel", true))
 
   /** Render the scale-comparison JSON fragments for this run's
     * artifact: for every ScaledDirs row whose BASE dir is the current
@@ -132,7 +154,7 @@ object Bench {
                                curClean: Map[String, Double]): (String, String) = {
     if (curClean.isEmpty) return ("", "")
     val curName = new java.io.File(sfDir).getName
-    val frags = ScaledDirs.flatMap { case (scaled, base, factor, key) =>
+    val frags = ScaledDirs.flatMap { case (scaled, base, factor, key, rel) =>
       val side = new java.io.File(s"bench_full_$scaled.json")
       if (curName != base || !side.exists()) None
       else try {
@@ -143,7 +165,7 @@ object Bench {
           val srow = df.select("serial_full.*").collect().head
           val other = srow.schema.fieldNames.zipWithIndex.flatMap { case (c, i) =>
             srow.get(i) match { case n: Number => Some(c -> n.doubleValue); case _ => None }
-          }.toMap
+          }.toMap.filter { case (k, _) => relationalKey(k) == rel }
           val (n, med, p90, sup) = scaleRatios(curClean, other, factor)
           if (n == 0) None
           else {
@@ -166,6 +188,28 @@ object Bench {
               "concurrent_load_peak", "concurrent_ambient_mean",
               "concurrent_self_cores_mean", "concurrent_suspect")
               .map(optNum).mkString
+            // merge-refresh transparency (r16): a subset run with
+            // SPARK_GRAFT_MERGE_SIDECAR=1 rewrites the sidecar header
+            // (wall/verdict = the SUBSET run's) while the serial map
+            // carries the prior rows — without the carried count a
+            // cross-round reader sees the dir's wall "collapse"
+            // (222.8 s → 1.3 s after a one-key refresh). n_carried
+            // out of n_serial says which kind of run the header is.
+            val carriedJson0 =
+              if (!df.columns.contains("serial_carried_over")) ""
+              else try {
+                // serial_carried_over is an ARRAY of key names
+                val nCarried = df.select(
+                  org.apache.spark.sql.functions.size(
+                    org.apache.spark.sql.functions.col("serial_carried_over")))
+                  .collect().head.getInt(0)
+                s""","sf2_n_carried":${math.max(nCarried, 0)},"sf2_n_serial":${srow.schema.size}"""
+              } catch { case _: Throwable =>
+                // the column EXISTS but can't be sized — Spark infers an
+                // EMPTY json array as array<null>/void and size() fails;
+                // an empty carried list IS zero carried rows
+                s""","sf2_n_carried":0,"sf2_n_serial":${srow.schema.size}"""
+              }
             // fingerprint drift flag: the sidecar's serial map is only
             // comparable while the scaled dir still holds the data it
             // was timed on — a regeneration between rounds must be a
@@ -173,7 +217,7 @@ object Bench {
             val liveFp = dataFingerprint(meta.getString(2))
             val changed = liveFp != meta.getString(1)
             val supJson = superlinearJson(sup)
-            val full = s""","$key":{"sf2":"${jsonEscape(meta.getString(2))}","sf2_fingerprint":"${jsonEscape(meta.getString(1))}","sf2_data_changed":$changed,"sf2_wall":${meta.getDouble(0)}$verdictJson,"factor":$factor,"n_common":$n,"serial_ratio_median":${fmt(med, 3)},"serial_ratio_p90":${fmt(p90, 3)},"superlinear":$supJson}"""
+            val full = s""","$key":{"sf2":"${jsonEscape(meta.getString(2))}","sf2_fingerprint":"${jsonEscape(meta.getString(1))}","sf2_data_changed":$changed,"sf2_wall":${meta.getDouble(0)}$carriedJson0$verdictJson,"factor":$factor,"n_common":$n,"serial_ratio_median":${fmt(med, 3)},"serial_ratio_p90":${fmt(p90, 3)},"superlinear":$supJson}"""
             // compact block: summary only, guaranteed-small; "suspect"
             // carries the scaled run's own pool verdict when the
             // sidecar recorded one (pre-r15 sidecars: absent)

@@ -90,6 +90,17 @@ class Round16Spec extends AnyFunSuite {
     assert(big == factor * src, s"join cardinality $big != $factor x $src")
   }
 
+  test("relationalKey partitions the query surface exactly as the rel-dir rotation list") {
+    val rel = SparkEntry.queries.keys.filter(Bench.relationalKey).toSet
+    // the 45 keys benched at sf1xr/sf10xr: 22 TPC-H flavors + 5 q_* +
+    // 18 events keys; qdtree_* reads embeddings and must be excluded
+    assert(rel.size == 45, s"expected 45 relational keys, got ${rel.size}: $rel")
+    assert(rel.forall(k => k.startsWith("q") || k.startsWith("events_")))
+    assert(!rel.exists(_.startsWith("qdtree")), "qdtree keys are embedding-family")
+    assert(rel.contains("q_revenue_incremental") && rel.contains("events_sessionize"))
+    assert(!rel.contains("dedup_exact") && !rel.contains("text_tokens"))
+  }
+
   test("q21 plans ONE lineitem scan (window over bounded order groups, no self-joins)") {
     // the r6 plan shipped two extra 60M-row `others` shuffles (semi +
     // anti self-joins); the r16 window rewrite must keep them gone —
