@@ -625,9 +625,13 @@ object Analytics {
       .select("c_custkey", "c_nationkey", "c_acctbal")
     val avgBal = cust.filter(col("c_acctbal") > 0)
       .agg(avg("c_acctbal").as("avg_bal"))
+    // distinct BEFORE the anti-join: existence is per-customer, so the
+    // probe side shrinks from |recent orders| rows (a 15M-row sort at
+    // the 100× dir) to ≤|customer| keys via a hash agg — the SMJ anti
+    // then sorts 1/10th the rows (measured 14.2 → 4.1 s serial there)
     val recent = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
-      .select("o_custkey")
+      .select("o_custkey").distinct()
     cust.crossJoin(broadcast(avgBal))
       .filter(col("c_acctbal") > col("avg_bal"))
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
