@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.{PlanCut, Tables}
 import graft.functions.vector._
-import graft.operators.TopKAgg.{topk_ids, topk_kth}
+import graft.operators.TopKAgg.{topk_ids, topk_kth, topk_kth_distinct}
 
 /** ANN / vector-search operators over `embeddings` (SURVEY.md §2.B).
   *
@@ -239,21 +239,32 @@ object Ann {
     */
   private def ringUpperBound(spark: SparkSession, m: DataFrame,
                              centroids: Array[Array[Float]], k: Int): DataFrame = {
-    def ringBound(proj: Column, tag: String): DataFrame = {
-      val rn = m.withColumn("p", proj).withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("cell").orderBy(col("p"), col("vec_id"))))
-      rn.select(col("vec_id").as("src"), col("embedding").as("ea"),
-          col("cell"), explode(sequence(col("rn") - k, col("rn") + k)).as("rn"))
-        .join(rn.select(col("vec_id").as("dst"), col("embedding").as("eb"),
-          col("cell"), col("rn")), Seq("cell", "rn"))
-        .filter(col("src") =!= col("dst"))
-        .groupBy("src")
-        .agg(topk_kth(l2_dist(col("ea"), col("eb")), col("dst"), k).as(tag))
+    // r16 (guide §2.4): the r10 formulation materialized each ring as a
+    // row_number window + a (cell, slot) SELF-JOIN, twice, then merged
+    // the two kth bounds with a full-outer join — 4 window sorts of the
+    // member frame, 2 joins, 2 aggregates, 1 merge join (~6 Exchanges).
+    // lead/lag over the SAME cell partitioning reads the ±k ring
+    // neighbors straight out of the window frame: one Exchange, two
+    // in-partition sorts (one per projection), zero joins, and the
+    // kernel is evaluated inside the window projection, so the pair
+    // volume (4k·N) is unchanged. Both rings' (dist, dst) candidates
+    // are aggregated TOGETHER with a distinct-by-id kth: the union's
+    // kth over distinct candidates is ≤ least(ub1, ub2), so the bound
+    // only TIGHTENS — phase 2 prunes no less, and the final graph is
+    // identical (any k distinct candidates upper-bound the true kth;
+    // topk_kth_distinct returns +∞ below k distinct ids, degrading
+    // losslessly like the r10 per-ring bound did).
+    def ringPairs(proj: Column): Seq[Column] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cell").orderBy(proj, col("vec_id"))
+      (1 to k).flatMap { j => Seq(
+        struct(l2_dist(col("embedding"), lag(col("embedding"), j).over(w)).as("d"),
+          lag(col("vec_id"), j).over(w).as("i")),
+        struct(l2_dist(col("embedding"), lead(col("embedding"), j).over(w)).as("d"),
+          lead(col("vec_id"), j).over(w).as("i"))) }
     }
-    val b1 = ringBound(element_at(col("z"), col("cell") + 1), "ub1")
-    if (centroids.length < 2) b1.withColumnRenamed("ub1", "ub")
-    else {
+    val ring1 = ringPairs(element_at(col("z"), col("cell") + 1))
+    val cands = if (centroids.length < 2) ring1 else {
       // per-cell second pivot: the nearest OTHER centroid (driver-side
       // over the tiny centroid matrix)
       def cdist(a: Array[Float], bb: Array[Float]): Double = {
@@ -265,14 +276,18 @@ object Ann {
         (c, centroids.indices.filter(_ != c)
           .minBy(o => cdist(centroids(c), centroids(o))))
       }
-      val b2 = ringBound(element_at(col("z"),
+      ring1 ++ ringPairs(element_at(col("z"),
         element_at(map_from_arrays(
-          lit(p2.map(_._1).toArray), lit(p2.map(_._2).toArray)), col("cell")) + 1), "ub2")
-      b1.join(b2, Seq("src"), "full")
-        .select(col("src"), least(
-          coalesce(col("ub1"), lit(Double.PositiveInfinity)),
-          coalesce(col("ub2"), lit(Double.PositiveInfinity))).as("ub"))
+          lit(p2.map(_._1).toArray), lit(p2.map(_._2).toArray)), col("cell")) + 1))
     }
+    // two selects: the window expressions must be planned (as Window
+    // operators) before the generator can reference their output
+    m.select(col("vec_id").as("src"), array(cands: _*).as("cands"))
+      .select(col("src"), explode(col("cands")).as("c"))
+      .filter(col("c").getField("i").isNotNull)
+      .groupBy("src")
+      .agg(topk_kth_distinct(
+        col("c").getField("d"), col("c").getField("i"), k).as("ub"))
   }
 
   /** Distance-pair volume of the exact build's phases — ScaleStats
@@ -354,11 +369,33 @@ object Ann {
     * (SparkEntry oracle). Round10Spec additionally driver-replays the
     * recurrence and asserts 4dp equality.
     */
+  /** Scale-adaptive partition count for the GraphX edge RDDs (guide
+    * §2.2: partitions sized from the DATA, not inherited from
+    * spark.sql.shuffle.partitions). The edge lists arrive from DF
+    * plans whose final stage carries the session's shuffle partition
+    * count; Pregel then runs `iters` sequential rounds of multi-stage
+    * jobs over them, so at the oracle SFs each 10-round PageRank paid
+    * ~300 near-empty task launches for k·N ≈ 10⁴ slim rows (measured:
+    * 2/3 of ann_knn_centrality_nnd's serial time was Pregel overhead,
+    * not compute). ~64k edge rows (~1 MB of (long,long)) per partition
+    * keeps tasks milliseconds-cheap; the count GROWS linearly with the
+    * corpus (no local-mode constant), capped at 8× the scheduler's
+    * parallelism so a 10¹²-edge run fans out with the cluster rather
+    * than by partition count alone.
+    */
+  def graphEdgeParts(spark: SparkSession, nEdges: Long): Int = {
+    val byRows = math.max(1L, nEdges / 65536L)
+    math.min(byRows, 8L * spark.sparkContext.defaultParallelism).toInt
+  }
+
   def knnCentralityNnd(spark: SparkSession, dir: String, k: Int = 5,
                        iters: Int = 10, cells: Int = 0): DataFrame = {
     import spark.implicits._
+    val n = corpusCount.getOrElseUpdate(spark, dir)(
+      graft.Tables.embeddings(spark, dir).count())
     val edges = knnGraphDescent(spark, dir, k, cells = cells)
       .select(col("src"), col("nbr")).as[(Long, Long)].rdd
+      .coalesce(graphEdgeParts(spark, k * n)) // |E| = k·N by construction
     val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 0)
     graph.staticPageRank(iters, resetProb = 0.15).vertices
       .toDF("vec_id", "pr")
@@ -369,8 +406,11 @@ object Ann {
   def knnCentrality(spark: SparkSession, dir: String, k: Int = 5,
                     iters: Int = 10, cells: Int = 16): DataFrame = {
     import spark.implicits._
+    val n = corpusCount.getOrElseUpdate(spark, dir)(
+      graft.Tables.embeddings(spark, dir).count())
     val edges = knnEdges(spark, dir, k, cells)
       .select(col("src"), col("nbr")).as[(Long, Long)].rdd
+      .coalesce(graphEdgeParts(spark, k * n)) // |E| = k·N by construction
     val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 0)
     graph.staticPageRank(iters, resetProb = 0.15).vertices
       .toDF("vec_id", "pr")

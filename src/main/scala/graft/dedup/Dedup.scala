@@ -134,8 +134,17 @@ object Dedup {
     */
   def dupClusters(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     import spark.implicits._
-    val pairs = minhashLsh(spark, dir, threshold)
+    val pairsDf = minhashLsh(spark, dir, threshold)
+    // the verified pair frame is session-persisted (see minhashLsh), so
+    // this count is a cache scan, and it sizes the GraphX edge RDD from
+    // the DATA instead of the session's shuffle-partition constant —
+    // Pregel's per-round jobs otherwise launch |shuffle.partitions|
+    // near-empty tasks per stage at the small SFs (guide §2.2; same
+    // rule as Ann.graphEdgeParts)
+    val nPairs = pairsDf.count()
+    val pairs = pairsDf
       .select("doc1", "doc2").as[(Long, Long)].rdd
+      .coalesce(graft.ann.Ann.graphEdgeParts(spark, nPairs))
     val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(pairs, defaultValue = 0)
     val components = graph.connectedComponents().vertices // (doc_id, min reachable id)
     components.toDF("doc_id", "cluster_rep")

@@ -199,6 +199,104 @@ case class KthSmallestScore(
     copy(score = cs(0), id = cs(1))
 }
 
+/** Bounded top-k buffer over DISTINCT ids. Contract: the score must be
+  * a deterministic function of the id within the group (the kNN bound
+  * phase's dist = d(src, id)), so "duplicate id" implies "duplicate
+  * (score, id) pair". A duplicate must not occupy two heap slots: the
+  * kth of a multiset with dups can undercut the kth over distinct
+  * candidate POINTS, and a pruning bound derived from it turns lossy.
+  * Membership is an O(k) scan of the kept entries — k is a small
+  * constant (≤ tens) everywhere this aggregate is used, so a side
+  * hash-set would cost more than it saves.
+  */
+final class TopKDistinctBuffer(val k: Int) {
+  val inner = new TopKBuffer(k)
+
+  private def kept(id: Long): Boolean = {
+    val it = inner.heap.iterator()
+    while (it.hasNext) { if (it.next().id == id) return true }
+    false
+  }
+
+  def add(score: Double, id: Long): Unit =
+    if (!kept(id)) inner.add(score, id)
+
+  def kthScore: Double = inner.kthScore
+
+  def mergeFrom(other: TopKDistinctBuffer): Unit = {
+    val it = other.inner.heap.iterator()
+    while (it.hasNext) { val e = it.next(); add(e.score, e.id) }
+  }
+}
+
+/** `topk_kth_distinct(score, id, k)` — kth-smallest score over DISTINCT
+  * ids per group, +∞ below k distinct ids. The union-of-rings bound
+  * phase of the exact kNN build aggregates BOTH ring projections' (dist,
+  * dst) candidate streams in one pass; the same dst can arrive from both
+  * rings, and counting it twice would make the "kth candidate" bound
+  * lossy (see TopKDistinctBuffer). Scores must be deterministic per id
+  * within a group.
+  */
+case class KthSmallestDistinctScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKDistinctBuffer] {
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "topk_kth_distinct"
+
+  override def createAggregationBuffer(): TopKDistinctBuffer =
+    new TopKDistinctBuffer(k)
+
+  override def update(buf: TopKDistinctBuffer, input: InternalRow): TopKDistinctBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(buf: TopKDistinctBuffer, other: TopKDistinctBuffer): TopKDistinctBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: TopKDistinctBuffer): Any = buf.kthScore
+
+  override def serialize(buf: TopKDistinctBuffer): Array[Byte] = {
+    val n = buf.inner.heap.size()
+    val bb = ByteBuffer.allocate(4 + n * 16)
+    bb.putInt(n)
+    val it = buf.inner.heap.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putDouble(e.score); bb.putLong(e.id)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKDistinctBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKDistinctBuffer(k)
+    var i = 0
+    while (i < n) { buf.add(bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KthSmallestDistinctScore =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KthSmallestDistinctScore =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(score = cs(0), id = cs(1))
+}
+
 object TopKAgg {
   /** Column facade: `groupBy(g).agg(topk_ids($"dist", $"block_id", 10))`. */
   def topk_ids(score: Column, id: Column, k: Int): Column =
@@ -212,6 +310,16 @@ object TopKAgg {
   def topk_kth(score: Column, id: Column, k: Int): Column =
     ExpressionUtils.column(
       KthSmallestScore(
+        ExpressionUtils.expression(score.cast("double")),
+        ExpressionUtils.expression(id.cast("bigint")),
+        k).toAggregateExpression())
+
+  /** kth-smallest score over DISTINCT ids per group (+∞ below k distinct
+    * ids); scores must be deterministic per id within the group.
+    */
+  def topk_kth_distinct(score: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KthSmallestDistinctScore(
         ExpressionUtils.expression(score.cast("double")),
         ExpressionUtils.expression(id.cast("bigint")),
         k).toAggregateExpression())

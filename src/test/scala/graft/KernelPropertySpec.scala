@@ -55,6 +55,30 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(back.sortedIds.toSeq == ids.sorted.take(4))
   }
 
+  test("TopKDistinctBuffer kth equals kth over distinct ids, dup streams and merges included") {
+    // the union-of-rings bound phase (r16) feeds the SAME candidate from
+    // both ring projections: score is a function of id (the buffer's
+    // contract), duplicates arrive both within one stream and across
+    // merged partials, and the kth must count each id once
+    val rnd = new Random(22)
+    (1 to trials).foreach { _ =>
+      val k = 1 + rnd.nextInt(6)
+      val score = (0 until 40).map(id => id.toLong -> rnd.nextInt(9).toDouble).toMap
+      def mk(n: Int) = Seq.fill(n)(rnd.nextInt(40).toLong).map(id => (score(id), id))
+      val a = mk(rnd.nextInt(30)); val b = mk(rnd.nextInt(30))
+      val b1 = new graft.operators.TopKDistinctBuffer(k); a.foreach { case (s, i) => b1.add(s, i) }
+      val b2 = new graft.operators.TopKDistinctBuffer(k); b.foreach { case (s, i) => b2.add(s, i) }
+      b1.mergeFrom(b2)
+      val distinct = (a ++ b).distinct.map(_._1).sorted
+      val expect =
+        if (distinct.length < k) Double.PositiveInfinity else distinct(k - 1)
+      assert(b1.kthScore == expect, s"k=$k a=$a b=$b")
+      // serde round-trip preserves the kept set
+      val agg = graft.operators.KthSmallestDistinctScore(null, null, k)
+      assert(agg.deserialize(agg.serialize(b1)).kthScore == expect)
+    }
+  }
+
   test("kthScore equals the kth smallest score, +inf below k rows") {
     val rnd = new Random(21)
     (1 to trials).foreach { _ =>
