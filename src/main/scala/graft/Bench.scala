@@ -397,6 +397,24 @@ object Bench {
       graft.sources.Layouts.costModelLayoutPath(spark, sfDir)
       // BQ thresholds sidecar (B23)
       graft.ann.BqIndex.getOrBuild(spark, sfDir)
+      // PCA eigenbasis + OPQ rotated codebook (B25/B30) — r16: these
+      // were the only quantization-ladder indexes NOT in the warm list
+      // (PQ/SQ/BQ builds above predate them), so their one-time fits
+      // were billed to whichever pool query touched them first,
+      // inconsistently with the stated convention ("the reference
+      // times search against pre-built indexes"). The build KEYS
+      // (ann_pca_build / ann_opq_build) still compute their report
+      // frames from the session state every run, exactly like
+      // ann_pq_build has since r6. Old numbers: r16 baseline pool rows
+      // ann_opq_search 16.0 s / ann_opq_build 14.5 s / ann_pca_topk
+      // 8.6 s carried the fits under pool contention.
+      if (warms("ann_pca_build", "ann_pca_topk", "ann_opq_build",
+                "ann_opq_search")) {
+        graft.ann.Pca.model(spark, sfDir, 16)
+        graft.ann.Pca.model(spark, sfDir, 32)
+      }
+      if (warms("ann_opq_build", "ann_opq_search"))
+        graft.ann.OpqIndex.getOrBuild(spark, sfDir)
       // role closures (A19/A20 metadata sidecars, session-cached)
       graft.rbac.Hierarchy.roleClosure(spark).count()
       graft.rbac.Hierarchy.dagClosure(spark).count()
@@ -537,6 +555,10 @@ object Bench {
     val w0 = System.nanoTime()
     val futures = qs.map { case (name, fn) =>
       scala.concurrent.Future {
+        // label the jobs (guide §1.5) — job descriptions are
+        // thread-local, so each concurrent query is tagged correctly
+        // in event logs / the UI; zero effect on the timed work
+        spark.sparkContext.setJobDescription(s"pool:$name")
         val t0 = System.nanoTime()
         // a failed query must SURFACE as a failure, not bench as a fast
         // success — record the error and report it in the JSON
@@ -623,6 +645,7 @@ object Bench {
       // host) — and a long key's OWN 32-thread work could fence the
       // key itself, which is self-load, not contention.
       val pre = loadNow()
+      spark.sparkContext.setJobDescription(s"serial:$name") // guide §1.5
       val t0 = System.nanoTime()
       // same rule as the concurrent pass: a failure must surface as
       // a failure, never as a fast-looking number

@@ -87,6 +87,38 @@ private[graft] object PlanCut {
     * outputs are slim id pairs) live for the JVM's lifetime; the
     * gigabytes they unpin do not.
     */
+  /** Disk cut for SLIM iterative rounds (r16): like `diskCheckpointed`
+    * but sized from the data and without the persist of the read-back
+    * or the GC nudge. Motivation is the TASK BINARY, not shuffle disk:
+    * `checkpointed`'s rebase keeps the original lineage reachable
+    * inside the RDD DAG, so every downstream task SERIALIZES the whole
+    * multi-round build tree — measured on the serving walks at sf0.1:
+    * 192-partition final frames whose every scan spent 18.2 s of 19.3 s
+    * task time in Executor Deserialize Time (~95 ms/task of pure
+    * closure decode for KB of data), growing a round's worth of DAG
+    * per iteration. A parquet round-trip makes downstream tasks decode
+    * one flat FileScanRDD; the coalesce (≥`rowsPerPartition` slim rows
+    * per partition, floor 1) keeps the file count — and so every
+    * downstream stage's task count — proportional to the DATA rather
+    * than to rounds × shuffle.partitions. The frame is NOT persisted:
+    * re-reading a few slim parquet files per action is cheaper than
+    * block-manager traffic, keeps eviction semantics trivial, and
+    * leaves the suite's persisted-block accounting untouched.
+    */
+  def diskCut(spark: SparkSession, df: DataFrame,
+              rowsPerPartition: Long = 65536L): DataFrame = {
+    val p = df.persist()
+    val n = p.count()
+    val parts = math.max(1L, n / rowsPerPartition).toInt
+    val dir = ckptRoot.resolve(s"r${ckptSeq.incrementAndGet()}").toString
+    spark.createDataFrame(p.rdd.coalesce(parts), df.schema)
+      .write.mode("overwrite").parquet(dir)
+    p.unpersist(blocking = true)
+    val rb = spark.read.parquet(dir)
+    diskDirs.put(rb, dir)
+    rb
+  }
+
   def diskCheckpointed(spark: SparkSession, df: DataFrame): DataFrame = {
     val dir = ckptRoot.resolve(s"r${ckptSeq.incrementAndGet()}").toString
     df.write.mode("overwrite").parquet(dir)

@@ -45,4 +45,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Fan a row-level pipeline's input out to the scheduler's
+    * parallelism ONLY when the scan is narrower (r16, guide §2.4): the
+    * text/dedup operators opened with an unconditional
+    * `repartition(defaultParallelism)` so a one-file small-SF scan
+    * parallelizes its tokenize/shingle kernels — but at 100 TB the scan
+    * already carries far more splits than cores and the same line is a
+    * full shuffle of the corpus TEXT for nothing. Callers must be
+    * partition-layout-insensitive (per-row kernels, integer-count
+    * aggregations, hash-derived keys — no float summation order).
+    */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 }

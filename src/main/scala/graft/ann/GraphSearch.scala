@@ -263,12 +263,17 @@ object GraphSearch {
       // ContextCleaner, which turned the suite's persisted-block
       // accounting nondeterministic.
       val stale = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      def cutRound(df: DataFrame): DataFrame = {
-        val p = df.persist()
-        p.count()
-        stale += p
-        spark.createDataFrame(p.rdd, df.schema)
-      }
+      // r16: rounds are cut to DISK (PlanCut.diskCut), not onto the
+      // persisted RDD. The in-memory rebase keeps every prior round's
+      // build DAG reachable, so each round's tasks — and every
+      // downstream re-rank over the final frame — deserialized the
+      // whole accumulated tree (measured: 95 ms/task of Executor
+      // Deserialize Time on 192-partition final frames; the union also
+      // grew the partition count by shuffle.partitions per round).
+      // A slim parquet round-trip per round is the NND build's own
+      // convention; rows are (query_id, cand_id, dist), so the file
+      // count follows the data, not rounds × shuffle.partitions.
+      def cutRound(df: DataFrame): DataFrame = PlanCut.diskCut(spark, df)
       var vis = cutRound(withDist(seeds))
       val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
       var last: DataFrame = vis
@@ -288,9 +293,11 @@ object GraphSearch {
         return last
       }
       // final round lineage-cut too: every serving key re-ranks this
-      // frame per action (topOf windows), and without the rebase each
-      // action re-analyzes the last round's plan (queries + edges tree)
-      val out = PlanCut.checkpointed(spark, last)
+      // frame per action (topOf windows) — the disk cut both truncates
+      // the plan AND keeps the frame's partition/file count sized to
+      // its slim rows, so re-rank stages launch a handful of tasks
+      // instead of rounds × shuffle.partitions
+      val out = PlanCut.diskCut(spark, last)
       stale.foreach(_.unpersist(blocking = true))
       out
   }

@@ -69,7 +69,7 @@ object Dedup {
     // components pass (the pair set is tiny; the pipeline is not)
     pairsCache.getOrElseUpdate(spark, (dir, threshold)) {
       val sets = shingleSets(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(graft.Tables.spread(spark, _))
       verifiedPairs(candidatePairs(sets, "s", bands = 16, rowsPerBand = 4),
         sets, "s", threshold)
     }
@@ -80,7 +80,7 @@ object Dedup {
     */
   private[graft] def lshCandidateCount(spark: SparkSession, dir: String): Long =
     candidatePairs(shingleSets(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism), "s",
+      .transform(graft.Tables.spread(spark, _)), "s",
       bands = 16, rowsPerBand = 4).count()
 
   /** Exact-verify candidate (doc1, doc2) pairs: attach both token sets,
@@ -161,7 +161,7 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Tables.spread(spark, _))
     val sigs = docs.select(col("doc_id"), simhash64(wordShingles(col("text"), 2)).as("sig"))
     // oracle sidecar (r11): the per-doc 64-bit sketch — the xxhash64
     // half with no SQL derivation. Given stored signatures DuckDB
@@ -266,7 +266,7 @@ object Dedup {
         graft.functions.ngrams.word_nshingle_hashes(col("text"), n)).as("h"))
       .distinct()
     docs.filter(col("source") =!= "src0")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Tables.spread(spark, _))
       .select(col("doc_id"),
         explode(graft.functions.ngrams.word_nshingle_hashes(col("text"), n)).as("h"))
       .join(broadcast(evalShingles), Seq("h"), "left_semi")
@@ -311,7 +311,7 @@ object Dedup {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     docs.filter(col("source") =!= "src0")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Tables.spread(spark, _))
       .select(col("doc_id"),
         explode(graft.functions.ngrams.word_nshingle_hashes(col("text"), n)).as("h"))
       .filter(graft.functions.bloom.bloom_might_contain(col("h"), bos.toByteArray))
@@ -472,7 +472,7 @@ object Dedup {
     import graft.ann.IvfIndex
     val idx = IvfIndex.getOrBuildUnit(spark, dir, cells)
     val e = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Tables.spread(spark, _))
       .select(col("vec_id"), col("embedding"),
         nearest_centroid(vec_normalize(col("embedding")), idx.centroids).as("cell"))
     val a = e.select(col("vec_id").as("vec1"), col("embedding").as("e1"),
@@ -519,7 +519,7 @@ object Dedup {
   def substringSpans(spark: SparkSession, dir: String, w: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Tables.spread(spark, _))
     // ordered window grams with their 0-based start position
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -606,7 +606,7 @@ object Dedup {
         case (c, i) => (i, c)
       }).toDF("cell", "centroid"))
     val e = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Tables.spread(spark, _))
       .select(col("vec_id"), col("embedding"),
         nearest_centroid(vec_normalize(col("embedding")), idx.centroids).as("cell"))
       .join(cents, "cell")

@@ -54,7 +54,7 @@ object Pipeline {
     // contamination screen over the gated survivors only (stage order
     // pays off: the shingle explode runs on the post-gate fraction)
     val contaminated = gated
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Tables.spread(spark, _))
       .select(col("doc_id"),
         explode(ngrams.word_nshingle_hashes(col("text"), 8)).as("h"))
       .join(broadcast(evalShingles), Seq("h"), "left_semi")

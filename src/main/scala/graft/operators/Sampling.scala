@@ -211,7 +211,7 @@ object Sampling {
   def dsirWeights(spark: SparkSession, dir: String,
                   targetSource: String = "src0"): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Tables.spread(spark, _))
     val tok = docs.select(col("doc_id"), col("source"),
       explode(split(col("text"), " ")).as("w"))
     val vocab = tok.groupBy("w").agg(

@@ -139,6 +139,20 @@ object Bpe {
           concat(filter(split(col("word"), ""), x => x =!= ""),
             array(lit(EndMark))))
         .localCheckpoint()
+      // r16 (guide §2.2): size the round frame's partitions from the
+      // VOCABULARY, not the session's shuffle-partition constant — the
+      // frame is scanned twice per merge round (pair argmax + merge
+      // apply) for `numMerges` rounds, so a 32-partition frame of a
+      // few thousand distinct words paid ~1,500 near-empty task
+      // launches per trained model. The count is a cache scan (the
+      // frame is just-checkpointed) and the partition count grows with
+      // the vocabulary at scale.
+      val vocabParts = math.max(1L, words.count() / 65536L).toInt
+      if (vocabParts < words.rdd.getNumPartitions) {
+        val sized = words.coalesce(vocabParts).localCheckpoint()
+        words.unpersist()
+        words = sized
+      }
       val merges = Seq.newBuilder[Merge]
       var r = 0
       var exhausted = false

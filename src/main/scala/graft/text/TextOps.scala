@@ -80,11 +80,18 @@ object TextOps {
   def tfidf(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Tables.spread(spark, _))
     val terms = docs.select(col("doc_id"), explode(ws(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy("term")
-      .agg(countDistinct("doc_id").as("df"))
+    // document frequency FROM tf, not from the raw term stream: tf
+    // already holds one row per (doc, term), so per-term row counts ARE
+    // countDistinct(doc_id) — the corpus is tokenized/exploded once and
+    // the shared tf exchange is reused for both branches (guide §2.3:
+    // aggregate before you shuffle; the raw-stream countDistinct
+    // re-tokenized every document and shuffled the full occurrence
+    // stream a second time)
+    val df = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val weighted = tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
@@ -122,7 +129,7 @@ object TextOps {
       true
     }
     Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Tables.spread(spark, _))
       .select(col("doc_id"), size(w).cast("double").as("n_tokens"),
         explode(w).as("token"))
       .withColumn("bucket", pmod(xxhash64(col("token")), lit(dims)).cast("int"))
@@ -202,7 +209,7 @@ object TextOps {
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.repetition.repetition_stats
     Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Tables.spread(spark, _))
       .select(col("doc_id"), repetition_stats(col("text")).as("r"))
       .select(col("doc_id"),
         element_at(col("r"), 1).cast("bigint").as("n_words"),
@@ -230,7 +237,7 @@ object TextOps {
                      overlap: Int = 16): DataFrame = {
     val stride = chunk - overlap
     Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Tables.spread(spark, _))
       .select(col("doc_id"), ws(coalesce(col("text"), lit(""))).as("w"))
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
@@ -298,7 +305,7 @@ object TextOps {
     */
   def ngramStats(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
     Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Tables.spread(spark, _))
       .select(explode(graft.dedup.Dedup.wordShingles(col("text"), 2)).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
@@ -348,7 +355,7 @@ object TextOps {
 
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val bi = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(graft.Tables.spread(spark, _))
       .select(col("doc_id"), ws(col("text")).as("words"))
       .select(col("doc_id"), explode(expr(
         "transform(words, (w, i) -> named_struct(" +
