@@ -57,7 +57,13 @@ object Hybrid {
     // lexical retriever: doc 0's distinct words as the query bag
     val docs = Tables.documents(spark, dir)
     val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val qterms = terms.filter(col("doc_id") === 0).select("term").distinct()
+    // query bag from doc 0's ROW, not from the exploded corpus stream:
+    // filtering before the explode pushes doc_id = 0 into the parquet
+    // scan (PushedFilters), so the branch tokenizes one document
+    // instead of re-tokenizing the corpus (guide §6: filters on derived
+    // columns do not push down)
+    val qterms = docs.filter(col("doc_id") === 0)
+      .select(explode(split(col("text"), " ")).as("term")).distinct()
     // postings restricted to query terms BEFORE tf/df aggregation
     val qpostings = terms.join(broadcast(qterms), "term")
     val tf = qpostings.filter(col("doc_id") =!= 0)

@@ -76,6 +76,15 @@ object Analytics {
     val nation = Tables.nation(spark, dir)
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    // NOT pre-aggregated per order (r16): regrouping this double sum
+    // (per-order partials, then per-nation) moves the ~1e9–1e11-scale
+    // totals within their 4th-decimal FP-noise band, and the 4dp oracle
+    // hash is the gate contract — measured at the 100× rel dir
+    // (NATION_0 …574.3297 vs …574.3261) and, for the same regrouping on
+    // q_revenue_rollup, at sf0.1 itself. The row-level sum layout (15
+    // rounds of gate history) stays; q10/q12/q17/q20 take the
+    // shuffle-reduction instead, where the regrouped arithmetic is
+    // integer-exact or has a provably tiny per-group error bound.
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -104,6 +113,11 @@ object Analytics {
     * semi-join (EXISTS) surface.
     */
   def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    // NO distinct on the probe side (r16): unlike q22 — where the
+    // distinct collapsed 15M probe rows to 150k keys (100×) — ~63% of
+    // orders have an R line, so the hash agg barely shrinks the stream
+    // and its own cost loses (measured at the 100× rel dir: 5.2 s plain
+    // semi vs 8.6 s with distinct)
     val late = Tables.lineitem(spark, dir)
       .filter(col("l_returnflag") === "R")
       .select("l_orderkey")
@@ -187,13 +201,17 @@ object Analytics {
   def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    // per-order partial revenue before the join — q5's rationale (all
+    // of an order's R-lines belong to one customer group)
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_extendedprice", "l_discount")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("o_rev"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .agg(round(sum(col("o_rev")), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -203,6 +221,12 @@ object Analytics {
     */
   def q12PriorityShipping(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    // NOT pre-aggregated by (orderkey, status) (r16): with ~4 lines per
+    // order and 2 statuses the group count is ~half the input, so the
+    // "reduction" is a 60M-row hash agg with 30M output groups — it
+    // measured 3.5× SLOWER than the plain join at the 100× rel dir
+    // (17.2 s vs 5.0 s). Aggregate-before-shuffle only pays when the
+    // key actually collapses (q10/q17/q18/q20's shapes do).
     Tables.lineitem(spark, dir).select("l_orderkey", "l_linestatus")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_linestatus")
@@ -267,6 +291,16 @@ object Analytics {
                             qs: Seq[(String, Double)]): DataFrame = {
     val events = Tables.events(spark, dir).select("event_type", "value")
     val counts = events.groupBy("event_type").agg(count(col("value")).as("n"))
+    // LEFT ALONE (r16): a distributed per-type rank (range-partition by
+    // (type, value) + local ranks + prefix offsets, packSequences'
+    // shape) was built and MEASURED at the 100× rel dir — 5.6 s vs
+    // 1.8 s for this single-task-per-type sort (2.5M rows/type sorts in
+    // ~0.5 s; the distributed version pays a counts pass, a range
+    // sampling pass, and an offset join). The single-task sort is the
+    // faster plan until types grow another ~30× past the largest
+    // benched dir, and the declared 100 TB default for this family is
+    // the bounded-sketch E29 (`events_quantiles_approx`), not the exact
+    // operator.
     val ranked = events.filter(col("value").isNotNull)
       .withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy("value")))
@@ -366,6 +400,12 @@ object Analytics {
     */
   def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey", "c_mktsegment")
+    // NOT pre-aggregated per customer (r16): regrouping the
+    // o_totalprice double sum flipped the grand-total row's 4th decimal
+    // against the oracle AT sf0.1 (…258.5601 vs …258.5597) — a gate SF —
+    // so the row-level rollup stays (see q5's note; this key is also
+    // one of CALIBRATION's two documented 4th-decimal exclusions at
+    // 100×).
     val ord = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
     ord.join(cust, col("o_custkey") === col("c_custkey"))
       .rollup(expr("c_nationkey"), expr("c_mktsegment"))
@@ -558,10 +598,18 @@ object Analytics {
     // on the reduced thresh then also does the brand restriction of
     // the fact side, and AQE picks the join strategy from its runtime
     // size.
-    val thresh = li.groupBy(col("l_partkey").as("t_partkey"))
+    // r16 (guide §3.2): the brand restriction moves BELOW the per-part
+    // aggregate and onto the fact attach side — each part's 0.2·avg
+    // depends only on that part's own rows, so semi-joining the fact to
+    // the brand part set FIRST is exact (avg of integer-valued doubles,
+    // order-independent), and both the threshold aggregate and the
+    // attach join now hash/shuffle the brand slice instead of the full
+    // fact (the old plan aggregated every lineitem row and shuffled the
+    // full fact into the attach join for a one-brand result)
+    val liBrand = li.join(brand, col("l_partkey") === col("p_partkey"), "left_semi")
+    val thresh = liBrand.groupBy(col("l_partkey").as("t_partkey"))
       .agg((lit(0.2) * avg("l_quantity")).as("qty_thresh"))
-      .join(brand, col("t_partkey") === col("p_partkey"), "left_semi")
-    li.join(thresh, col("l_partkey") === col("t_partkey"))
+    liBrand.join(thresh, col("l_partkey") === col("t_partkey"))
       .filter(col("l_quantity") < col("qty_thresh"))
       .agg(round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
   }
@@ -753,13 +801,21 @@ object Analytics {
     * comparison is exact in both engines.
     */
   def q20PotentialPromotion(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    // semi-join the fact to the small-part set BEFORE the per-(part,
+    // supp) aggregate (r16, guide §3.2): qty is only ever consumed for
+    // small parts (the partsupp join below restricts to them), and each
+    // (part, supp) group's sum depends on that part's rows alone, so
+    // restricting first is exact — the unrestricted aggregate hashed
+    // ALL shipped rows for the small-part slice (see OPTIMIZATION_r16.md
+    // for the measured 100×-dir delta)
     val shipped = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
       .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy("l_partkey", "l_suppkey")
       .agg(sum("l_quantity").as("qty"))
-    val smallParts = Tables.part(spark, dir)
-      .filter(col("p_name").startsWith("small")).select("p_partkey")
     partsupp(spark, dir)
       .join(smallParts, col("ps_partkey") === col("p_partkey"))
       .join(shipped, col("ps_partkey") === col("l_partkey") &&
