@@ -334,6 +334,15 @@ object Bench {
       // (128 keys) SORTS the full candidate-pair stream - at 10x scale
       // that spilled >79 GB on a count whose hash state is kilobytes
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // experiment knob (r17): size-based AQE coalescing
+      // (parallelismFirst=false, guide §2.2) was A/B'd against the
+      // Spark default on a fixed 10-key subset at 32 cores and moved
+      // nothing outside noise — AQE's minPartitionSize floor already
+      // collapses this suite's tiny exchanges at any core count. Kept
+      // as an env override at the SPARK DEFAULT so the measurement is
+      // reproducible without a rebuild; see OPTIMIZATION_r17.md.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARFIRST", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -454,10 +463,18 @@ object Bench {
           graft.ann.GraphSearch.partitionServePolicy(spark, sfDir, u)
           graft.ann.GraphSearch.partitionGraphIndex(spark, sfDir, u)
         }
-      // B38's measured ef→recall curve (model fit = index-build-time
-      // work, the B22 convention; the model-ef WALK stays timed)
+      // B38's measured ef→recall fit (model fit = index-build-time
+      // work, the B22 convention; the model-ef WALK stays timed).
+      // r17: warm modelEf (the WHOLE fit), not just the default grid —
+      // when no grid point meets the recall target, efFor keeps
+      // doubling the beam with transient probe walks (the hnswlib
+      // tuning loop), and at sf0.1 those probes (ef 128…) previously
+      // ran inside whichever pool query touched modelEf first
+      // (measured: 11.7 s pool row on the 5-key serving subset, vs
+      // 0.18 s serial once fit). Same fit-vs-walk line as the warmed
+      // PCA/OPQ/nndServePolicy fits; disclosed in OPTIMIZATION_r17.md.
       if (warms("ann_graph_topk_model"))
-        graft.ann.GraphSearch.efRecallCurve(spark, sfDir)
+        graft.ann.GraphSearch.modelEf(spark, sfDir)
       // B39's NN-Descent serving graph (the approximate INDEX build —
       // the walk stays timed)
       if (warms("ann_graph_topk_nnd"))
@@ -553,6 +570,13 @@ object Bench {
     poolSampler.setDaemon(true)
     poolSampler.start()
     val w0 = System.nanoTime()
+    // per-row start/stop stamps relative to the pool phase start (r17,
+    // VERDICT r16 #6): pool walls moved ±5× round-over-round with no
+    // code change because WHAT CO-RAN with a row is invisible in the
+    // artifact — the spans make cross-round pool deltas attributable
+    // (overlapping spans = the row's contention set) without re-running
+    val poolSpans =
+      new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]()
     val futures = qs.map { case (name, fn) =>
       scala.concurrent.Future {
         // label the jobs (guide §1.5) — job descriptions are
@@ -565,7 +589,9 @@ object Bench {
         val err = try { fn(spark, sfDir).count(); None } catch {
           case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200))
         }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        val t1 = System.nanoTime()
+        poolSpans.put(name, ((t0 - w0) / 1e9, (t1 - w0) / 1e9))
+        (name, (t1 - t0) / 1e9, err)
       }
     }
     val results = futures.map(f =>
@@ -833,6 +859,15 @@ object Bench {
     }.getOrElse("")
     val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // pool co-scheduling spans — fullLine/sidecar only (the tail line
+    // must stay inside the driver's ~2000-char capture, VERDICT r15 #1)
+    val spansJson = {
+      import scala.jdk.CollectionConverters._
+      poolSpans.asScala.toSeq.sortBy(_._2._1)
+        .map { case (n, (s, e)) =>
+          "\"" + n + "\":[" + fmt(s, 2) + "," + fmt(e, 2) + "]" }
+        .mkString("{", ",", "}")
+    }
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\"" }
       .mkString("{", ",", "}")
@@ -883,7 +918,7 @@ object Bench {
     // tools/run_graft.sh vs sbt could run at different -Xmx; GC/spill-
     // sensitive numbers are only comparable at a recorded heap
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
-    val fullLine = s"""{"metric":"total_full","value":$wall,"unit":"sec","queries":$qjson,"errors":$errs,"load_avg_1m":$loadAvg,"concurrent_load_pre":$loadPre,"concurrent_load_mean":$poolLoadMean,"concurrent_load_peak":$poolLoadPeak$ambientJson,"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}","heap_max_gb":${fmt(heapGb, 1)}$serialJson$scaleJson$c5Json$exclJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}"}"""
+    val fullLine = s"""{"metric":"total_full","value":$wall,"unit":"sec","queries":$qjson,"pool_spans":$spansJson,"errors":$errs,"load_avg_1m":$loadAvg,"concurrent_load_pre":$loadPre,"concurrent_load_mean":$poolLoadMean,"concurrent_load_peak":$poolLoadPeak$ambientJson,"concurrent_suspect":$concurrentSuspect,"pool":$poolSize,"cpus":"${jsonEscape(cpus)}","heap_max_gb":${fmt(heapGb, 1)}$serialJson$scaleJson$c5Json$exclJson,"data_fingerprint":"$fp","sf":"${jsonEscape(sfDir)}"}"""
     // The harness that collects this output keeps only the LAST ~2000
     // characters of stdout; the full per-query line above is longer than
     // that, so a consumer parsing the tail never sees its start. Emit

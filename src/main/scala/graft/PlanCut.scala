@@ -119,13 +119,47 @@ private[graft] object PlanCut {
     rb
   }
 
-  def diskCheckpointed(spark: SparkSession, df: DataFrame): DataFrame = {
+  /** `diskCut` for rounds whose row count is BOUNDED BY CONSTRUCTION
+    * (r17): the walk rounds' visited sets grow at most nq·ef·2gk rows
+    * per round, so the caller can size the output files from that
+    * bound instead of counting. This halves the per-round job count —
+    * diskCut's persist+count materializes the round once into the
+    * block manager and then re-reads it for the write (two jobs, plus
+    * block-manager traffic); here the single parquet write IS the
+    * round's one materialization. An over-estimated bound only costs
+    * slightly-small files (never correctness); the partition count
+    * still grows with the data through the bound's nq·ef terms.
+    */
+  def diskCutBounded(spark: SparkSession, df: DataFrame,
+                     maxRows: Long,
+                     rowsPerPartition: Long = 65536L): DataFrame = {
+    val parts = math.max(1L, maxRows / rowsPerPartition).toInt
+    val dir = ckptRoot.resolve(s"r${ckptSeq.incrementAndGet()}").toString
+    df.coalesce(parts).write.mode("overwrite").parquet(dir)
+    val rb = spark.read.parquet(dir)
+    diskDirs.put(rb, dir)
+    rb
+  }
+
+  /** `gcNudge` (r17): the explicit GC exists ONLY to hand superseded
+    * rounds' multi-GB shuffle files to the ContextCleaner before its
+    * 30-minute sweep — the 100×-dir ENOSPC guard. Below that regime
+    * (oracle-SF corpora, where a round's shuffle is megabytes) the
+    * nudge is a full stop-the-world collection on a ~90 GB heap that
+    * pauses every concurrently running bench query for nothing;
+    * callers gate it on the build's member count (the exact-build
+    * ceiling — precisely the scale where descent builds replace exact
+    * ones and rounds get big).
+    */
+  def diskCheckpointed(spark: SparkSession, df: DataFrame,
+                       gcNudge: Boolean = true): DataFrame = {
     val dir = ckptRoot.resolve(s"r${ckptSeq.incrementAndGet()}").toString
     df.write.mode("overwrite").parquet(dir)
     val rb = spark.read.parquet(dir).persist()
     rb.count()
     diskDirs.put(rb, dir)
-    System.gc() // release superseded rounds' shuffle deps to the cleaner
+    if (gcNudge)
+      System.gc() // release superseded rounds' shuffle deps to the cleaner
     rb
   }
 }

@@ -661,8 +661,13 @@ object Ann {
     // rounds are DISK-checkpointed (r13): the in-memory rebase keeps
     // every superseded round's ~20 GB shuffle (100× dir) pinned via
     // lineage for the whole build — a full cut caps peak shuffle disk
-    // at one round (see PlanCut.diskCheckpointed)
-    var graph = PlanCut.diskCheckpointed(spark, rerank(init, bigK))
+    // at one round (see PlanCut.diskCheckpointed). The GC nudge is
+    // gated on the at-scale regime (r17): below the exact-build
+    // ceiling a round's shuffle is megabytes, and the forced full GC
+    // on a ~90 GB heap paused every concurrent bench query (measured:
+    // part of ann_knn_graph_nnd's 35 s pool row at 32 cores).
+    val gcNudge = n > KnnExactMaxN
+    var graph = PlanCut.diskCheckpointed(spark, rerank(init, bigK), gcNudge)
     var prev: Option[DataFrame] = None // previous round's graph
     val rho10 = math.max(1, math.round(rho * 10).toInt)
     for (rr <- 1 to iters) {
@@ -700,7 +705,7 @@ object Ann {
         statsKey.foreach(sk => descentCandStats(sk) = cand.count())
       // materialized (and FULLY lineage-cut) before releasing the
       // round it was built from
-      val next = PlanCut.diskCheckpointed(spark, rerank(cand, bigK))
+      val next = PlanCut.diskCheckpointed(spark, rerank(cand, bigK), gcNudge)
       // no longer feeds any computation — its checkpoint parquet is
       // dead too (the next round reads its OWN parquet on eviction),
       // so releaseDisk reclaims the files now, not at JVM exit

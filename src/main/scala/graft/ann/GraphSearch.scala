@@ -218,12 +218,16 @@ object GraphSearch {
 
   /** One fixed-round beam walk for an arbitrary bounded query frame
     * (query_id, qvec) over the (possibly base-restricted) graph.
-    * Returns the final round PERSISTED and materialized, every
-    * intermediate round's blocks released (blocking) before returning —
-    * the caller owns exactly one persisted frame. With
-    * `inspectPlan = true` the final round is returned raw instead
-    * (un-truncated, un-executed) so plan-policy specs can audit the
-    * per-round join shape.
+    * Returns the final round as an UNPERSISTED flat parquet read-back
+    * (PlanCut.diskCutBounded): downstream re-ranks scan a handful of
+    * slim files, and a caller's unpersist() is a harmless no-op. Each
+    * superseded round's parquet dir is released (PlanCut.releaseDisk)
+    * the moment the next round's cut is written, so a walk leaves ONE
+    * live dir — the final round's, which backs the returned frame for
+    * the session (transient sweep walks release it too, via
+    * releaseDisk at their call sites). With `inspectPlan = true` the
+    * final round is returned raw instead (un-truncated, un-executed)
+    * so plan-policy specs can audit the per-round join shape.
     */
   private[graft] def buildVisited(spark: SparkSession, dir: String, queries: DataFrame,
                                   ef: Int, rounds: Int,
@@ -254,27 +258,25 @@ object GraphSearch {
       // truncation the logical tree doubles per round (2^rounds copies
       // of the graph-build subtree), exploding analysis and plan-string
       // cost even though execution would reuse the cache (observed: an
-      // 8 GiB plan-string OOM before truncation). Each round is
-      // therefore materialized (persist + count) and REBASED onto its
-      // own row RDD — a per-round checkpoint, as an iterative frontier
-      // job does on a cluster (the Bpe merge-round convention) — but
-      // with EXPLICIT blocking release of superseded rounds:
-      // rdd.localCheckpoint blocks are only freed by the async
-      // ContextCleaner, which turned the suite's persisted-block
-      // accounting nondeterministic.
-      val stale = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      // r16: rounds are cut to DISK (PlanCut.diskCut), not onto the
-      // persisted RDD. The in-memory rebase keeps every prior round's
-      // build DAG reachable, so each round's tasks — and every
-      // downstream re-rank over the final frame — deserialized the
-      // whole accumulated tree (measured: 95 ms/task of Executor
-      // Deserialize Time on 192-partition final frames; the union also
-      // grew the partition count by shuffle.partitions per round).
-      // A slim parquet round-trip per round is the NND build's own
-      // convention; rows are (query_id, cand_id, dist), so the file
-      // count follows the data, not rounds × shuffle.partitions.
-      def cutRound(df: DataFrame): DataFrame = PlanCut.diskCut(spark, df)
-      var vis = cutRound(withDist(seeds))
+      // 8 GiB plan-string OOM before truncation). r16 cut each round to
+      // DISK (a slim parquet round-trip truncates both the plan and the
+      // task binary; see PlanCut.diskCut's rationale). r17: the cut is
+      // now BOUNDED — the visited set's size is known by construction
+      // (|seeds| + r·ef·maxdeg per query), so the per-round persist +
+      // count that existed only to size the output files is dropped and
+      // each round costs exactly ONE job (the parquet write, which is
+      // also the round's one materialization). Measured on the 5-key
+      // serving subset at 32 cores: group wall 11.7 s → 8.3 s.
+      val nq = math.max(1L, queries.count())
+      val nSeeds = math.max(1L, medoids.count())
+      // degree bound of the serving graphs: M_max cap 2·gk plus the
+      // NSW long links (2 per node, bidirectional) — generous is fine,
+      // an over-estimate only costs slightly-small output files
+      val maxDeg = 2L * GraphK + 4L
+      def roundBound(r: Int): Long = nq * (nSeeds + r.toLong * ef * maxDeg)
+      def cutRound(df: DataFrame, r: Int): DataFrame =
+        PlanCut.diskCutBounded(spark, df, roundBound(r))
+      var vis = cutRound(withDist(seeds), 0)
       val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
       var last: DataFrame = vis
       for (r <- 1 to rounds) {
@@ -286,10 +288,17 @@ object GraphSearch {
           .distinct()
           .join(vis.select("query_id", "cand_id"), Seq("query_id", "cand_id"), "left_anti")
         last = vis.union(withDist(fresh))
-        vis = if (r < rounds) cutRound(last) else last
+        if (r < rounds) {
+          val next = cutRound(last, r)
+          // the superseded round no longer feeds anything (the cut is a
+          // flat scan of its OWN parquet) — reclaim its dir now, not at
+          // JVM exit (ADVICE r16: ef/recall sweeps built rounds+1 dirs
+          // per transient walk for the session's lifetime)
+          PlanCut.releaseDisk(vis)
+          vis = next
+        }
       }
       if (inspectPlan) { // raw final round, for (non-executing) plan audits
-        stale.foreach(_.unpersist(blocking = true))
         return last
       }
       // final round lineage-cut too: every serving key re-ranks this
@@ -297,8 +306,8 @@ object GraphSearch {
       // the plan AND keeps the frame's partition/file count sized to
       // its slim rows, so re-rank stages launch a handful of tasks
       // instead of rounds × shuffle.partitions
-      val out = PlanCut.diskCut(spark, last)
-      stale.foreach(_.unpersist(blocking = true))
+      val out = PlanCut.diskCutBounded(spark, last, roundBound(rounds))
+      PlanCut.releaseDisk(vis)
       out
   }
 
@@ -619,7 +628,7 @@ object GraphSearch {
     val got = topOf(vis.join(acc, Seq("cand_id"), "left_semi"), 10)
       .select("query_id", "cand_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    vis.unpersist(blocking = true)
+    PlanCut.releaseDisk(vis) // probe walk: result collected, reclaim the dir
     got.intersect(gt).size.toDouble / gt.size
   }
 
@@ -834,7 +843,7 @@ object GraphSearch {
         val got = topOf(vis, k)
           .select("query_id", "cand_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        vis.unpersist(blocking = true)
+        PlanCut.releaseDisk(vis) // probe walk: result collected, reclaim the dir
         ef -> got.intersect(gt).size.toDouble / gt.size
       }
     })
@@ -1195,7 +1204,7 @@ object GraphSearch {
         val got = topOf(vis, k)
           .select("query_id", "cand_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        if (ef != Ef) vis.unpersist(blocking = true) // sweep walk: release
+        if (ef != Ef) PlanCut.releaseDisk(vis) // sweep walk: reclaim the dir
         ef -> got.intersect(gt).size.toDouble / gt.size
       }
     })

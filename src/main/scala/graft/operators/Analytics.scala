@@ -287,23 +287,64 @@ object Analytics {
     * Returns one row per type WITH ≥1 non-null value; all-null groups
     * are absent (E8 re-adds them from its own counts pass).
     */
+  /** Cost-based rank dispatch for the exact quantile paths (r17,
+    * VERDICT r16 #7): the single-task-per-type window sort is the
+    * measured-faster plan up to the largest benched dir (r16, 100× rel:
+    * 1.8 s vs 5.6 s — the distributed rank pays a range-sampling pass
+    * and an offset join), but it is a one-task straggler cliff as types
+    * keep growing. The r16 crossover extrapolates to ~8M rows/type
+    * (the distributed path's ~5 s fixed cost over the single-task
+    * sort's measured throughput), i.e. ~40M events at this table's 5
+    * types; above that the rank derivation switches to the
+    * range-partitioned local-rank + prefix-offset form (the
+    * packSequences shape). The quantile ARITHMETIC below is shared
+    * verbatim by both branches — only where `rn` comes from differs,
+    * and equal sort keys make the value-at-rank identical regardless
+    * of how ties land across range boundaries (RankDispatchSpec pins
+    * the two branches row-identical).
+    */
+  private[graft] val DistributedRankMinRows = 40L * 1000 * 1000
+
+  private val eventCountCache = new graft.SessionCache[String, Long]
+
   private def typeQuantiles(spark: SparkSession, dir: String,
-                            qs: Seq[(String, Double)]): DataFrame = {
+                            qs: Seq[(String, Double)],
+                            distRankMinRows: Long = DistributedRankMinRows): DataFrame = {
     val events = Tables.events(spark, dir).select("event_type", "value")
     val counts = events.groupBy("event_type").agg(count(col("value")).as("n"))
-    // LEFT ALONE (r16): a distributed per-type rank (range-partition by
-    // (type, value) + local ranks + prefix offsets, packSequences'
-    // shape) was built and MEASURED at the 100× rel dir — 5.6 s vs
-    // 1.8 s for this single-task-per-type sort (2.5M rows/type sorts in
-    // ~0.5 s; the distributed version pays a counts pass, a range
-    // sampling pass, and an offset join). The single-task sort is the
-    // faster plan until types grow another ~30× past the largest
-    // benched dir, and the declared 100 TB default for this family is
-    // the bounded-sketch E29 (`events_quantiles_approx`), not the exact
-    // operator.
-    val ranked = events.filter(col("value").isNotNull)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("event_type").orderBy("value")))
+    // parquet count(*) is footer-metadata only — the dispatch probe
+    // never scans the table; session-cached besides
+    val totalRows = eventCountCache.getOrElseUpdate(spark, dir)(
+      Tables.events(spark, dir).count())
+    val nonNull = events.filter(col("value").isNotNull)
+    val ranked0 =
+      if (totalRows < distRankMinRows)
+        nonNull.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("value")))
+      else {
+        // distributed exact rank: range-partition by (type, value),
+        // rank locally within each (partition, type) slice, then add
+        // the per-slice prefix offsets (a tiny P×types frame)
+        val parts = math.max(spark.sparkContext.defaultParallelism,
+          (totalRows / 4000000L).toInt)
+        val sliced = nonNull
+          .repartitionByRange(parts, col("event_type"), col("value"))
+          .withColumn("__pid", spark_partition_id())
+        val local = sliced.withColumn("lrn", row_number().over(
+          Window.partitionBy("__pid", "event_type").orderBy("value")))
+        val offsets = local.groupBy("__pid", "event_type")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum("cnt").over(
+            Window.partitionBy("event_type").orderBy("__pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("__pid"), col("event_type").as("__ot"), col("off"))
+        local.join(broadcast(offsets),
+            local("__pid") === offsets("__pid") &&
+              local("event_type") <=> offsets("__ot"))
+          .withColumn("rn", (col("off") + col("lrn")).cast("int"))
+          .select(local("event_type"), col("value"), col("rn"))
+      }
+    val ranked = ranked0
       .join(broadcast(counts.withColumnRenamed("event_type", "__et")),
         col("event_type") <=> col("__et"))
       .drop("__et")
@@ -318,6 +359,16 @@ object Analytics {
     val aggs = qs.map { case (name, p) => q(p).as(name) }
     ranked.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Test hooks: the default plan and the distributed-rank branch
+    * forced on (threshold 0) — RankDispatchSpec pins them equal.
+    */
+  private[graft] def typeQuantilesForTest(spark: SparkSession, dir: String,
+                                          qs: Seq[(String, Double)]): DataFrame =
+    typeQuantiles(spark, dir, qs)
+  private[graft] def typeQuantilesDistributed(spark: SparkSession, dir: String,
+                                              qs: Seq[(String, Double)]): DataFrame =
+    typeQuantiles(spark, dir, qs, distRankMinRows = 0L)
 
   def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir).select("event_type", "value")

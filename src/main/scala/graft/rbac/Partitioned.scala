@@ -70,23 +70,43 @@ object Partitioned {
 
   /** A6: combination-partition search: route to the partitions whose
     * role-set intersects the user's roles, scan only those, top-k.
+    *
+    * r17 restructure (guide §3/§8; result row-identical, oracle-pinned):
+    * a partition's comb_key IS its docs' granting role set, so "comb
+    * intersects the user's roles" ⟺ "the doc is granted by ≥1 user
+    * role" — the routing collapses to ONE broadcast semi-join of the
+    * block scan against the user's permission rows. The old plan
+    * aggregated comb_key over the WHOLE permission table and equi-
+    * joined it onto the block scan — an Exchange carrying the
+    * embedding arrays (the §8 payload-shuffle smell) plus two corpus-
+    * wide aggregates, all to label rows of which only k survive the
+    * TakeOrdered. comb_key is now attached AFTER the top-k, by a slim
+    * per-doc aggregate over the routed docs' permission rows, with the
+    * bounded k-row side broadcast. Plan: 6 Exchanges → 1 (the comb
+    * aggregate's, slim rows), embedding arrays never shuffled.
     */
   def combPartitionTopK(spark: SparkSession, dir: String, userId: Long, k: Int): DataFrame = {
     val userRoleSet = Rbac.userRoles(spark, dir)
       .filter(col("user_id") === userId).select("role_id")
-    // partitions (comb keys) relevant to the user = combs containing ≥1 user role
-    val relevantCombs = Rbac.permissions(spark, dir)
+    // docs in a user-relevant comb == docs granted by ≥1 user role
+    val routedDocs = Rbac.permissions(spark, dir)
       .join(broadcast(userRoleSet), "role_id")
       .select("document_id").distinct()
-      .join(combKeys(spark, dir), "document_id")
-      .select("comb_key").distinct()
-    Rbac.blocks(spark, dir)
-      .join(combKeys(spark, dir), "document_id") // assign comb partition
-      .join(broadcast(relevantCombs), Seq("comb_key"), "left_semi") // prune
+    val top = Rbac.blocks(spark, dir)
+      .join(broadcast(routedDocs), Seq("document_id"), "left_semi") // prune
       .crossJoin(broadcast(Rbac.queryVector(spark, dir)))
       .withColumn("dist", l2_dist(col("embedding"), col("qvec")))
       .orderBy(col("dist"), col("block_id"))
       .limit(k)
+      .select("block_id", "document_id", "dist")
+    // comb_key of the routed docs only (slim (doc, role) rows — the
+    // corpus-wide combKeys aggregate is gone from this path)
+    val routedKeys = Rbac.permissions(spark, dir)
+      .join(broadcast(routedDocs), Seq("document_id"), "left_semi")
+      .groupBy("document_id")
+      .agg(concat_ws(",", sort_array(collect_set(col("role_id")))).as("comb_key"))
+    routedKeys.join(broadcast(top), "document_id")
+      .orderBy(col("dist"), col("block_id"))
       .select("block_id", "document_id", "comb_key")
   }
 
@@ -181,9 +201,10 @@ object Partitioned {
     * closure-expanded roles, giving the SAME greedy model a
     * structurally different permission distribution to optimize.
     */
-  private[rbac] def buildCostModelLayoutFrom(spark: SparkSession, dir: String,
+  private[graft] def buildCostModelLayoutFrom(spark: SparkSession, dir: String,
                                              ur: DataFrame, alpha: Double,
-                                             nQueries: Int): DataFrame = {
+                                             nQueries: Int,
+                                             rankSinglePartMax: Long = RankSinglePartMax): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val blocks = Rbac.blocks(spark, dir).select("document_id")
     val total = blocks.agg(count(lit(1)).as("n0"))
@@ -205,17 +226,68 @@ object Partitioned {
       // combs never tie (their benefits differ in the 4th decimal)
       .withColumn("benefit",
         round(col("weight") * (log(col("n0")) - log(col("n_docs"))) / col("n_docs"), 6))
-    val byBenefit = Window.orderBy(col("benefit").desc, col("comb_key"))
-    scored
-      .withColumn("rnk", row_number().over(byBenefit))
-      .withColumn("cum", sum(col("n_docs")).over(
-        byBenefit.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist()
+    // size-guarded global rank (r17, VERDICT r16 #3-residual): the
+    // greedy order and its running doc sum are prefix computations
+    // over the benefit-sorted comb table. Below the guard they stay
+    // ONE unpartitioned window pass (the comb table is index metadata
+    // — a few rows at the oracle SFs, and a 1-task sort is the
+    // measured-faster plan for small frames, see the E8 rank
+    // dispatch); above it the rank/prefix-sum pair is computed
+    // range-partitioned (local ranks + per-slice offsets), so no
+    // single task ever sorts an unbounded comb population. Both
+    // branches are exact over the same total order (benefit desc,
+    // comb_key) — LayoutRankDispatchSpec pins them row-identical.
+    val nCombs = scored.count()
+    val ranked =
+      if (nCombs <= rankSinglePartMax) {
+        val byBenefit = Window.orderBy(col("benefit").desc, col("comb_key"))
+        scored
+          .withColumn("rnk", row_number().over(byBenefit))
+          .withColumn("cum", sum(col("n_docs")).over(
+            byBenefit.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      } else {
+        val parts = math.max(spark.sparkContext.defaultParallelism,
+          (nCombs / 1048576L).toInt)
+        val sliced = scored
+          .repartitionByRange(parts, col("benefit").desc, col("comb_key"))
+          .withColumn("__pid", spark_partition_id())
+        val byLocal = Window.partitionBy("__pid")
+          .orderBy(col("benefit").desc, col("comb_key"))
+        val local = sliced
+          .withColumn("lrn", row_number().over(byLocal))
+          .withColumn("lcum", sum(col("n_docs")).over(
+            byLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val offsets = local.groupBy("__pid")
+          .agg(count(lit(1)).as("cnt"), sum("n_docs").as("docsum"))
+          .withColumn("rnk_off", coalesce(sum("cnt").over(
+            Window.orderBy("__pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("cum_off", coalesce(sum("docsum").over(
+            Window.orderBy("__pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("__pid").as("__opid"), col("rnk_off"), col("cum_off"))
+        local.join(broadcast(offsets), col("__pid") === col("__opid"))
+          .withColumn("rnk", (col("rnk_off") + col("lrn")).cast("int"))
+          .withColumn("cum", col("cum_off") + col("lcum"))
+      }
+    val out = ranked
       .withColumn("partition_id",
         when(col("benefit") > 0 && col("cum") <= (lit(alpha) - 1) * col("n0"),
           col("rnk")).otherwise(lit(0)))
       .select("comb_key", "weight", "n_docs", "partition_id")
       .orderBy("comb_key")
+      .persist()
+    out.count()
+    scored.unpersist()
+    out
   }
+
+  /** Single-partition ceiling for the benefit rank — a ~1M-row 1-task
+    * sort is sub-second; past it the range-partitioned prefix form
+    * takes over. Overridable only by the dispatch-equality spec.
+    */
+  private[graft] val RankSinglePartMax: Long = 1048576L
 
   /** A7: dynamic-partition search over the COST-MODEL layout
     * (search.py:31): the user's role combination routes to its

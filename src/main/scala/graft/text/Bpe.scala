@@ -113,20 +113,89 @@ object Bpe {
   // keyed by applicationId too: the cached Model holds localCheckpoint
   // blocks owned by ONE SparkContext — serving them to a new session
   // in the same JVM would fail on dead block references
-  private val modelCache = TrieMap.empty[(String, String, Int), Model]
+  private val modelCache = TrieMap.empty[(String, String, Int, Long), Model]
+
+  /** Driver-side merge-loop ceiling (r17, guide §5 / VERDICT r16 #3):
+    * the trainer's per-round work is TWO scans of the (word, cnt,
+    * syms) table plus one argmax collect — for `numMerges` rounds,
+    * i.e. ~50 driver-bound job round-trips over a table that is a few
+    * THOUSAND rows at the bench SFs (the corpus-sized work, the word
+    * aggregation, already happened). Below this ceiling the table is
+    * collected once and the identical greedy loop runs locally (ms,
+    * zero jobs); above it — the 10⁷–10⁸-distinct-word regime of a
+    * 100 TB corpus — the distributed loop runs unchanged. Both paths
+    * compute bit-identical merges: same argmax tie-break ((count
+    * desc, left asc, right asc) — pure-ASCII symbols, so Java string
+    * order == UTF8 binary order) and same greedy non-overlapping
+    * apply; BpeTrainDispatchSpec pins the two paths equal on the same
+    * corpus.
+    */
+  val DriverVocabMax: Long = 131072L
+
+  /** The greedy left-to-right non-overlapping application of one merge
+    * — the driver twin of `applyMerge`'s Catalyst fold (same flag
+    * semantics: a freshly merged token never re-participates as the
+    * LEFT half of the same pair in this pass).
+    */
+  private[graft] def applyMergeLocal(syms: Array[String], a: String,
+                                     b: String): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var justMerged = false
+    for (x <- syms) {
+      if (!justMerged && buf.nonEmpty && buf.last == a && x == b) {
+        buf(buf.length - 1) = a + b
+        justMerged = true
+      } else {
+        buf += x
+        justMerged = false
+      }
+    }
+    buf.toArray
+  }
+
+  /** The merge loop on the COLLECTED word table — same picks, same
+    * applies, zero Spark jobs. Returns the merges and the terminal
+    * symbol state.
+    */
+  private[graft] def trainLocal(table: Array[(String, Long, Array[String])],
+                                numMerges: Int): (Seq[Merge], Array[(String, Long, Array[String])]) = {
+    var words = table
+    val merges = Seq.newBuilder[Merge]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((_, cnt, syms) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(o => Some(o.getOrElse(0L) + cnt))
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += Merge(r, a, b, n)
+        words = words.map { case (w, c, syms) =>
+          (w, c, applyMergeLocal(syms, a, b))
+        }
+        r += 1
+      }
+    }
+    (merges.result(), words)
+  }
 
   /** Train a BPE vocabulary of `numMerges` merges over the corpus.
     * Deterministic: seedless — the argmax tie-break (count desc, left
     * asc, right asc) pins every pick.
     */
-  def train(spark: SparkSession, dir: String, numMerges: Int = 24): Model = {
+  def train(spark: SparkSession, dir: String, numMerges: Int = 24,
+            driverMax: Long = DriverVocabMax): Model = {
     // entries keyed to a DIFFERENT application belong to a stopped
     // context in this JVM: their checkpoint blocks are dead and the
     // Model can never be served again — drop them so a long-lived JVM
-    // cycling SparkSessions doesn't accrete one Model per session
+    // cycling SparkSessions doesn't accrete one Model per session.
+    // `driverMax` rides in the key so the dispatch-equality spec can
+    // force the distributed branch without poisoning the default
+    // entry.
     val appId = spark.sparkContext.applicationId
     modelCache.keys.filter(_._1 != appId).foreach(modelCache.remove)
-    modelCache.getOrElseUpdate((appId, dir, numMerges), {
+    modelCache.getOrElseUpdate((appId, dir, numMerges, driverMax), {
       // localCheckpoint (not bare persist) each round: the fold
       // expression is large, and 24 rounds of accreted lineage make
       // re-planning and plan stringification quadratic — checkpointing
@@ -147,7 +216,25 @@ object Bpe {
       // launches per trained model. The count is a cache scan (the
       // frame is just-checkpointed) and the partition count grows with
       // the vocabulary at scale.
-      val vocabParts = math.max(1L, words.count() / 65536L).toInt
+      val nWords = words.count()
+      // cost-based dispatch (r17): the merge loop's input is the
+      // aggregation-reduced word table — when it fits comfortably on
+      // the driver, 2·numMerges scan-jobs + numMerges argmax collects
+      // become one collect + a local loop (measured: the two BPE keys'
+      // pool rows were 15.2/15.7 s at 32 cores in r16 — all driver-
+      // bound round latency). The distributed loop below is unchanged
+      // for the at-scale regime.
+      if (nWords <= driverMax) {
+        val table = words.select("word", "cnt", "syms").collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray))
+        words.unpersist()
+        val (merges, terminal) = trainLocal(table, numMerges)
+        import spark.implicits._
+        val dict = terminal.toSeq.map { case (w, c, s) => (w, c, s.toSeq) }
+          .toDF("word", "cnt", "syms")
+        Model(merges, dict)
+      } else {
+      val vocabParts = math.max(1L, nWords / 65536L).toInt
       if (vocabParts < words.rdd.getNumPartitions) {
         val sized = words.coalesce(vocabParts).localCheckpoint()
         words.unpersist()
@@ -176,6 +263,7 @@ object Bpe {
         }
       }
       Model(merges.result(), words)
+      }
     })
   }
 
