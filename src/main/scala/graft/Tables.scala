@@ -55,6 +55,12 @@ object Tables {
     * full shuffle of the corpus TEXT for nothing. Callers must be
     * partition-layout-insensitive (per-row kernels, integer-count
     * aggregations, hash-derived keys — no float summation order).
+    *
+    * MUST receive a SCAN-ROOTED frame (ADVICE r16): the partition-count
+    * probe goes through df.rdd, which physically plans the frame on
+    * every call — free for the raw table scans passed today, but a
+    * frame with exchanges would re-plan per call and, under AQE, report
+    * the un-finalized count.
     */
   def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val p = s.sparkContext.defaultParallelism

@@ -388,35 +388,51 @@ object Ann {
     math.min(byRows, 8L * spark.sparkContext.defaultParallelism).toInt
   }
 
-  def knnCentralityNnd(spark: SparkSession, dir: String, k: Int = 5,
-                       iters: Int = 10, cells: Int = 0): DataFrame = {
-    import spark.implicits._
-    val n = corpusCount.getOrElseUpdate(spark, dir)(
-      graft.Tables.embeddings(spark, dir).count())
-    val edges = knnGraphDescent(spark, dir, k, cells = cells)
-      .select(col("src"), col("nbr")).as[(Long, Long)].rdd
-      .coalesce(graphEdgeParts(spark, k * n)) // |E| = k·N by construction
-    val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 0)
-    graph.staticPageRank(iters, resetProb = 0.15).vertices
-      .toDF("vec_id", "pr")
+  /** Static PageRank as ONE lazy DataFrame chain (r17) — replaces the
+    * GraphX `staticPageRank` the two centrality keys ran. GraphX's
+    * Pregel materializes every iteration (caching, per-round jobs —
+    * the event-log profile measured ~73 driver job round-trips for one
+    * 10-iteration run, 2/3 of the key's cost at the oracle SFs, r16's
+    * edge-partition fix notwithstanding); this form chains the 10
+    * rounds lazily and executes them as ONE job whose per-round edge
+    * exchange is plan-identical across rounds (ReusedExchange). The
+    * recurrence is EXACTLY the oracle's unrolled CTEs (SparkEntry
+    * `ann_knn_centrality*`): r0 = 1.0 over every corpus vec_id,
+    * rᵗ = 0.15 + 0.85·Σ_in(pr·(1.0/outdeg)) with a left join keeping
+    * message-less vertices — the same form GraphX computes (init 1.0,
+    * resetProb 0.15, contribution rank/outDegree); the oracle hash
+    * pins equality at 4dp, and every corpus vertex appears in both
+    * edge sets (out-degree k by construction), so the GraphX
+    * endpoint-vertex set and the oracle's corpus vertex set coincide.
+    */
+  private def pageRankDf(spark: SparkSession, dir: String, edges: DataFrame,
+                         iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    val g = edges.join(deg, "src") // (src, nbr, deg); subtree reused per round
+    val vertices = graft.Tables.embeddings(spark, dir).select(col("vec_id"))
+    var rank = vertices.withColumn("pr", lit(1.0))
+    for (_ <- 1 to iters) {
+      val msgs = g
+        .join(rank.withColumnRenamed("vec_id", "src"), "src")
+        .groupBy(col("nbr").as("vec_id"))
+        .agg(sum(col("pr") * (lit(1.0) / col("deg"))).as("s"))
+      rank = vertices.join(msgs, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(0.15) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+    }
+    rank
       .select(col("vec_id"), round(col("pr"), 4).as("pagerank"))
       .orderBy("vec_id")
   }
 
+  def knnCentralityNnd(spark: SparkSession, dir: String, k: Int = 5,
+                       iters: Int = 10, cells: Int = 0): DataFrame =
+    pageRankDf(spark, dir,
+      knnGraphDescent(spark, dir, k, cells = cells).select("src", "nbr"), iters)
+
   def knnCentrality(spark: SparkSession, dir: String, k: Int = 5,
-                    iters: Int = 10, cells: Int = 16): DataFrame = {
-    import spark.implicits._
-    val n = corpusCount.getOrElseUpdate(spark, dir)(
-      graft.Tables.embeddings(spark, dir).count())
-    val edges = knnEdges(spark, dir, k, cells)
-      .select(col("src"), col("nbr")).as[(Long, Long)].rdd
-      .coalesce(graphEdgeParts(spark, k * n)) // |E| = k·N by construction
-    val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 0)
-    graph.staticPageRank(iters, resetProb = 0.15).vertices
-      .toDF("vec_id", "pr")
-      .select(col("vec_id"), round(col("pr"), 4).as("pagerank"))
-      .orderBy("vec_id")
-  }
+                    iters: Int = 10, cells: Int = 16): DataFrame =
+    pageRankDf(spark, dir, knnEdges(spark, dir, k, cells).select("src", "nbr"), iters)
 
   /** B17: NN-Descent approximate k-NN graph — the regime where the
     * exact build (B11) is too expensive: very large k·N. Standard
@@ -640,11 +656,17 @@ object Ann {
     // exchange of the embedding-attached stream. Per-round shuffle is
     // then one slim cand exchange + one intermediate exchange, no
     // sorts — Dong et al.'s local join IS a hash join at scale.
+    // the hint is gated on the at-scale regime (r17): below the exact
+    // ceiling the member embeddings are megabytes and AQE's broadcast
+    // join attaches them with ZERO exchanges of the candidate stream —
+    // the forced shuffle paid 2 exchanges per rerank × (iters+2)
+    // reranks at the oracle SFs for nothing. Above the ceiling the
+    // forced hash join stands, for exactly the r13 reason above.
+    def attach(side: DataFrame): DataFrame =
+      if (n > KnnExactMaxN) side.hint("SHUFFLE_HASH") else side
     def rerank(cand: DataFrame, kk: Int): DataFrame = cand
-      .join(e.select(col("vec_id").as("dst"), col("embedding").as("eb"))
-        .hint("SHUFFLE_HASH"), "dst")
-      .join(e.select(col("vec_id").as("src"), col("embedding").as("ea"))
-        .hint("SHUFFLE_HASH"), "src")
+      .join(attach(e.select(col("vec_id").as("dst"), col("embedding").as("eb"))), "dst")
+      .join(attach(e.select(col("vec_id").as("src"), col("embedding").as("ea"))), "src")
       .groupBy("src")
       .agg(topk_ids(l2_dist(col("ea"), col("eb")), col("dst"), kk).as("ids"))
       .select(col("src"), explode(col("ids")).as("dst"))

@@ -1140,7 +1140,15 @@ object GraphSearch {
                           gk: Int = GraphK, cells: Int = Cells,
                           alpha: Double = 2.0): DataFrame = {
     import graft.rbac.Rbac
-    userIds.map { u =>
+    // the per-user walks are INDEPENDENT jobs (distinct routed graphs,
+    // distinct visited caches) — overlap them (guide §2.6, r17): the
+    // sequential map serialized 3 × rounds of frontier-round latency
+    // even though each round leaves most cores idle; the session
+    // caches underneath take per-key locks, so racing users is safe
+    // and the per-user results are cache-keyed and deterministic.
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    userIds.map { u => scala.concurrent.Future {
       // ef = -1: each user's walk serves at ITS partition's measured
       // policy (partition sizes differ per routing, so one fixed beam
       // cannot fit all three sweep users — the r13 measurement)
@@ -1163,7 +1171,9 @@ object GraphSearch {
       topOf(vis.join(acc, Seq("cand_id"), "left_semi"), k)
         .select(lit(u).as("user_id"), col("query_id"),
           col("cand_id").as("block_id"))
-    }.reduce(_.unionAll(_))
+    } }
+      .map(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
+      .reduce(_.unionAll(_))
       .orderBy("user_id", "query_id", "block_id")
   }
 

@@ -638,25 +638,17 @@ object Analytics {
       .select("l_partkey", "l_quantity", "l_extendedprice")
     val brand = Tables.part(spark, dir)
       .filter(col("p_brand") === "Brand#12").select("p_partkey")
-    // threshold over ALL lineitems of the part (not just the brand
-    // slice) — 0.2·avg, the exact arithmetic the oracle's correlated
-    // subquery computes (sums of integer-valued doubles are exact, so
-    // the average is order-independent). The threshold is only ever
-    // CONSUMED for brand parts, so it is semi-joined down to the brand
-    // part set BEFORE joining the fact — the unrestricted frame is
-    // |part| rows by construction (a per-part aggregate over the whole
-    // fact), the single worst thing to force-broadcast. The inner join
-    // on the reduced thresh then also does the brand restriction of
-    // the fact side, and AQE picks the join strategy from its runtime
-    // size.
-    // r16 (guide §3.2): the brand restriction moves BELOW the per-part
-    // aggregate and onto the fact attach side — each part's 0.2·avg
-    // depends only on that part's own rows, so semi-joining the fact to
-    // the brand part set FIRST is exact (avg of integer-valued doubles,
-    // order-independent), and both the threshold aggregate and the
-    // attach join now hash/shuffle the brand slice instead of the full
-    // fact (the old plan aggregated every lineitem row and shuffled the
-    // full fact into the attach join for a one-brand result)
+    // r16 (guide §3.2): the brand restriction sits BELOW the per-part
+    // aggregate and on the fact attach side — each part's 0.2·avg
+    // threshold depends only on that part's own rows (the exact
+    // arithmetic of the oracle's correlated subquery: sums of
+    // integer-valued doubles are exact, so the average is
+    // order-independent), so semi-joining the fact to the brand part
+    // set FIRST is exact, and both the threshold aggregate and the
+    // attach join hash/shuffle the brand slice instead of the full
+    // fact (the pre-r16 plan aggregated every lineitem row and
+    // shuffled the full fact into the attach join for a one-brand
+    // result). AQE picks the join strategy from runtime sizes.
     val liBrand = li.join(brand, col("l_partkey") === col("p_partkey"), "left_semi")
     val thresh = liBrand.groupBy(col("l_partkey").as("t_partkey"))
       .agg((lit(0.2) * avg("l_quantity")).as("qty_thresh"))
